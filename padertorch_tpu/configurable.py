@@ -75,19 +75,10 @@ def resolve_main_python_path() -> str:
     main = sys.modules.get('__main__')
     spec = getattr(main, '__spec__', None)
     if spec is not None and spec.name not in (None, '__main__'):
+        # Only active for ``python -m pkg.script`` (like the reference);
+        # for ``python script.py`` re-importing would re-execute the script.
         name = spec.name
         return name[:-len('.__main__')] if name.endswith('.__main__') else name
-    file = getattr(main, '__file__', None)
-    if file is not None:
-        path = Path(file).resolve()
-        parts = [path.stem]
-        parent = path.parent
-        while (parent / '__init__.py').exists():
-            parts.insert(0, parent.name)
-            parent = parent.parent
-        candidate = '.'.join(parts)
-        if str(parent) in sys.path or parent == Path.cwd():
-            return candidate
     return '__main__'
 
 
