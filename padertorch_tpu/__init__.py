@@ -8,5 +8,17 @@ idiomatically on JAX/XLA/Pallas/pjit. Import as::
 __version__ = '0.1.0'
 
 from padertorch_tpu.configurable import Configurable
+from padertorch_tpu.module import Module
+from padertorch_tpu.base import Model, pt_dataclass
 from padertorch_tpu import utils
 from padertorch_tpu import io
+from padertorch_tpu import random
+from padertorch_tpu import nn
+from padertorch_tpu import data
+from padertorch_tpu import train
+from padertorch_tpu.train import (
+    Trainer, Optimizer, Adam, AdamW, SGD, Adadelta,
+)
+from padertorch_tpu import modules
+from padertorch_tpu import ops
+from padertorch_tpu import summary

@@ -76,8 +76,18 @@ class Model(Module):
         Called by the summary hook just before writing, e.g. to compute an
         accuracy from buffered labels.  Implementations must drain
         ``summary['buffers']`` and convert ``summary['snapshots']`` they
-        consume (reference ``base.py:320-358``).
+        consume.  The default reduces scalar lists to their mean
+        (reference ``base.py:320-358``).
         """
+        import numpy as np
+        for key, scalar in summary['scalars'].items():
+            summary['scalars'][key] = np.mean(np.asarray(scalar))
+        assert len(summary['buffers']) == 0, (
+            'intermediate format buffers has to be converted during '
+            'modify_summary')
+        assert len(summary['snapshots']) == 0, (
+            'intermediate format snapshots has to be converted during '
+            'modify_summary')
         return summary
 
     def example_to_device(self, example, device=None):

@@ -369,5 +369,37 @@ def num_parameters(tree):
         np.prod(np.shape(x)) for x in jax.tree_util.tree_leaves(params)))
 
 
+def inplace_update(module, *trees):
+    """Write the non-None dynamic leaves of partitioned ``trees`` back into
+    ``module`` **in place** (preserving object identity, so host-side flags
+    like ``create_snapshot`` survive while device arrays advance each step).
+    """
+    def visit(obj, *srcs):
+        srcs = [s for s in srcs if s is not None]
+        if isinstance(obj, Module):
+            for name, v in obj.__dict__.items():
+                if not _is_dynamic(v):
+                    continue
+                obj.__dict__[name] = visit(
+                    v, *[getattr(s, name, None) for s in srcs])
+            return obj
+        if isinstance(obj, (list, tuple)):
+            return type(obj)(
+                visit(v, *[s[i] for s in srcs])
+                for i, v in enumerate(obj)
+            )
+        if isinstance(obj, dict):
+            return {
+                k: visit(v, *[s.get(k) for s in srcs])
+                for k, v in obj.items()
+            }
+        for s in srcs:
+            if s is not None:
+                return s
+        return obj
+
+    return visit(module, *trees)
+
+
 # Thread-local guard so tree ops inside jit don't accidentally re-enter.
 _local = threading.local()

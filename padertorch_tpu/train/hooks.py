@@ -1,0 +1,812 @@
+"""Hooks: all non-core training-loop behavior.
+
+Reference parity: ``padertorch/train/hooks.py`` — same priorities, lifecycle
+(``pre_step``/``post_step``/``post_optimize``/``close``/``set_last``/
+``state_dict``), summary aggregation semantics, checkpoint ranking, backoff
+and early stopping.
+
+TPU-native twist: review values arriving in ``post_step`` are *device
+arrays* from the jitted step.  They are accumulated as-is (no host sync!)
+and only fetched to numpy when a summary is finalized — by then the async
+dispatch queue has long drained, so the fetch is free.
+"""
+import re
+import types
+from collections import defaultdict
+from enum import IntEnum
+from pathlib import Path
+
+import numpy as np
+
+from padertorch_tpu.train.trigger import IntervalTrigger, EndTrigger
+
+__all__ = [
+    'Priority',
+    'Hook',
+    'TriggeredHook',
+    'SummaryHook',
+    'CheckpointHook',
+    'ValidationHook',
+    'BackOffValidationHook',
+    'LRSchedulerHook',
+    'ProgressBarHook',
+    'StopTrainingHook',
+    'StopTraining',
+    'AnnealingHook',
+    'LossWeightAnnealingHook',
+    'ModelAttributeAnnealingHook',
+    'LRAnnealingHook',
+]
+
+CKPT_EXT = '.ptt'
+
+
+def _natkey(name):
+    """Natural sort key: 'ckpt_10' sorts after 'ckpt_2'."""
+    return tuple(
+        int(part) if part.isdigit() else part
+        for part in re.split(r'(\d+)', str(name))
+    )
+
+
+class Priority(IntEnum):
+    """Hook dispatch order (higher runs first). Reference: ``hooks.py:43``."""
+    END = 10
+    CHECKPOINT = 11  # after other hooks, so latest hook states get saved
+    DEFAULT = 15
+    VALIDATION = 20
+    PROGRESS = 30
+    PRINT = 40
+    SUMMARY = 50
+
+
+class Hook:
+    @property
+    def priority(self):
+        return Priority.DEFAULT
+
+    @property
+    def uid(self):
+        """Unique id keying this hook's state in trainer checkpoints."""
+        return type(self).__qualname__
+
+    def state_dict(self):
+        return None
+
+    def load_state_dict(self, state_dict):
+        raise NotImplementedError
+
+    def pre_step(self, trainer):
+        """Called before each iteration of the train iterator."""
+
+    def post_step(self, trainer, example, model_output, review):
+        """Called after each train step."""
+
+    def post_optimize(self, trainer, summary):
+        """Called after each optimizer step with grad-norm/lr summary."""
+
+    def close(self, trainer):
+        pass
+
+    def set_last(self, iteration, epoch):
+        pass
+
+
+class TriggeredHook(Hook):
+    def __init__(self, trigger=None):
+        self.trigger = IntervalTrigger.new(trigger)
+
+    def set_last(self, iteration, epoch):
+        self.trigger.set_last(iteration, epoch)
+
+
+def _fetch(value):
+    """Device array -> numpy (a no-op for host values)."""
+    import jax
+    if isinstance(value, jax.Array):
+        return np.asarray(jax.device_get(value))
+    return value
+
+
+def _scalars_to_list(scalars):
+    scalars = _fetch(scalars)
+    if isinstance(scalars, np.ndarray):
+        return scalars.flatten().tolist()
+    if isinstance(scalars, (list, tuple)):
+        return list(scalars)
+    assert np.isscalar(scalars), scalars
+    return [scalars]
+
+
+class SummaryHook(TriggeredHook):
+    """Aggregates review dicts and writes them to the tfevents file.
+
+    Reference parity: ``hooks.py:153``.  Values are held as device arrays
+    until ``finalize_summary`` fetches them in one go.
+    """
+
+    create_snapshot = True
+
+    def __init__(self, trigger, summary_prefix='training'):
+        super().__init__(trigger)
+        self.summary_prefix = summary_prefix
+        self.reset_summary()
+
+    @property
+    def priority(self):
+        return Priority.SUMMARY
+
+    @staticmethod
+    def empty_summary_dict():
+        # MappingProxyType guards against typo'd keys (like the reference).
+        return types.MappingProxyType(dict(
+            scalars=defaultdict(list),
+            histograms=defaultdict(list),
+            audios=dict(),
+            images=dict(),
+            texts=dict(),
+            figures=dict(),
+            timings=dict(),
+            buffers=defaultdict(list),
+            snapshots=dict(),
+        ))
+
+    def reset_summary(self):
+        self.summary = self.empty_summary_dict()
+        self.create_snapshot = True
+
+    def update_summary(self, review):
+        allowed_keys = {
+            'scalars', 'histograms', 'audios', 'images', 'texts',
+            'figures', 'buffers', 'snapshots',
+        }
+        redundant_keys = set(review.keys()) - allowed_keys
+        assert len(redundant_keys) == 0, (
+            redundant_keys, review.keys(), allowed_keys)
+        assert len(review) >= 1, review
+        popped = {**review}
+        # scalars/histograms: keep raw (possibly device) values; fetch later
+        for key, value in popped.pop('scalars', {}).items():
+            self.summary['scalars'][key].append(value)
+        for key, value in popped.pop('histograms', {}).items():
+            self.summary['histograms'][key].append(value)
+            self.summary['histograms'][key] = \
+                self.summary['histograms'][key][-1_000_000:]
+        for key, value in popped.pop('buffers', {}).items():
+            self.summary['buffers'][key].append(value)
+        for key, value in popped.pop('snapshots', {}).items():
+            self.summary['snapshots'][key] = value  # keep last
+        for key, value in popped.pop('audios', {}).items():
+            self.summary['audios'][key] = value  # keep last
+        for key, value in popped.pop('images', {}).items():
+            self.summary['images'][key] = value  # keep last
+        for key, value in popped.pop('figures', {}).items():
+            self.summary['figures'][key] = value  # keep last
+        for key, value in popped.pop('texts', {}).items():
+            assert isinstance(value, str), value
+            self.summary['texts'][key] = value  # keep last
+        assert len(popped) == 0, (popped, review)
+
+    def _materialize_summary(self):
+        """Fetch device arrays to host, flatten scalars to float lists."""
+        import jax
+        summary = dict(self.summary)
+        # One bulk transfer for everything that is still on device.
+        fetched = jax.device_get({
+            'scalars': dict(summary['scalars']),
+            'histograms': dict(summary['histograms']),
+        })
+        summary['scalars'] = defaultdict(list, {
+            k: [x for v in vals for x in _scalars_to_list(v)]
+            for k, vals in fetched['scalars'].items()
+        })
+        summary['histograms'] = defaultdict(list, {
+            k: [x for v in vals for x in _scalars_to_list(v)]
+            for k, vals in fetched['histograms'].items()
+        })
+        summary['buffers'] = defaultdict(list, {
+            k: [_fetch(v) for v in vals]
+            for k, vals in summary['buffers'].items()
+        })
+        summary['snapshots'] = {
+            k: _fetch(v) for k, v in summary['snapshots'].items()
+        }
+        summary['audios'] = {
+            k: _fetch_audio(v) for k, v in summary['audios'].items()
+        }
+        summary['images'] = {
+            k: _fetch(v) for k, v in summary['images'].items()
+        }
+        self.summary = types.MappingProxyType(summary)
+
+    def compute_timings(self, timer):
+        timer_dict = timer.as_dict
+        summary_timings = {}
+        sum_time_per_iteration = np.sum(
+            timer_dict.get('time_per_iteration', [0]))
+        if sum_time_per_iteration > 0:
+            for k in [
+                'time_per_data_loading',
+                'time_per_to_device',
+                'time_per_forward',
+                'time_per_review',
+                'time_per_backward',
+                'time_per_optimize',
+            ]:
+                if k in timer_dict:
+                    summary_timings[k.replace('_per_', '_rel_')] = \
+                        np.sum(timer_dict.pop(k)) / sum_time_per_iteration
+        summary_timings.update({
+            key: timing.mean() for key, timing in timer_dict.items()
+        })
+        timer.clear()
+        return summary_timings
+
+    def finalize_summary(self, trainer):
+        assert len(self.summary['timings']) == 0, self.summary['timings']
+        self._materialize_summary()
+        for key, timing in self.compute_timings(trainer.train_timer).items():
+            self.summary['timings'][key] = timing
+        self.summary = trainer.model.modify_summary(self.summary)
+        assert len(self.summary['buffers']) == 0, (
+            'buffers have to be converted during modify_summary')
+        assert len(self.summary['snapshots']) == 0, (
+            'snapshots have to be converted during modify_summary')
+
+    def dump_summary(self, trainer):
+        iteration = trainer.iteration
+        prefix = self.summary_prefix
+        time_prefix = f'{prefix}_timings'
+        tags = set()
+
+        def check_tag(tag):
+            if tag in tags:
+                raise AssertionError(
+                    f'The tag {tag!r} is used multiple times.\n\n'
+                    'Tensorboard has problems when different events have '
+                    'the same tag, e.g. you cannot report `grad_norm` as '
+                    'scalar and histogram. A common workaround is to append '
+                    'an `_` for the histogram (i.e. `grad_norm_`).'
+                )
+            tags.add(tag)
+            return tag
+
+        for key, scalar in self.summary['scalars'].items():
+            trainer.writer.add_scalar(
+                check_tag(f'{prefix}/{key}'), scalar, iteration)
+        for key, scalar in self.summary['timings'].items():
+            trainer.writer.add_scalar(
+                check_tag(f'{time_prefix}/{key}'),
+                np.mean(scalar), iteration)
+        for key, histogram in self.summary['histograms'].items():
+            tag = check_tag(f'{prefix}/{key}')
+            values = np.array(histogram)
+            values = values[np.isfinite(values)]
+            if values.size == 0:
+                # all-NaN histograms (e.g. a diverged loss being reported
+                # during shutdown) must not mask the original error
+                continue
+            trainer.writer.add_histogram(tag, values, iteration)
+        for key, audio in self.summary['audios'].items():
+            tag = check_tag(f'{prefix}/{key}')
+            if isinstance(audio, (tuple, list)):
+                assert len(audio) == 2, (len(audio), audio)
+                trainer.writer.add_audio(
+                    tag, audio[0], iteration, sample_rate=audio[1])
+            else:
+                trainer.writer.add_audio(
+                    tag, audio, iteration, sample_rate=16000)
+        for key, image in self.summary['images'].items():
+            trainer.writer.add_image(
+                check_tag(f'{prefix}/{key}'), image, iteration)
+        for key, text in self.summary['texts'].items():
+            trainer.writer.add_text(
+                check_tag(f'{prefix}/{key}'), text, iteration)
+        for key, figure in self.summary['figures'].items():
+            trainer.writer.add_figure(
+                check_tag(f'{prefix}/{key}'), figure, iteration)
+        self.reset_summary()
+
+    def pre_step(self, trainer):
+        if self.trigger(iteration=trainer.iteration, epoch=trainer.epoch) \
+                and trainer.iteration != 0:
+            self.finalize_summary(trainer)
+            self.dump_summary(trainer)
+        if self.create_snapshot:
+            trainer.model.create_snapshot = True
+
+    def post_step(self, trainer, example, model_out, review):
+        self.update_summary(review)
+        if self.create_snapshot:
+            trainer.model.create_snapshot = self.create_snapshot = False
+
+    def post_optimize(self, trainer, summary):
+        self.post_step(trainer, None, None, summary)
+
+    def close(self, trainer):
+        self.finalize_summary(trainer)
+        self.dump_summary(trainer)
+
+    def set_last(self, iteration, epoch):
+        self.reset_summary()  # reset needed for backoff
+        super().set_last(iteration, epoch)
+
+
+def _fetch_audio(value):
+    if isinstance(value, (tuple, list)):
+        return (_fetch(value[0]), value[1])
+    return _fetch(value)
+
+
+class CheckpointHook(TriggeredHook):
+    """Periodically saves trainer state. Reference: ``hooks.py:409``."""
+
+    @property
+    def priority(self):
+        return Priority.CHECKPOINT
+
+    def _save_latest_checkpoint(self, trainer):
+        checkpoint_path = trainer.default_checkpoint_path()
+        checkpoint_path.parent.mkdir(parents=True, exist_ok=True)
+        trainer.save_checkpoint()
+
+    def pre_step(self, trainer):
+        if self.trigger(iteration=trainer.iteration, epoch=trainer.epoch):
+            self._save_latest_checkpoint(trainer)
+
+    def close(self, trainer):
+        self._save_latest_checkpoint(trainer)
+
+    def set_last(self, iteration, epoch):
+        if self.trigger.last[0] > iteration:
+            # has to be re-triggered after backoff rewound the iteration
+            super().set_last(-1, -1)
+        else:
+            super().set_last(iteration, epoch)
+
+
+class ValidationHook(SummaryHook):
+    """Validation + checkpoint ranking + stale-checkpoint deletion.
+
+    Reference parity: ``hooks.py:439``.
+    """
+
+    def __init__(
+            self, trigger, iterator, metric='loss', maximize=False,
+            max_checkpoints=1, early_stopping_patience=None,
+    ):
+        super().__init__(trigger, summary_prefix='validation')
+        self.iterator = iterator
+        self.metric = metric
+        self.maximize = maximize
+        self.max_checkpoints = max_checkpoints
+        self.early_stopping_patience = early_stopping_patience
+        self.ckpt_ranking = []
+        self.n_degradations = 0
+        self.last_validation = -1
+
+    @property
+    def priority(self):
+        return Priority.VALIDATION
+
+    @property
+    def _best_ckpt_name(self):
+        return f'ckpt_best_{self.metric}{CKPT_EXT}'
+
+    def state_dict(self):
+        return {
+            'ckpt_ranking': [list(pair) for pair in self.ckpt_ranking],
+            'n_degradations': self.n_degradations,
+        }
+
+    def load_state_dict(self, state_dict):
+        self.ckpt_ranking = [tuple(pair)
+                             for pair in state_dict['ckpt_ranking']]
+        self.n_degradations = int(state_dict['n_degradations'])
+
+    def finalize_summary(self, trainer):
+        # Uses the validate timer instead of the train timer.
+        assert len(self.summary['timings']) == 0, self.summary['timings']
+        self._materialize_summary()
+        for key, timing in self.compute_timings(
+                trainer.validate_timer).items():
+            self.summary['timings'][key] = timing
+        self.summary = trainer.model.modify_summary(self.summary)
+
+    def pre_step(self, trainer):
+        if self.trigger(iteration=trainer.iteration, epoch=trainer.epoch):
+            self.run_validation(trainer)
+            self.last_validation = trainer.iteration
+        if (
+                self.early_stopping_patience is not None
+                and self.n_degradations > self.early_stopping_patience
+        ):
+            print(f'Early stopping after {trainer.epoch} epochs and '
+                  f'{trainer.iteration} iterations')
+            raise StopTraining
+
+    def run_validation(self, trainer):
+        ckpt_dir = trainer.checkpoint_dir
+        ckpt_path = trainer.default_checkpoint_path()
+        # ckpt_path does not exist yet; CheckpointHook (lower priority)
+        # writes it afterwards, so this hook's state lands in it.
+        assert all(len(v) == 0 for v in self.summary.values()), self.summary
+        assert len(trainer.validate_timer.timings) == 0, (
+            trainer.validate_timer)
+        print('Starting Validation')
+        at_least_one_value = False
+        create_snapshot = trainer.model.create_snapshot
+        trainer.model.create_snapshot = True
+        for example, model_out, review in trainer.validate(self.iterator):
+            at_least_one_value = True
+            trainer.model.create_snapshot = False
+            self.update_summary(review)
+        trainer.model.create_snapshot = create_snapshot
+        if not at_least_one_value:
+            raise Exception(
+                f'Got an empty validation iterator: {self.iterator}')
+
+        trainer.model.eval()
+        try:
+            self.finalize_summary(trainer)
+        finally:
+            trainer.model.train()
+        assert self.metric in self.summary['scalars'].keys(), (
+            f'The chosen validation metric {self.metric} is not included '
+            f'in the scalars dict provided by the model review. '
+            f'Provided keys: {self.summary["scalars"].keys()}'
+        )
+        score = float(self.summary['scalars'][self.metric])
+        self.dump_summary(trainer)
+        print(f'Finished Validation. Mean {self.metric}: {score}')
+
+        # Relative names only, so the storage dir stays movable.
+        self.ckpt_ranking.append((ckpt_path.name, score))
+        self.ckpt_ranking.sort(key=lambda x: (
+            -x[1] if self.maximize else x[1],
+            _natkey(x[0]),
+        ))
+        if self.max_checkpoints is not None:
+            for i in range(
+                    len(self.ckpt_ranking) - 1, self.max_checkpoints - 1, -1):
+                ckpt_name = self.ckpt_ranking[i][0]
+                if ckpt_name == ckpt_path.name:
+                    continue
+                ckpt = ckpt_dir / ckpt_name
+                if ckpt.exists():  # may be gone already after backoff
+                    ckpt.unlink()
+                self.ckpt_ranking.pop(i)
+        if self.ckpt_ranking[0][0] != ckpt_path.name:
+            self.n_degradations += 1
+        else:
+            self.n_degradations = 0
+
+    def post_step(self, trainer, example, model_out, review):
+        if trainer.iteration == self.last_validation:
+            ckpt_dir = trainer.checkpoint_dir
+            ckpt_path = trainer.default_checkpoint_path()
+            if not ckpt_path.exists():
+                raise RuntimeError(
+                    'Before each validation the CheckpointHook has to '
+                    f'write a checkpoint.\nCould not find {ckpt_path}.\n'
+                    f'Found only:\n'
+                    f'{[str(f) for f in ckpt_dir.iterdir()]}'
+                )
+            self.set_best_symlink(ckpt_dir)
+
+    def set_best_symlink(self, ckpt_dir):
+        best = ckpt_dir / self._best_ckpt_name
+        if best.is_symlink():
+            best.unlink()
+        try:
+            best.symlink_to(self.ckpt_ranking[0][0])
+        except FileExistsError:
+            raise FileExistsError(
+                f'Best checkpoint {best} needs to be a symlink to a '
+                'checkpoint, not a file!'
+            ) from None
+
+    def close(self, trainer):
+        if trainer.checkpoint_dir.exists():
+            self.set_best_symlink(trainer.checkpoint_dir)
+        ckpt_name = trainer.default_checkpoint_path().name
+        if ckpt_name not in [c[0] for c in self.ckpt_ranking]:
+            # ensure it is deleted after resume
+            self.ckpt_ranking.append(
+                (ckpt_name, -np.inf if self.maximize else np.inf))
+
+
+class BackOffValidationHook(ValidationHook):
+    """Validation + learning-rate backoff to the best checkpoint.
+
+    Reference parity: ``hooks.py:636``.
+    """
+
+    def __init__(
+            self, trigger, iterator, metric='loss', maximize=False,
+            max_checkpoints=1, early_stopping_patience=None, n_back_off=0,
+            lr_update_factor=1 / 10, back_off_patience=None,
+    ):
+        super().__init__(
+            trigger, iterator, metric=metric, maximize=maximize,
+            max_checkpoints=max_checkpoints,
+            early_stopping_patience=early_stopping_patience,
+        )
+        self.remaining_back_offs = n_back_off
+        self.lr_update_factor = lr_update_factor
+        if n_back_off > 0:
+            assert lr_update_factor < 1, lr_update_factor
+            assert back_off_patience is not None
+        self.back_off_patience = back_off_patience
+        if early_stopping_patience is not None \
+                and back_off_patience is not None:
+            assert early_stopping_patience >= back_off_patience, (
+                early_stopping_patience, back_off_patience)
+
+    def state_dict(self):
+        return {
+            'remaining_back_offs': self.remaining_back_offs,
+            **super().state_dict(),
+        }
+
+    def load_state_dict(self, state_dict):
+        super().load_state_dict(state_dict)
+        assert state_dict['remaining_back_offs'] <= self.remaining_back_offs
+        self.remaining_back_offs = int(state_dict['remaining_back_offs'])
+
+    def run_validation(self, trainer):
+        super().run_validation(trainer)
+        if (
+                self.remaining_back_offs > 0
+                and self.n_degradations > self.back_off_patience
+        ):
+            self._back_off(trainer)
+
+    def _back_off(self, trainer):
+        best_ckpt = self.ckpt_ranking[0][0]
+        print(f'Back off to {best_ckpt}.')
+        ckpt_dir = trainer.checkpoint_dir
+        latest = (ckpt_dir / f'ckpt_latest{CKPT_EXT}').absolute()
+        if latest.is_symlink():
+            latest.unlink()
+        latest.symlink_to(best_ckpt)
+
+        best_iter = int(best_ckpt[len('ckpt_'):-len(CKPT_EXT)])
+        for j in reversed(range(len(self.ckpt_ranking))):
+            ckpt = self.ckpt_ranking[j][0]
+            if int(ckpt[len('ckpt_'):-len(CKPT_EXT)]) > best_iter:
+                ckpt_path = ckpt_dir / ckpt
+                if ckpt_path.exists():
+                    ckpt_path.unlink()
+                    self.ckpt_ranking.pop(j)
+
+        remaining_back_offs = self.remaining_back_offs
+        trainer.load_checkpoint()
+        self.n_degradations = 0
+        self.remaining_back_offs = remaining_back_offs - 1
+
+        def update_lr(opt):
+            opt.lr = opt.lr * self.lr_update_factor
+
+        optimizer = trainer.optimizer
+        if isinstance(optimizer, dict):
+            for opt in optimizer.values():
+                update_lr(opt)
+        else:
+            update_lr(optimizer)
+
+
+class LRSchedulerHook(TriggeredHook):
+    """Applies a learning-rate schedule ``fn(step_count) -> lr``.
+
+    TPU-native replacement of the reference's torch scheduler wrapper
+    (``hooks.py:745``): any callable — including optax schedules like
+    ``optax.exponential_decay`` — maps the trigger count to an absolute lr.
+    """
+
+    def __init__(self, lr_scheduler, trigger=(1, 'epoch'),
+                 optimizer_key=None):
+        super().__init__(trigger)
+        self.lr_scheduler = lr_scheduler
+        self.optimizer_key = optimizer_key
+        self._count = 0
+
+    def state_dict(self):
+        return {'count': self._count}
+
+    def load_state_dict(self, state_dict):
+        self._count = int(state_dict['count'])
+        self._apply_pending = True
+
+    def _optimizer(self, trainer):
+        opt = trainer.optimizer
+        if self.optimizer_key is not None:
+            opt = opt[self.optimizer_key]
+        return opt
+
+    def pre_step(self, trainer):
+        if self.trigger(iteration=trainer.iteration, epoch=trainer.epoch):
+            if trainer.iteration > 0:
+                self._count += 1
+            self._optimizer(trainer).lr = float(
+                self.lr_scheduler(self._count))
+
+    def set_last(self, iteration, epoch):
+        super().set_last(iteration, epoch)
+        if self.trigger.unit == 'epoch':
+            self._count = epoch // self.trigger.period
+        else:
+            self._count = iteration // self.trigger.period
+
+
+class ProgressBarHook(TriggeredHook):
+    """tqdm progress bar. Reference parity: ``hooks.py:794``."""
+
+    def __init__(self, stop_trigger, max_it_len=None, update_interval=100):
+        super().__init__((update_interval, 'iteration'))
+        from tqdm import tqdm
+        if isinstance(stop_trigger, EndTrigger):
+            length, unit = stop_trigger.period, stop_trigger.unit
+        elif isinstance(stop_trigger, (tuple, list)):
+            length, unit = stop_trigger
+        else:
+            raise ValueError(
+                f'stop_trigger must be a trigger or tuple, got '
+                f'{type(stop_trigger)}: {stop_trigger}')
+        if unit == 'iteration':
+            max_iteration = length
+        elif unit == 'epoch':
+            if max_it_len is not None:
+                max_iteration = length * max_it_len
+            else:
+                self.num_epochs = length
+                max_iteration = None
+        else:
+            raise ValueError(f'unit {unit} unknown')
+        self.pbar = tqdm(initial=1, total=max_iteration, smoothing=1)
+
+    @property
+    def priority(self):
+        return Priority.PROGRESS
+
+    def set_last(self, iteration, epoch):
+        super().set_last(iteration, epoch)
+        self.pbar.n = iteration
+
+    def pre_step(self, trainer):
+        iteration, epoch = trainer.iteration, trainer.epoch
+        if epoch == 1 and self.pbar.total is None:
+            if hasattr(self, 'num_epochs'):
+                self.pbar.total = (iteration + 1) * self.num_epochs
+        if self.trigger(iteration, epoch) and iteration > 1:
+            self.pbar.update(iteration - self.pbar.n)
+
+    def close(self, trainer):
+        self.pbar.close()
+
+
+class StopTrainingHook(TriggeredHook):
+    """Raises StopTraining when the end trigger fires."""
+
+    def __init__(self, trigger):
+        super().__init__(EndTrigger.new(trigger))
+
+    @property
+    def priority(self):
+        return Priority.END
+
+    def pre_step(self, trainer):
+        if self.trigger(trainer.iteration, trainer.epoch):
+            print(f'Training ended after {trainer.epoch} epochs and '
+                  f'{trainer.iteration} iterations')
+            raise StopTraining
+
+
+class StopTraining(Exception):
+    """Signal to stop the training loop."""
+
+
+class AnnealingHook(TriggeredHook):
+    """Piecewise-linear annealing of a value, relative to its initial value.
+
+    Reference parity: ``hooks.py:884``.  Breakpoints are (x, y) pairs with
+    y relative to the initial value.
+    """
+
+    def __init__(self, trigger, breakpoints, unit, name):
+        super().__init__(trigger)
+        self.breakpoints = sorted(breakpoints, key=lambda x: x[0])
+        self.unit = unit
+        self.name = name
+        self.scale = None
+
+    @property
+    def uid(self):
+        return super().uid + f'({self.name})'
+
+    def get_value(self, trainer):
+        raise NotImplementedError
+
+    def set_value(self, trainer, value):
+        raise NotImplementedError
+
+    def state_dict(self):
+        return {'scale': self.scale}
+
+    def load_state_dict(self, state_dict):
+        self.scale = state_dict['scale']
+
+    def pre_step(self, trainer):
+        if self.trigger(iteration=trainer.iteration, epoch=trainer.epoch):
+            if self.scale is None:
+                self.scale = float(np.asarray(self.get_value(trainer)))
+            x = trainer.iteration if self.unit == 'iteration' \
+                else trainer.epoch
+            if self.unit not in ('iteration', 'epoch'):
+                raise ValueError(f'{self.unit} is not a valid unit.')
+            last_break = (0, 1.0)
+            i = 0
+            while len(self.breakpoints) > i and self.breakpoints[i][0] <= x:
+                last_break = self.breakpoints[i]
+                i += 1
+            if len(self.breakpoints) > i:
+                slope = (
+                    (self.breakpoints[i][1] - last_break[1])
+                    / (self.breakpoints[i][0] - last_break[0])
+                )
+                value = last_break[1] + slope * (x - last_break[0])
+            else:
+                value = self.breakpoints[-1][1]
+            self.set_value(trainer, value * self.scale)
+
+
+class LossWeightAnnealingHook(AnnealingHook):
+    """Anneals an entry of ``trainer.loss_weights``."""
+
+    def get_value(self, trainer):
+        return trainer.loss_weights[self.name]
+
+    def set_value(self, trainer, value):
+        trainer.loss_weights[self.name] = value
+
+
+class ModelAttributeAnnealingHook(AnnealingHook):
+    """Anneals a (dotted) attribute of the trainer's model."""
+
+    def get_module(self, trainer):
+        module = trainer.model
+        for attr in self.name.split('.')[:-1]:
+            module = getattr(module, attr)
+        return module
+
+    def get_value(self, trainer):
+        return getattr(self.get_module(trainer), self.name.split('.')[-1])
+
+    def set_value(self, trainer, value):
+        setattr(self.get_module(trainer), self.name.split('.')[-1], value)
+
+
+class LRAnnealingHook(AnnealingHook):
+    """Anneals an optimizer learning rate (device scalar; no retrace)."""
+
+    def __init__(self, trigger, breakpoints, unit, name=None):
+        super().__init__(trigger, breakpoints, unit, name)
+
+    @property
+    def uid(self):
+        if self.name is None:
+            return type(self).__qualname__
+        return super().uid
+
+    def _optimizer(self, trainer):
+        optimizer = trainer.optimizer
+        if self.name is not None:
+            assert isinstance(optimizer, dict), type(optimizer)
+            optimizer = optimizer[self.name]
+        return optimizer
+
+    def get_value(self, trainer):
+        return self._optimizer(trainer).lr
+
+    def set_value(self, trainer, value):
+        self._optimizer(trainer).lr = value

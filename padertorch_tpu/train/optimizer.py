@@ -1,0 +1,229 @@
+"""Optimizer wrappers over optax. Reference parity: ``padertorch/train/optimizer.py``.
+
+TPU-native design decisions:
+
+- The update is a pure function ``(grads, opt_state, params) -> (params,
+  opt_state, grad_norm)`` compiled into the trainer's jitted step, so the
+  optimizer math fuses with the backward pass in one XLA program.
+- Hyperparameters (learning rate, ...) live *inside* the optimizer state via
+  ``optax.inject_hyperparams``.  Annealing hooks and learning-rate backoff
+  mutate a device scalar instead of re-tracing the step.
+- ``gradient_clipping`` (mandatory, like the reference) is a global-norm
+  clip whose pre-clip norm is returned for reporting.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from padertorch_tpu.configurable import Configurable
+from padertorch_tpu import module as ptmodule
+
+__all__ = ['Optimizer', 'Adam', 'AdamW', 'SGD', 'Adadelta']
+
+
+def _global_norm(grads):
+    leaves = jax.tree_util.tree_leaves(grads)
+    if not leaves:
+        return jnp.zeros(())
+    return jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                        for g in leaves))
+
+
+class Optimizer(Configurable):
+    """Base wrapper: optax transformation + mandatory gradient clipping."""
+
+    def __init__(self, gradient_clipping, **kwargs):
+        self.gradient_clipping = gradient_clipping
+        self.optimizer_kwargs = kwargs
+        self.opt_state = None
+        self._tx = None
+
+    def _make_tx(self) -> optax.GradientTransformation:
+        raise NotImplementedError
+
+    @property
+    def tx(self):
+        if self._tx is None:
+            def make(learning_rate):
+                return self._make_optax(learning_rate=learning_rate)
+            self._tx = optax.inject_hyperparams(make)(
+                **self.optimizer_kwargs)
+        return self._tx
+
+    def _make_optax(self, **kwargs):
+        raise NotImplementedError
+
+    def set_parameters(self, params):
+        """Initialize optimizer state for a (pytree of) parameters.
+
+        Unlike the torch reference (which stores param references), this
+        only initializes state — parameters flow through ``step``.  The
+        state is keyed on the *flat leaf list*, so it stays valid when
+        static module metadata (train/eval flags, snapshot flags) changes.
+        """
+        self.opt_state = self.tx.init(jax.tree_util.tree_leaves(params))
+        return self
+
+    def check_if_set(self):
+        assert self.opt_state is not None, (
+            'The optimizer is not initialized; call set_parameters before '
+            'using any of the optimizer functions.'
+        )
+
+    # -- pure functional core (used inside the jitted train step) -----------
+    def clip_by_global_norm(self, grads):
+        """Return (clipped_grads, pre_clip_grad_norm)."""
+        norm = _global_norm(grads)
+        clip = self.gradient_clipping
+        scale = jnp.minimum(1.0, clip / (norm + 1e-6))
+        clipped = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        return clipped, norm
+
+    def step(self, params, grads, opt_state):
+        """Pure update: returns (new_params, new_opt_state, grad_norm)."""
+        p_leaves, p_def = jax.tree_util.tree_flatten(params)
+        g_leaves = jax.tree_util.tree_leaves(grads)
+        assert len(p_leaves) == len(g_leaves), (
+            len(p_leaves), len(g_leaves))
+        g_leaves, grad_norm = self.clip_by_global_norm(g_leaves)
+        updates, new_state = self.tx.update(g_leaves, opt_state, p_leaves)
+        new_leaves = optax.apply_updates(p_leaves, updates)
+        new_params = jax.tree_util.tree_unflatten(p_def, new_leaves)
+        return new_params, new_state, grad_norm
+
+    # -- stateful conveniences (host side) -----------------------------------
+    def apply(self, params, grads):
+        self.check_if_set()
+        new_params, self.opt_state, grad_norm = self.step(
+            params, grads, self.opt_state)
+        return new_params, grad_norm
+
+    def zero_grad(self):
+        """No-op for API parity: grads are functional values here."""
+
+    @property
+    def lr(self):
+        self.check_if_set()
+        return float(np.asarray(
+            self.opt_state.hyperparams['learning_rate']))
+
+    @lr.setter
+    def lr(self, value):
+        self.check_if_set()
+        hp = self.opt_state.hyperparams
+        hp['learning_rate'] = jnp.asarray(
+            value, dtype=jnp.asarray(hp['learning_rate']).dtype)
+
+    def state_dict(self):
+        self.check_if_set()
+        return ptmodule.state_dict(self.opt_state)
+
+    def load_state_dict(self, sd):
+        self.check_if_set()
+        self.opt_state = ptmodule.load_state_dict(
+            self.opt_state, sd, strict=False)
+
+    def to(self, device):
+        """API parity; jax arrays live on the default device already."""
+        return self
+
+    def cpu(self):
+        return self
+
+    def cuda(self, device=None):
+        return self
+
+
+class Adam(Optimizer):
+    def __init__(
+            self,
+            gradient_clipping=1e10,
+            lr=1e-3,
+            betas=(0.9, 0.999),
+            eps=1e-8,
+            weight_decay=0,
+            amsgrad=False,
+    ):
+        super().__init__(
+            gradient_clipping,
+            learning_rate=lr,
+        )
+        self.betas = tuple(betas)
+        self.eps = eps
+        self.weight_decay = weight_decay
+        self.amsgrad = amsgrad
+
+    def _make_optax(self, learning_rate):
+        b1, b2 = self.betas
+        if self.weight_decay:
+            return optax.adamw(
+                learning_rate, b1=b1, b2=b2, eps=self.eps,
+                weight_decay=self.weight_decay)
+        if self.amsgrad:
+            return optax.amsgrad(
+                learning_rate, b1=b1, b2=b2, eps=self.eps)
+        return optax.adam(learning_rate, b1=b1, b2=b2, eps=self.eps)
+
+
+class AdamW(Adam):
+    def __init__(
+            self,
+            gradient_clipping=1e10,
+            lr=1e-3,
+            betas=(0.9, 0.999),
+            eps=1e-8,
+            weight_decay=1e-2,
+            amsgrad=False,
+    ):
+        super().__init__(
+            gradient_clipping, lr=lr, betas=betas, eps=eps,
+            weight_decay=weight_decay, amsgrad=amsgrad)
+
+
+class SGD(Optimizer):
+    def __init__(
+            self,
+            gradient_clipping=1e10,
+            lr=1e-3,
+            momentum=0,
+            dampening=0,
+            weight_decay=0,
+            nesterov=False,
+    ):
+        super().__init__(gradient_clipping, learning_rate=lr)
+        assert dampening == 0, 'dampening is not supported'
+        self.momentum = momentum
+        self.weight_decay = weight_decay
+        self.nesterov = nesterov
+
+    def _make_optax(self, learning_rate):
+        parts = []
+        if self.weight_decay:
+            parts.append(optax.add_decayed_weights(self.weight_decay))
+        parts.append(optax.sgd(
+            learning_rate,
+            momentum=self.momentum or None,
+            nesterov=self.nesterov,
+        ))
+        return optax.chain(*parts) if len(parts) > 1 else parts[0]
+
+
+class Adadelta(Optimizer):
+    def __init__(
+            self,
+            gradient_clipping=1e10,
+            lr=1.0,
+            rho=0.9,
+            eps=1e-6,
+            weight_decay=0,
+    ):
+        super().__init__(gradient_clipping, learning_rate=lr)
+        self.rho = rho
+        self.eps = eps
+        self.weight_decay = weight_decay
+
+    def _make_optax(self, learning_rate):
+        return optax.adadelta(
+            learning_rate, rho=self.rho, eps=self.eps,
+            weight_decay=self.weight_decay)

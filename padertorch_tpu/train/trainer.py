@@ -1,0 +1,776 @@
+"""The training loop. Reference parity: ``padertorch/train/trainer.py:35``.
+
+TPU-native design (vs. the reference's eager torch loop):
+
+- **One jitted step.** ``forward`` + ``review`` + backward + gradient clip +
+  optimizer update compile into a single XLA program:
+  ``(params, buffers, opt_state, example, key) -> (params', buffers',
+  opt_state', loss, out, review, grad_norm)``.  XLA fuses the optimizer
+  math into the backward pass; there is no per-op dispatch.
+- **Async dispatch.** The host loop enqueues steps and reads results one
+  step late; scalars returned in the review are device arrays fetched only
+  when a summary is written.  The non-finite-loss check (reference
+  ``trainer.py:624``) runs one step delayed so it never blocks the pipeline.
+- **Virtual minibatch** (gradient accumulation, reference ``trainer.py:357``)
+  keeps the reference's *sum* (not mean) semantics: grads of
+  ``virtual_minibatch_size`` examples are accumulated on device, then one
+  fused apply step runs.
+- **Buffers** (running statistics) update functionally: in-jit attribute
+  writes on the traced module copy are captured by re-partitioning the
+  module returned from the loss closure.
+- **Data parallelism** is a sharding, not threads: pass ``sharding=`` (a
+  ``jax.sharding.NamedSharding`` over a data mesh axis) and batches are
+  placed as global sharded arrays; gradient reduction happens inside the
+  same XLA program over ICI (see ``padertorch_tpu/parallel``).
+"""
+import itertools
+import sys
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from padertorch_tpu.configurable import Configurable
+from padertorch_tpu.base import Model
+from padertorch_tpu import module as ptmodule
+from padertorch_tpu.module import partition, combine
+from padertorch_tpu import random as ptrandom
+from padertorch_tpu.serialize import dump_state, load_state
+from padertorch_tpu.train.optimizer import Optimizer, Adam
+from padertorch_tpu.train.hooks import (
+    SummaryHook,
+    CheckpointHook,
+    StopTrainingHook,
+    BackOffValidationHook,
+    ProgressBarHook,
+    StopTraining,
+)
+
+__all__ = ['Trainer', 'ContextTimerDict']
+
+CKPT_EXT = '.ptt'
+
+
+class ContextTimerDict:
+    """Collect wall times per phase via context managers, with pause.
+
+    Reference parity: ``train/trainer.py:944``.
+
+    >>> timer = ContextTimerDict()
+    >>> with timer['foo']:
+    ...     pass
+    >>> sorted(timer.as_dict.keys())
+    ['foo']
+    """
+
+    def __init__(self):
+        self.timings = defaultdict(list)
+
+    @contextmanager
+    def __getitem__(self, key):
+        assert isinstance(key, str), key
+        handle = _TimerHandle()
+        start = time.perf_counter()
+        handle._start = start
+        try:
+            yield handle
+        finally:
+            stop = time.perf_counter()
+            self.timings[key].append(stop - start - handle.paused_total)
+
+    @staticmethod
+    def timestamp():
+        return time.perf_counter()
+
+    @property
+    def as_dict(self):
+        return {k: np.array(v) for k, v in self.timings.items()}
+
+    def clear(self):
+        self.timings.clear()
+
+    def __repr__(self):
+        return f'{type(self).__name__}({dict(self.timings)})'
+
+
+class _TimerHandle:
+    def __init__(self):
+        self.paused_total = 0.0
+        self._start = None
+
+    @contextmanager
+    def pause(self):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.paused_total += time.perf_counter() - t0
+
+
+class Trainer(Configurable):
+    """Owns the model, optimizer(s), storage dir layout and the train loop.
+
+    Storage dir structure (same contract as the reference)::
+
+        .
+        ├── checkpoints
+        │   ├── ckpt_7122.ptt
+        │   ├── ckpt_14244.ptt
+        │   ├── ckpt_best_loss.ptt -> ckpt_7122.ptt
+        │   └── ckpt_latest.ptt -> ckpt_14244.ptt
+        ├── events.out.tfevents.*
+    """
+
+    @classmethod
+    def finalize_dogmatic_config(cls, config):
+        if 'optimizer' not in config.keys():
+            config['optimizer'] = {'factory': Adam}
+
+    def __init__(
+            self,
+            model: Model,
+            storage_dir,
+            optimizer,
+            loss_weights=None,
+            summary_trigger=(1, 'epoch'),
+            checkpoint_trigger=(1, 'epoch'),
+            stop_trigger=(1, 'epoch'),
+            virtual_minibatch_size=1,
+            seed=0,
+            jit=True,
+            sharding=None,
+    ):
+        if not isinstance(model, ptmodule.Module):
+            raise TypeError(
+                'Expect the model to be a subclass of '
+                'padertorch_tpu.Module.\n'
+                f'Got: type: {type(model)}\n{model}'
+            )
+        self.model = model
+
+        if isinstance(optimizer, dict):
+            # Per-submodule optimizers: keys must name direct submodules.
+            optimizer = {
+                k: opti for k, opti in optimizer.items() if opti is not None
+            }
+            for key, opti in optimizer.items():
+                assert isinstance(opti, Optimizer), opti
+                sub = getattr(model, key)
+                params, _ = partition(sub)
+                opti.set_parameters(params)
+        else:
+            assert isinstance(optimizer, Optimizer), optimizer
+            params, _ = partition(model)
+            optimizer.set_parameters(params)
+        self.optimizer = optimizer
+
+        self.storage_dir = Path(storage_dir).expanduser().resolve()
+        self.writer = None
+        self.train_timer = ContextTimerDict()
+        self.validate_timer = ContextTimerDict()
+        self.iteration = -1
+        self.epoch = -1
+        self.device = None  # parity; jax manages placement
+
+        self.loss_weights = loss_weights
+        self.virtual_minibatch_size = virtual_minibatch_size
+        self.seed = seed
+        self.jit = jit
+        self.sharding = sharding
+
+        self.hooks = [
+            SummaryHook(summary_trigger),
+            CheckpointHook(checkpoint_trigger),
+            StopTrainingHook(stop_trigger),
+        ]
+        self._summary_trigger = summary_trigger
+        self._stop_trigger = stop_trigger
+        self._checkpoint_trigger = checkpoint_trigger
+
+        self._base_key = jax.random.PRNGKey(seed)
+        self._step_fns = {}
+        self._prev_loss = None  # one-step-delayed finite check
+
+        import tensorboardX  # slow import -> lazy
+        self.writer_cls = tensorboardX.SummaryWriter
+
+    # ------------------------------------------------------------------ #
+    # jitted step construction                                            #
+    # ------------------------------------------------------------------ #
+    def _loss_and_review(self, model, example, loss_weights):
+        """forward + review + loss weighting (traced)."""
+        model_out = model(example)
+        review = dict(model.review(example, model_out))
+        review.setdefault('scalars', {})
+        review['scalars'] = dict(review['scalars'])
+        if 'losses' in review:
+            assert 'loss' not in review, review
+            losses = review.pop('losses')
+            if len(losses) != 1 and loss_weights is None:
+                raise Exception(
+                    'You can not have multiple losses without specifying '
+                    f'loss_weights. losses: {losses}'
+                )
+            if loss_weights is not None and len(losses) != 1 \
+                    and set(loss_weights.keys()) != set(losses.keys()):
+                raise Exception(
+                    'You can not have multiple losses without specifying a '
+                    f'loss_weight for each loss.\nlosses: {losses}\n'
+                    f'loss_weights: {loss_weights}'
+                )
+            loss = 0.0
+            for key, value in losses.items():
+                weight = (loss_weights[key]
+                          if loss_weights is not None else 1.0)
+                loss = loss + weight * value
+                review['scalars'][key] = value
+                review['scalars'][f'{key}_loss_weight'] = jnp.asarray(
+                    weight, dtype=jnp.float32)
+        else:
+            assert 'loss' in review, review
+            loss = review.pop('loss')
+        assert jnp.ndim(loss) == 0, loss
+        review['scalars']['loss'] = loss
+        return loss, model_out, review
+
+    def _make_grad_fn(self):
+        def grad_fn(params, static, example, key, loss_weights):
+            with ptrandom.key_context(key):
+                def loss_fn(p):
+                    model = combine(p, static)
+                    loss, model_out, review = self._loss_and_review(
+                        model, example, loss_weights)
+                    return loss, (model_out, review, model)
+
+                (loss, (model_out, review, model2)), grads = \
+                    jax.value_and_grad(loss_fn, has_aux=True)(params)
+            _, new_static = partition(model2)  # buffers updated in forward
+            return loss, model_out, review, grads, new_static
+        return grad_fn
+
+    def _opt_step(self, params, grads, opt_states):
+        """Apply optimizer(s); returns (params', opt_states', norms)."""
+        if isinstance(self.optimizer, dict):
+            overrides = {}
+            new_states = {}
+            norms = {}
+            for key, opt in self.optimizer.items():
+                p_k = getattr(params, key)
+                g_k = getattr(grads, key)
+                np_k, ns_k, norm = opt.step(p_k, g_k, opt_states[key])
+                overrides[key] = np_k
+                new_states[key] = ns_k
+                norms[key] = norm
+            new_params = ptmodule._clone_with(params, overrides)
+            return new_params, new_states, norms
+        new_params, new_state, norm = self.optimizer.step(
+            params, grads, opt_states)
+        return new_params, new_state, {'': norm}
+
+    def _make_train_step(self):
+        grad_fn = self._make_grad_fn()
+
+        def train_step(params, static, opt_states, example, key,
+                       loss_weights):
+            loss, model_out, review, grads, new_static = grad_fn(
+                params, static, example, key, loss_weights)
+            new_params, new_states, norms = self._opt_step(
+                params, grads, opt_states)
+            return (new_params, new_static, new_states, loss, model_out,
+                    review, norms)
+        return train_step
+
+    def _make_accum_step(self):
+        grad_fn = self._make_grad_fn()
+
+        def accum_step(params, static, grad_accum, example, key,
+                       loss_weights):
+            loss, model_out, review, grads, new_static = grad_fn(
+                params, static, example, key, loss_weights)
+            if grad_accum is not None:
+                grads = jax.tree_util.tree_map(
+                    lambda a, g: a + g, grad_accum, grads)
+            return loss, model_out, review, grads, new_static
+        return accum_step
+
+    def _make_apply_step(self):
+        def apply_step(params, opt_states, grads):
+            return self._opt_step(params, grads, opt_states)
+        return apply_step
+
+    def _get_fn(self, name, factory):
+        if name not in self._step_fns:
+            fn = factory()
+            self._step_fns[name] = jax.jit(fn) if self.jit else fn
+        return self._step_fns[name]
+
+    def _make_val_step(self):
+        def val_step(params, static, example, key, loss_weights):
+            with ptrandom.key_context(key):
+                model = combine(params, static)
+                loss, model_out, review = self._loss_and_review(
+                    model, example, loss_weights)
+            del loss  # already in review['scalars']
+            return model_out, review
+        return val_step
+
+    # ------------------------------------------------------------------ #
+    # state access                                                        #
+    # ------------------------------------------------------------------ #
+    @property
+    def _opt_states(self):
+        if isinstance(self.optimizer, dict):
+            return {k: o.opt_state for k, o in self.optimizer.items()}
+        return self.optimizer.opt_state
+
+    def _set_opt_states(self, states):
+        if isinstance(self.optimizer, dict):
+            for k, o in self.optimizer.items():
+                o.opt_state = states[k]
+        else:
+            self.optimizer.opt_state = states
+
+    def _loss_weight_arrays(self):
+        if self.loss_weights is None:
+            return None
+        return {k: jnp.asarray(v, dtype=jnp.float32)
+                for k, v in self.loss_weights.items()}
+
+    def _example_to_device(self, example):
+        return self.model.example_to_device(example, self.sharding)
+
+    def _check_prev_loss_finite(self):
+        if self._prev_loss is None:
+            return
+        loss = np.asarray(self._prev_loss)
+        self._prev_loss = None
+        if not np.all(np.isfinite(loss)):
+            log_path_pattern = self.log_error_state({
+                'model_state': ptmodule.state_dict(self.model),
+            })
+            raise RuntimeError(
+                f'The loss ({loss}) is not finite.\n'
+                f'See error states in {log_path_pattern}.'
+            )
+
+    # ------------------------------------------------------------------ #
+    # training                                                            #
+    # ------------------------------------------------------------------ #
+    def train(
+            self,
+            train_dataset,
+            *,
+            progress_bar=False,
+            track_emissions=False,
+            resume=False,
+            device=None,
+    ):
+        """Train the model. See class docstring for the storage layout.
+
+        ``train_dataset`` must be a re-iterable of examples (not a
+        generator).  ``device`` is accepted for reference API parity; on
+        TPU, placement is controlled by ``sharding``.
+        """
+        del device, track_emissions
+        if resume:
+            assert resume is True, resume
+            self.load_checkpoint()
+        else:
+            assert not self.checkpoint_dir.exists(), (
+                'A checkpoint directory already exists. If you want to '
+                'restart the training set resume to True.'
+            )
+            self.iteration = 0
+            self.epoch = 0
+
+        self.model.train()
+
+        self.writer = self.writer_cls(str(self.storage_dir))
+        hooks = [*self.hooks]
+        if progress_bar:
+            try:
+                max_it_len = len(train_dataset)
+            except TypeError:
+                max_it_len = None
+            pbh = ProgressBarHook(self._stop_trigger, max_it_len)
+            pbh.set_last(self.iteration, self.epoch)
+            hooks.append(pbh)
+        hooks = sorted(hooks, key=lambda h: h.priority, reverse=True)
+
+        assert self.virtual_minibatch_size >= 1, self.virtual_minibatch_size
+        vbs = self.virtual_minibatch_size
+        loss_weights = self._loss_weight_arrays()
+
+        try:
+            train_iterable = None
+            while True:
+                new_epoch = False
+                if train_iterable is None:
+                    new_epoch = True
+                    for hook in hooks:
+                        hook.pre_step(self)
+                    train_iterable = iter(train_dataset)
+
+                optimize = True
+                with self.train_timer['time_per_iteration'] as timer:
+                    params, static = partition(self.model)
+                    grad_accum = None
+                    for minibatch_index in range(vbs):
+                        with self.train_timer['time_per_data_loading']:
+                            example = list(
+                                itertools.islice(train_iterable, 1))
+                            if len(example) == 0:
+                                train_iterable = None
+                                self.epoch += 1
+                                if minibatch_index == 0:
+                                    optimize = False
+                                break
+                        example = example[0]
+
+                        if new_epoch:
+                            new_epoch = False
+                        elif minibatch_index == 0:
+                            with timer.pause():
+                                for hook in hooks:
+                                    hook.pre_step(self)
+                            # Hooks may have modified the model (e.g.
+                            # create_snapshot / backoff reload).
+                            params, static = partition(self.model)
+
+                        key = jax.random.fold_in(
+                            self._base_key,
+                            self.iteration * vbs + minibatch_index)
+                        with self.train_timer['time_per_to_device']:
+                            example = self._example_to_device(example)
+
+                        if vbs == 1:
+                            step = self._get_fn(
+                                'train', self._make_train_step)
+                            with self.train_timer['time_per_forward']:
+                                (params, static, new_states, loss,
+                                 model_out, review, norms) = step(
+                                    params, static, self._opt_states,
+                                    example, key, loss_weights)
+                            self._set_opt_states(new_states)
+                            self._record_optimizer_summary(norms)
+                        else:
+                            step = self._get_fn(
+                                'accum', self._make_accum_step)
+                            with self.train_timer['time_per_forward']:
+                                (loss, model_out, review, grad_accum,
+                                 static) = step(
+                                    params, static, grad_accum, example,
+                                    key, loss_weights)
+
+                        self._check_prev_loss_finite()
+                        self._prev_loss = loss
+
+                        with timer.pause():
+                            for hook in hooks:
+                                hook.post_step(
+                                    self, example, model_out, review)
+                        del example, model_out, review
+
+                    if optimize:
+                        with self.train_timer['time_per_optimize']:
+                            if vbs > 1 and grad_accum is not None:
+                                apply = self._get_fn(
+                                    'apply', self._make_apply_step)
+                                params, new_states, norms = apply(
+                                    params, self._opt_states, grad_accum)
+                                self._set_opt_states(new_states)
+                                self._record_optimizer_summary(norms)
+                            ptmodule.inplace_update(
+                                self.model, params, static)
+                            optimizer_summary = self._optimizer_summary
+                            self._optimizer_summary = None
+                            for hook in hooks:
+                                hook.post_optimize(self, optimizer_summary)
+                        self.iteration += 1
+                    else:
+                        ptmodule.inplace_update(self.model, params, static)
+
+        except StopTraining:
+            pass
+        finally:
+            self._check_prev_loss_finite()
+            try:
+                for hook in hooks:
+                    hook.close(self)
+            except Exception:
+                print('Exception in finally. May hide actual exception!!!\n'
+                      'You may comment this finally block for debugging.')
+                raise
+            self.writer.close()
+            self.writer = None
+
+    _optimizer_summary = None
+
+    def _record_optimizer_summary(self, norms):
+        summary = {'scalars': {}, 'histograms': {}}
+        if isinstance(self.optimizer, dict):
+            for key, opt in self.optimizer.items():
+                summary['scalars'][f'{key}_grad_norm'] = norms[key]
+                summary['histograms'][f'{key}_grad_norm_'] = \
+                    jnp.reshape(norms[key], (1,))
+                summary['scalars'][f'lr/{key}/param_group_0'] = opt.lr
+        else:
+            norm = norms['']
+            summary['scalars']['grad_norm'] = norm
+            summary['histograms']['grad_norm_'] = jnp.reshape(norm, (1,))
+            summary['scalars']['lr/param_group_0'] = self.optimizer.lr
+        self._optimizer_summary = summary
+
+    # ------------------------------------------------------------------ #
+    # validation                                                          #
+    # ------------------------------------------------------------------ #
+    _non_validation_start_time = None
+
+    def validate(self, validation_iterator):
+        """Generator yielding (example, model_out, review) per example.
+
+        Used by the ValidationHook; runs the jitted eval step.
+        """
+        validation_start_time = self.validate_timer.timestamp()
+        if self._non_validation_start_time is not None:
+            self.validate_timer.timings['non_validation_time'].append(
+                validation_start_time - self._non_validation_start_time)
+
+        with self.validate_timer['validation_time']:
+            self.model.eval()
+            loss_weights = self._loss_weight_arrays()
+            try:
+                params, static = partition(self.model)
+                val_step = self._get_fn('val', self._make_val_step)
+                validation_iter = iter(validation_iterator)
+                index = 0
+                while True:
+                    with self.validate_timer['time_per_iteration']:
+                        try:
+                            with self.validate_timer[
+                                    'time_per_data_loading']:
+                                example = next(validation_iter)
+                        except StopIteration:
+                            break
+                        key = jax.random.fold_in(
+                            jax.random.fold_in(
+                                self._base_key, 0x7FFFFFFF), index)
+                        with self.validate_timer['time_per_to_device']:
+                            example = self._example_to_device(example)
+                        with self.validate_timer['time_per_forward']:
+                            model_out, review = val_step(
+                                params, static, example, key, loss_weights)
+                        index += 1
+                    yield example, model_out, review
+                    del example, model_out, review
+            finally:
+                self.model.train()
+                self._non_validation_start_time = \
+                    self.validate_timer.timestamp()
+
+    def train_step(self, model, example, device=None):
+        """Single eager train step (API parity; used by tests/debugging)."""
+        del device
+        return self.step(model, example, self.train_timer)
+
+    def validation_step(self, model, example, device=None):
+        del device
+        return self.step(model, example, self.validate_timer)[1:]
+
+    def step(self, model, example, timer, device=None):
+        """Eager (non-jitted) step: forward + review + loss weighting.
+
+        Reference parity: ``trainer.py:541``.  Used for debugging and the
+        burn test's spying; the hot path uses the jitted fused step.
+        """
+        del device
+        with timer['time_per_to_device']:
+            example = model.example_to_device(example, self.sharding)
+        key = jax.random.fold_in(self._base_key, max(self.iteration, 0))
+        with ptrandom.key_context(key):
+            with timer['time_per_forward']:
+                loss, model_out, review = self._loss_and_review(
+                    model, example, self._loss_weight_arrays())
+        return loss, example, model_out, review
+
+    def log_error_state(self, data_dict, folder='log', file=sys.stdout):
+        """Dump debugging state to ``storage_dir/log/error_state_*.ptt``.
+
+        Reference parity: ``trainer.py:640``; unserializable values degrade
+        to their repr.
+        """
+        def degrade(obj):
+            try:
+                dump_state(obj, Path('/dev/null'))
+                return obj
+            except Exception:
+                pass
+            if isinstance(obj, dict):
+                return {k: degrade(v) for k, v in obj.items()}
+            if isinstance(obj, (list, tuple)):
+                return [degrade(v) for v in obj]
+            try:
+                return np.asarray(obj)
+            except Exception:
+                return repr(obj)
+
+        written = []
+        for k, v in data_dict.items():
+            p = self.storage_dir / folder / f'error_state_{k}{CKPT_EXT}'
+            p.parent.mkdir(exist_ok=True, parents=True)
+            try:
+                dump_state(degrade(v), p)
+                written.append(k)
+            except Exception as e:
+                log_file = self.storage_dir / folder / f'{k}.log'
+                log_file.write_text(f'{type(e)}: {e}')
+                print(f'Cannot save {k}. {type(e)}: {e}. See {log_file}',
+                      file=file)
+        written = ','.join(written)
+        return str(
+            self.storage_dir / folder / f'error_state_{{{written}}}{CKPT_EXT}')
+
+    # ------------------------------------------------------------------ #
+    # hooks registration                                                  #
+    # ------------------------------------------------------------------ #
+    def register_hook(self, hook):
+        if isinstance(hook, (tuple, list)):
+            for h in hook:
+                self.register_hook(h)
+        else:
+            self.hooks.append(hook)
+
+    def register_validation_hook(
+            self, validation_iterator, metric='loss', maximize=False,
+            max_checkpoints=1, n_back_off=0, lr_update_factor=1 / 10,
+            back_off_patience=None, early_stopping_patience=None,
+    ):
+        """Reference parity: ``trainer.py:699``."""
+        self.register_hook(BackOffValidationHook(
+            trigger=self._checkpoint_trigger,
+            iterator=validation_iterator,
+            metric=metric,
+            maximize=maximize,
+            max_checkpoints=max_checkpoints,
+            n_back_off=n_back_off,
+            lr_update_factor=lr_update_factor,
+            back_off_patience=back_off_patience,
+            early_stopping_patience=early_stopping_patience,
+        ))
+
+    # ------------------------------------------------------------------ #
+    # checkpointing                                                       #
+    # ------------------------------------------------------------------ #
+    @property
+    def checkpoint_dir(self):
+        return self.storage_dir / 'checkpoints'
+
+    def default_checkpoint_path(self) -> Path:
+        return self.checkpoint_dir / f'ckpt_{self.iteration}{CKPT_EXT}'
+
+    def state_dict(self):
+        if isinstance(self.optimizer, dict):
+            optimizer_state = {
+                k: o.state_dict() for k, o in self.optimizer.items()
+            }
+        else:
+            optimizer_state = self.optimizer.state_dict()
+        state = dict(
+            model=ptmodule.state_dict(self.model),
+            iteration=self.iteration,
+            epoch=self.epoch,
+            optimizer=optimizer_state,
+            hooks=dict(),
+        )
+        for hook in self.hooks:
+            hook_state = hook.state_dict()
+            if hook_state is not None:
+                assert hook.uid not in state['hooks'], (
+                    hook.uid, state['hooks'].keys())
+                state['hooks'][hook.uid] = hook_state
+        return state
+
+    def save_checkpoint(self, checkpoint_path=None):
+        if checkpoint_path is None:
+            checkpoint_path = self.default_checkpoint_path()
+        checkpoint_path = Path(checkpoint_path)
+        dump_state(self.state_dict(), checkpoint_path)
+        latest = (checkpoint_path.parent / f'ckpt_latest{CKPT_EXT}'
+                  ).absolute()
+        if latest.is_symlink():
+            latest.unlink()
+        latest.symlink_to(checkpoint_path.name)
+        print(f'Saved model and optimizer state at iteration '
+              f'{self.iteration} to {checkpoint_path}')
+
+    def load_state_dict(self, state_dict):
+        self.model = ptmodule.load_state_dict(
+            self.model, state_dict['model'])
+        if isinstance(self.optimizer, dict):
+            assert set(self.optimizer.keys()) == set(
+                state_dict['optimizer'].keys())
+            for key, opt in self.optimizer.items():
+                opt.load_state_dict(state_dict['optimizer'][key])
+        else:
+            self.optimizer.load_state_dict(state_dict['optimizer'])
+        self.iteration = int(state_dict['iteration'])
+        self.epoch = int(state_dict['epoch'])
+        hook_states = dict(state_dict.get('hooks', {}))
+        for hook in self.hooks:
+            hook.set_last(self.iteration, self.epoch)
+            if hook.uid in hook_states:
+                hook.load_state_dict(hook_states.pop(hook.uid))
+        assert len(hook_states) == 0, hook_states.keys()
+
+    def load_checkpoint(self, map_location=None):
+        del map_location
+        checkpoint_path = self.checkpoint_dir / f'ckpt_latest{CKPT_EXT}'
+        assert checkpoint_path.is_file(), checkpoint_path
+        self.load_state_dict(load_state(checkpoint_path))
+        print(f'Loaded checkpoint {checkpoint_path!r} '
+              f'(iteration {self.iteration})')
+
+    # -- device parity (no-ops: XLA owns placement) ------------------------
+    def to(self, device):
+        return self
+
+    def cpu(self):
+        return self
+
+    def cuda(self, device=None):
+        return self
+
+    # ------------------------------------------------------------------ #
+    def test_run(
+            self,
+            train_iterator,
+            validation_iterator,
+            device=None,
+            *,
+            test_with_known_iterator_length=False,
+            temporary_directory=None,
+            deterministic_atol=1e-5,
+            deterministic_rtol=1e-5,
+            loss_atol=1e-6,
+            loss_rtol=1e-6,
+            virtual_minibatch_size=None,
+    ):
+        """Burn test: see ``padertorch_tpu.train.runtime_tests.test_run``."""
+        from padertorch_tpu.train.runtime_tests import test_run
+        test_run(
+            self,
+            train_iterator,
+            validation_iterator,
+            device=device,
+            test_with_known_iterator_length=test_with_known_iterator_length,
+            temporary_directory=temporary_directory,
+            deterministic_atol=deterministic_atol,
+            deterministic_rtol=deterministic_rtol,
+            loss_atol=loss_atol,
+            loss_rtol=loss_rtol,
+            virtual_minibatch_size=virtual_minibatch_size,
+        )
