@@ -1,0 +1,12 @@
+from padertorch_tpu.ops.losses.regression import (
+    mse_loss, log_mse_loss, sdr_loss, si_sdr_loss, log1p_mse_loss,
+    source_aggregated_sdr_loss,
+)
+from padertorch_tpu.ops.losses.source_separation import (
+    deep_clustering_loss, pit_loss, compute_pairwise_losses,
+    pit_loss_from_loss_matrix,
+)
+from padertorch_tpu.ops.losses.classification import (
+    softmax_cross_entropy, IGNORE_INDEX,
+)
+from padertorch_tpu.ops.losses.kl_divergence import gaussian_kl_divergence
