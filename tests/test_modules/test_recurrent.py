@@ -1,0 +1,112 @@
+"""LSTM/GRU tests against torch's cuDNN-free CPU implementation (oracle).
+
+Mirrors the reference's reliance on torch.nn.LSTM: we load identical
+weights into both implementations and require matching outputs, including
+PackedSequence semantics for variable lengths."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import padertorch_tpu.modules.recurrent as rec
+from padertorch_tpu import random as ptrandom
+
+torch = pytest.importorskip('torch')
+
+
+def copy_weights_to_torch(ours, t_rnn, num_directions):
+    sd = {}
+    g = ours.gates
+    h = ours.hidden_size
+    for layer in range(ours.num_layers):
+        for d in range(num_directions):
+            i = layer * num_directions + d
+            suffix = '_reverse' if d == 1 else ''
+            # torch stores (gH, in) with gate order matching ours
+            sd[f'weight_ih_l{layer}{suffix}'] = torch.tensor(
+                np.asarray(ours.w_ih[i]).T.copy())
+            sd[f'weight_hh_l{layer}{suffix}'] = torch.tensor(
+                np.asarray(ours.w_hh[i]).T.copy())
+            b = np.asarray(ours.b[i])
+            sd[f'bias_ih_l{layer}{suffix}'] = torch.tensor(b.copy())
+            sd[f'bias_hh_l{layer}{suffix}'] = torch.tensor(
+                np.zeros_like(b))
+    t_rnn.load_state_dict(sd)
+
+
+@pytest.mark.parametrize('bidirectional', [False, True])
+@pytest.mark.parametrize('num_layers', [1, 2])
+def test_lstm_matches_torch(bidirectional, num_layers):
+    ptrandom.seed(0)
+    ours = rec.LSTM(6, 5, num_layers=num_layers,
+                    bidirectional=bidirectional)
+    t_rnn = torch.nn.LSTM(6, 5, num_layers=num_layers,
+                          bidirectional=bidirectional, batch_first=True)
+    copy_weights_to_torch(ours, t_rnn, 2 if bidirectional else 1)
+    x = np.random.RandomState(0).randn(3, 7, 6).astype(np.float32)
+    out, (h, c) = ours.eval()(jnp.asarray(x))
+    t_out, (t_h, t_c) = t_rnn(torch.tensor(x))
+    np.testing.assert_allclose(
+        np.asarray(out), t_out.detach().numpy(), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(h), t_h.detach().numpy(), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(c), t_c.detach().numpy(), atol=1e-5)
+
+
+@pytest.mark.parametrize('bidirectional', [False, True])
+def test_lstm_variable_lengths_match_packed(bidirectional):
+    ptrandom.seed(1)
+    ours = rec.LSTM(4, 3, bidirectional=bidirectional)
+    t_rnn = torch.nn.LSTM(4, 3, bidirectional=bidirectional,
+                          batch_first=True)
+    copy_weights_to_torch(ours, t_rnn, 2 if bidirectional else 1)
+    x = np.random.RandomState(0).randn(3, 8, 4).astype(np.float32)
+    lens = [5, 8, 3]
+    out, (h, c) = ours.eval()(jnp.asarray(x), seq_lens=lens)
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        torch.tensor(x), lens, batch_first=True, enforce_sorted=False)
+    t_packed_out, (t_h, t_c) = t_rnn(packed)
+    t_out, _ = torch.nn.utils.rnn.pad_packed_sequence(
+        t_packed_out, batch_first=True, total_length=8)
+    np.testing.assert_allclose(
+        np.asarray(out), t_out.detach().numpy(), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(h), t_h.detach().numpy(), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(c), t_c.detach().numpy(), atol=1e-5)
+
+
+def test_gru_matches_torch():
+    ptrandom.seed(2)
+    ours = rec.GRU(4, 3, bidirectional=True)
+    t_rnn = torch.nn.GRU(4, 3, bidirectional=True, batch_first=True)
+    copy_weights_to_torch(ours, t_rnn, 2)
+    x = np.random.RandomState(0).randn(2, 6, 4).astype(np.float32)
+    out, h = ours.eval()(jnp.asarray(x))
+    t_out, t_h = t_rnn(torch.tensor(x))
+    np.testing.assert_allclose(
+        np.asarray(out), t_out.detach().numpy(), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(h), t_h.detach().numpy(), atol=1e-5)
+
+
+def test_stateful_lstm_streams():
+    ptrandom.seed(3)
+    s = rec.StatefulLSTM(4, 3)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 4), 'float32')
+    y1 = s(x)
+    assert s.states is not None
+    y2 = s(x)
+    # state carried over -> different output for same input
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+    del s.states
+    y3 = s(x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y3), atol=1e-6)
+
+
+def test_reverse_padded():
+    x = jnp.asarray([[1, 2, 0, 0], [1, 2, 3, 4]])
+    got = rec.reverse_padded(x, jnp.asarray([2, 4]))
+    np.testing.assert_array_equal(
+        np.asarray(got), [[2, 1, 0, 0], [4, 3, 2, 1]])
