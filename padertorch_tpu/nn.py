@@ -227,32 +227,28 @@ class _ConvTranspose(_ConvNd):
 
     def forward(self, x):
         n = self.n
-        # torch-equivalent output: lax.conv_transpose with explicit padding
-        # p_lax = dilation*(kernel-1) - p_torch on both sides.
+        if self.groups != 1:
+            raise NotImplementedError(
+                'Grouped transposed convolution is not implemented yet.')
+        # torch-exact transposed conv: fractionally-strided conv
+        # (lhs_dilation = stride) with the spatially flipped kernel and
+        # padding d*(k-1) - p on both sides.
         pad_torch = to_list(
             0 if isinstance(self.padding, str) else self.padding, n)
         pads = tuple(
             (self.dilation[i] * (self.kernel_size[i] - 1) - pad_torch[i],) * 2
             for i in range(n)
         )
-        spatial = 'HWD'[:n]
-        dn = lax.conv_dimension_numbers(
-            x.shape,
-            (self.in_channels, self.out_channels // self.groups,
-             *self.kernel_size),
-            (f'NC{spatial}', f'IO{spatial}', f'NC{spatial}'),
-        )
-        weight = jnp.swapaxes(self.weight, 0, 1)  # OI -> IO
-        if self.groups != 1:
-            raise NotImplementedError(
-                'Grouped transposed convolution is not implemented yet.')
-        y = lax.conv_transpose(
+        spatial_axes = tuple(range(2, 2 + n))
+        weight = jnp.flip(self.weight, axis=spatial_axes)
+        y = lax.conv_general_dilated(
             x, weight,
-            strides=self.stride,
+            window_strides=(1,) * n,
             padding=pads,
+            lhs_dilation=self.stride,
             rhs_dilation=self.dilation,
-            dimension_numbers=dn,
-            transpose_kernel=True,
+            dimension_numbers=self._dn(),
+            preferred_element_type=x.dtype,
         )
         if self.bias is not None:
             y = y + self.bias.reshape((1, -1) + (1,) * n)

@@ -1,0 +1,8 @@
+from padertorch_tpu.parallel.mesh import (
+    make_mesh,
+    data_sharding,
+    replicated_sharding,
+    replicate,
+    shard_batch,
+    DataParallel,
+)

@@ -1,0 +1,101 @@
+"""Data parallelism as shardings over a device mesh.
+
+The reference's multi-GPU path (``trainer.py:396-442``) replicates the
+model with Python threads and gathers losses.  The TPU-native equivalent is
+declarative: place the batch with a ``NamedSharding`` over a ``('data',)``
+mesh axis and the parameters replicated; the *same* jitted train step then
+runs SPMD — XLA partitions the forward/backward along the batch axis and
+inserts the gradient all-reduce (psum) over ICI.  No threads, no explicit
+collectives, no second code path.
+
+Usage::
+
+    mesh = make_mesh()                      # all devices on a 'data' axis
+    trainer = Trainer(..., sharding=data_sharding(mesh))
+    trainer.model = replicate(trainer.model, mesh)
+    trainer.train(...)
+
+Multi-host: under ``jax.distributed`` each process feeds its local shard
+(``jax.make_array_from_process_local_data``); the step code is unchanged.
+"""
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    'make_mesh',
+    'data_sharding',
+    'replicated_sharding',
+    'replicate',
+    'shard_batch',
+    'DataParallel',
+]
+
+
+def make_mesh(axis_names=('data',), shape=None, devices=None) -> Mesh:
+    """Create a device mesh; default: all devices on one 'data' axis."""
+    if devices is None:
+        devices = jax.devices()
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    device_array = np.asarray(devices).reshape(shape)
+    return Mesh(device_array, axis_names)
+
+
+def data_sharding(mesh: Mesh, axis='data') -> NamedSharding:
+    """Sharding that splits the leading (batch) axis over ``axis``."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated sharding (for parameters/optimizer state)."""
+    return NamedSharding(mesh, P())
+
+
+def replicate(tree, mesh: Mesh):
+    """Place all arrays of a pytree replicated on the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding)
+        if isinstance(x, (jax.Array, np.ndarray)) else x,
+        tree,
+    )
+
+
+def shard_batch(example, mesh: Mesh, axis='data'):
+    """Place a (nested) batch with its leading axis sharded over ``axis``.
+
+    Array leaves whose leading dimension is not divisible by the mesh axis
+    size are replicated instead (e.g. scalars or per-batch metadata).
+    """
+    n = mesh.shape[axis]
+    batch_sharding = data_sharding(mesh, axis)
+    replicated = replicated_sharding(mesh)
+
+    def place(x):
+        if isinstance(x, (jax.Array, np.ndarray)):
+            if x.ndim >= 1 and x.shape[0] % n == 0:
+                return jax.device_put(x, batch_sharding)
+            return jax.device_put(x, replicated)
+        return x
+
+    from padertorch_tpu.utils.nested import nested_op
+    return nested_op(place, example)
+
+
+class DataParallel:
+    """Callable wrapper binding a mesh to the trainer's sharding slot.
+
+    ``Trainer(..., sharding=DataParallel(mesh))`` shards every example it
+    transfers; attribute access passes through to the sharding.
+    """
+
+    def __init__(self, mesh: Mesh = None, axis='data'):
+        self.mesh = mesh if mesh is not None else make_mesh((axis,))
+        self.axis = axis
+
+    def shard(self, example):
+        return shard_batch(example, self.mesh, self.axis)
+
+    def replicate(self, tree):
+        return replicate(tree, self.mesh)

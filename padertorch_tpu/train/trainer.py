@@ -341,6 +341,8 @@ class Trainer(Configurable):
                 for k, v in self.loss_weights.items()}
 
     def _example_to_device(self, example):
+        if hasattr(self.sharding, 'shard'):  # parallel.DataParallel
+            return self.sharding.shard(example)
         return self.model.example_to_device(example, self.sharding)
 
     def _check_prev_loss_finite(self):

@@ -110,3 +110,40 @@ def test_reverse_padded():
     got = rec.reverse_padded(x, jnp.asarray([2, 4]))
     np.testing.assert_array_equal(
         np.asarray(got), [[2, 1, 0, 0], [4, 3, 2, 1]])
+
+
+def test_conv_transpose_matches_torch():
+    from padertorch_tpu import nn as ptnn
+    ptrandom.seed(5)
+    for stride, pad, dil in [(2, 0, 1), (3, 2, 1), (2, 1, 2)]:
+        ours = ptnn.ConvTranspose1d(4, 3, 5, stride=stride, padding=pad,
+                                    dilation=dil)
+        t_conv = torch.nn.ConvTranspose1d(4, 3, 5, stride=stride,
+                                          padding=pad, dilation=dil)
+        # torch stores (in, out, k); ours (out, in, k)
+        with torch.no_grad():
+            t_conv.weight.copy_(torch.tensor(
+                np.asarray(ours.weight).transpose(1, 0, 2).copy()))
+            t_conv.bias.copy_(torch.tensor(np.asarray(ours.bias)))
+        x = np.random.RandomState(0).randn(2, 4, 11).astype(np.float32)
+        got = np.asarray(ours(jnp.asarray(x)))
+        want = t_conv(torch.tensor(x)).detach().numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_conv_matches_torch():
+    from padertorch_tpu import nn as ptnn
+    ptrandom.seed(6)
+    for stride, pad, dil, groups in [(1, 0, 1, 1), (2, 3, 1, 1),
+                                     (1, 2, 2, 1), (1, 1, 1, 4)]:
+        ours = ptnn.Conv1d(4, 8, 3, stride=stride, padding=pad,
+                           dilation=dil, groups=groups)
+        t_conv = torch.nn.Conv1d(4, 8, 3, stride=stride, padding=pad,
+                                 dilation=dil, groups=groups)
+        with torch.no_grad():
+            t_conv.weight.copy_(torch.tensor(np.asarray(ours.weight)))
+            t_conv.bias.copy_(torch.tensor(np.asarray(ours.bias)))
+        x = np.random.RandomState(0).randn(2, 4, 11).astype(np.float32)
+        got = np.asarray(ours(jnp.asarray(x)))
+        want = t_conv(torch.tensor(x)).detach().numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
