@@ -1,0 +1,183 @@
+"""Module-tree execution tracking (shapes, dtypes, params, time, memory).
+
+Reference parity: ``padertorch/contrib/cb/track.py`` — there implemented
+with torch forward hooks; here as a context manager that intercepts
+``Module.__call__`` for the duration of the block (works on eager/
+non-jitted execution, which is the debugging mode this is for).
+
+Example:
+    >>> from padertorch_tpu import nn, random as ptrandom
+    >>> ptrandom.seed(0)
+    >>> net = nn.Sequential(nn.Linear(4, 8), nn.ReLU(), nn.Linear(8, 2))
+    >>> import jax.numpy as jnp
+    >>> with track(net) as tracked:
+    ...     _ = net(jnp.ones((3, 4)))
+    >>> print(tracked)  # doctest: +ELLIPSIS
+    module...
+"""
+import time
+from contextlib import contextmanager
+
+import numpy as np
+import jax
+
+from padertorch_tpu.module import Module, partition
+
+__all__ = [
+    'track',
+    'Tracker',
+    'ShapeTracker',
+    'DTypeTracker',
+    'ParameterTracker',
+    'TimeTracker',
+    'IOPNumTracker',
+]
+
+
+def _shapes(obj):
+    if hasattr(obj, 'shape'):
+        return tuple(obj.shape)
+    if isinstance(obj, (list, tuple)):
+        return [_shapes(o) for o in obj]
+    if isinstance(obj, dict):
+        return {k: _shapes(v) for k, v in obj.items()}
+    return type(obj).__name__
+
+
+def _dtypes(obj):
+    if hasattr(obj, 'dtype'):
+        return str(obj.dtype)
+    if isinstance(obj, (list, tuple)):
+        return [_dtypes(o) for o in obj]
+    if isinstance(obj, dict):
+        return {k: _dtypes(v) for k, v in obj.items()}
+    return type(obj).__name__
+
+
+class Tracker:
+    """One column of the report; collects a value per module call."""
+    header = ''
+
+    def pre(self, module, args, kwargs):
+        pass
+
+    def post(self, module, args, kwargs, output):
+        raise NotImplementedError
+
+
+class ShapeTracker(Tracker):
+    header = 'input -> output'
+
+    def post(self, module, args, kwargs, output):
+        return f'{_shapes(args if len(args) != 1 else args[0])} -> ' \
+               f'{_shapes(output)}'
+
+
+class DTypeTracker(Tracker):
+    header = 'dtype'
+
+    def post(self, module, args, kwargs, output):
+        return f'{_dtypes(output)}'
+
+
+class ParameterTracker(Tracker):
+    header = '#params'
+
+    def post(self, module, args, kwargs, output):
+        params, _ = partition(module)
+        n = sum(int(np.prod(np.shape(x)))
+                for x in jax.tree_util.tree_leaves(params))
+        return str(n)
+
+
+class TimeTracker(Tracker):
+    header = 'time'
+
+    def pre(self, module, args, kwargs):
+        self._t0 = time.perf_counter()
+
+    def post(self, module, args, kwargs, output):
+        try:
+            jax.block_until_ready(output)
+        except Exception:
+            pass
+        return f'{(time.perf_counter() - self._t0) * 1000:.2f} ms'
+
+
+class IOPNumTracker(Tracker):
+    header = '#in/#out elements'
+
+    def post(self, module, args, kwargs, output):
+        def count(obj):
+            total = 0
+            for leaf in jax.tree_util.tree_leaves(obj):
+                if hasattr(leaf, 'shape'):
+                    total += int(np.prod(np.shape(leaf)))
+            return total
+        return f'{count(args)} / {count(output)}'
+
+
+class _TrackedReport:
+    def __init__(self, trackers):
+        self.trackers = trackers
+        self.rows = []  # (name, depth, [values])
+
+    def add(self, name, depth, values):
+        self.rows.append((name, depth, values))
+
+    def __str__(self):
+        if not self.rows:
+            return '(no module calls tracked)'
+        headers = ['module'] + [t.header for t in self.trackers]
+        table = [
+            ['  ' * depth + name] + values
+            for name, depth, values in self.rows
+        ]
+        widths = [
+            max(len(str(row[i])) for row in [headers] + table)
+            for i in range(len(headers))
+        ]
+        lines = ['  '.join(
+            str(h).ljust(w) for h, w in zip(headers, widths))]
+        for row in table:
+            lines.append('  '.join(
+                str(v).ljust(w) for v, w in zip(row, widths)))
+        return '\n'.join(lines)
+
+    def __repr__(self):
+        return str(self)
+
+
+@contextmanager
+def track(root: Module, trackers=None):
+    """Track all Module calls within the block; yields the report."""
+    if trackers is None:
+        trackers = [ShapeTracker(), ParameterTracker(), TimeTracker()]
+    names = {id(m): (name or type(m).__name__, name.count('.'))
+             for name, m in root.modules()}
+    report = _TrackedReport(trackers)
+    original_call = Module.__call__
+    depth_holder = {'depth': 0}
+
+    def tracked_call(self, *args, **kwargs):
+        info = names.get(id(self))
+        if info is None:
+            return original_call(self, *args, **kwargs)
+        name, _ = info
+        depth = depth_holder['depth']
+        depth_holder['depth'] += 1
+        for t in trackers:
+            t.pre(self, args, kwargs)
+        try:
+            output = original_call(self, *args, **kwargs)
+        finally:
+            depth_holder['depth'] -= 1
+        values = [t.post(self, args, kwargs, output) for t in trackers]
+        report.add(f'{type(self).__name__}({name})', depth, values)
+        return output
+
+    Module.__call__ = tracked_call
+    try:
+        yield report
+    finally:
+        Module.__call__ = original_call

@@ -1,0 +1,222 @@
+"""Data augmentation modules (train-time only, jit-safe).
+
+Reference parity: ``padertorch/contrib/je/modules/augment.py`` — the
+subset used by the recipes: Scale, Shift, Mixup, Mask (time masking),
+AdditiveNoise, GaussianBlur2d, Superpose.  Randomness flows through
+``padertorch_tpu.random.key_context`` like dropout.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from padertorch_tpu.base import Module
+from padertorch_tpu import random as ptrandom
+
+__all__ = [
+    'Scale', 'Shift', 'Mixup', 'Mask', 'AdditiveNoise', 'GaussianBlur2d',
+    'Superpose', 'TruncatedExponential', 'Uniform', 'LogTruncatedNormal',
+]
+
+
+class Uniform:
+    """Sampling fn: uniform in [low, high) (paderbox.random_utils parity)."""
+
+    def __init__(self, low=0.0, high=1.0):
+        self.low = low
+        self.high = high
+
+    def __call__(self, key, shape=()):
+        return jax.random.uniform(
+            key, shape, minval=self.low, maxval=self.high)
+
+
+class TruncatedExponential:
+    def __init__(self, loc=0.0, scale=1.0, truncation=3.0):
+        self.loc = loc
+        self.scale = scale
+        self.truncation = truncation
+
+    def __call__(self, key, shape=()):
+        u = jax.random.uniform(key, shape)
+        max_x = (self.truncation - self.loc) / self.scale
+        # inverse cdf of truncated exp
+        x = -jnp.log(1 - u * (1 - jnp.exp(-max_x)))
+        return self.loc + self.scale * x
+
+
+class LogTruncatedNormal:
+    def __init__(self, scale=1.0, truncation=3.0):
+        self.scale = scale
+        self.truncation = truncation
+
+    def __call__(self, key, shape=()):
+        x = jax.random.truncated_normal(
+            key, -self.truncation / self.scale,
+            self.truncation / self.scale, shape) * self.scale
+        return jnp.exp(x)
+
+
+class Scale(Module):
+    """Random per-example scaling. Reference: augment.py:8."""
+
+    def __init__(self, scale_sampling_fn=None):
+        self.scale_sampling_fn = scale_sampling_fn or Uniform(0.5, 2.0)
+
+    def forward(self, x, *args):
+        if not self.training:
+            return x
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        scale = self.scale_sampling_fn(ptrandom.next_key(), shape)
+        return x * scale.astype(x.dtype)
+
+
+class Shift(Module):
+    """Random circular time shift along the last axis."""
+
+    def __init__(self, max_shift=100):
+        self.max_shift = max_shift
+
+    def forward(self, x):
+        if not self.training:
+            return x
+        shift = jax.random.randint(
+            ptrandom.next_key(), (), -self.max_shift, self.max_shift + 1)
+        return jnp.roll(x, shift, axis=-1)
+
+
+class Mixup(Module):
+    """Mixup within the batch (reference augment.py, Zhang 2017).
+
+    Returns (mixed_x, mixed_targets) when targets are given.
+    """
+
+    def __init__(self, p=1.0, alpha=1.0):
+        self.p = p
+        self.alpha = alpha
+
+    def forward(self, x, targets=None):
+        if not self.training:
+            return x if targets is None else (x, targets)
+        b = x.shape[0]
+        k1, k2, k3 = (ptrandom.next_key(), ptrandom.next_key(),
+                      ptrandom.next_key())
+        lam = jax.random.beta(k1, self.alpha, self.alpha, (b,))
+        lam = jnp.maximum(lam, 1 - lam)  # keep the original dominant
+        apply = jax.random.bernoulli(k2, self.p, (b,))
+        perm = jax.random.permutation(k3, b)
+        lam = jnp.where(apply, lam, 1.0)
+        shape = (b,) + (1,) * (x.ndim - 1)
+        mixed = lam.reshape(shape) * x \
+            + (1 - lam.reshape(shape)) * x[perm]
+        if targets is None:
+            return mixed
+        tshape = (b,) + (1,) * (targets.ndim - 1)
+        mixed_t = jnp.maximum(
+            targets * lam.reshape(tshape) + 0 * targets,
+            targets[perm] * (1 - lam.reshape(tshape)))
+        return mixed, mixed_t
+
+
+class Mask(Module):
+    """Random axis masking (SpecAugment building block).
+
+    Reference parity: augment.py Mask.
+    """
+
+    def __init__(self, axis, n_masks=1, max_masked_steps=None,
+                 max_masked_rate=1.0):
+        self.axis = axis
+        self.n_masks = n_masks
+        self.max_masked_steps = max_masked_steps
+        self.max_masked_rate = max_masked_rate
+
+    def forward(self, x, seq_len=None):
+        if not self.training:
+            return x
+        axis = self.axis % x.ndim
+        t = x.shape[axis]
+        max_width = t if self.max_masked_steps is None \
+            else min(self.max_masked_steps, t)
+        max_width = int(min(max_width, t * self.max_masked_rate))
+        b = x.shape[0]
+        for _ in range(self.n_masks):
+            k1, k2 = ptrandom.next_key(), ptrandom.next_key()
+            width = jax.random.randint(k1, (b,), 0, max_width + 1)
+            onset = jax.random.randint(k2, (b,), 0, t)
+            idx_shape = [1] * x.ndim
+            idx_shape[axis] = t
+            idx = jnp.arange(t).reshape(idx_shape)
+            bshape = [1] * x.ndim
+            bshape[0] = b
+            onset = onset.reshape(bshape)
+            width = width.reshape(bshape)
+            mask = (idx < onset) | (idx >= onset + width)
+            x = x * mask.astype(x.dtype)
+        return x
+
+
+class AdditiveNoise(Module):
+    """Add white noise with a random per-example scale."""
+
+    def __init__(self, max_scale):
+        self.max_scale = max_scale
+
+    def forward(self, x):
+        if not self.training:
+            return x
+        k1, k2 = ptrandom.next_key(), ptrandom.next_key()
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        scale = jax.random.uniform(k1, shape, maxval=self.max_scale)
+        return x + scale * jax.random.normal(k2, x.shape, x.dtype)
+
+
+class GaussianBlur2d(Module):
+    """Gaussian blur over the last two axes with a sampled sigma."""
+
+    def __init__(self, kernel_size=5, sigma_sampling_fn=None):
+        self.kernel_size = kernel_size
+        self.sigma_sampling_fn = sigma_sampling_fn or Uniform(0.1, 1.0)
+
+    def forward(self, x):
+        if not self.training:
+            return x
+        sigma = self.sigma_sampling_fn(ptrandom.next_key(), ())
+        k = self.kernel_size
+        grid = jnp.arange(k) - (k - 1) / 2
+        g = jnp.exp(-0.5 * (grid / jnp.maximum(sigma, 1e-3)) ** 2)
+        g = g / jnp.sum(g)
+        kernel = (g[:, None] * g[None, :]).reshape(1, 1, k, k)
+        b, c = x.shape[0], x.shape[1]
+        xp = x.reshape(b * c, 1, *x.shape[2:])
+        pad = k // 2
+        y = jax.lax.conv_general_dilated(
+            xp, kernel.astype(x.dtype), (1, 1),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
+        return y.reshape(x.shape)
+
+
+class Superpose(Module):
+    """Superpose examples within the batch with probability p."""
+
+    def __init__(self, p, scale_fn=None):
+        self.p = p
+        self.scale_fn = scale_fn
+
+    def forward(self, x, targets=None):
+        if not self.training:
+            return x if targets is None else (x, targets)
+        b = x.shape[0]
+        k1, k2 = ptrandom.next_key(), ptrandom.next_key()
+        apply = jax.random.bernoulli(k1, self.p, (b,))
+        perm = jax.random.permutation(k2, b)
+        other = x[perm]
+        if self.scale_fn is not None:
+            other = self.scale_fn(other)
+        shape = (b,) + (1,) * (x.ndim - 1)
+        mixed = x + apply.reshape(shape) * other
+        if targets is None:
+            return mixed
+        tshape = (b,) + (1,) * (targets.ndim - 1)
+        t2 = jnp.maximum(targets, targets[perm] * apply.reshape(tshape))
+        return mixed, t2

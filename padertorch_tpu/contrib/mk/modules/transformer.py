@@ -1,0 +1,272 @@
+"""Transformer encoder/decoder with RoPE.
+
+Reference parity: ``padertorch/contrib/mk/modules/transformer.py`` —
+``RoPE`` (rotary embeddings), ``MultiheadAttention`` (with key padding and
+causal masks), ``TransformerEncoder``/``TransformerDecoder``,
+``DynamicTanh`` normalization alternative.
+
+TPU notes: attention is one fused softmax(QK^T)V chain that XLA maps onto
+the MXU; masks are additive -inf biases (static shapes).  bf16-friendly:
+matmuls specify ``preferred_element_type=float32`` accumulation.
+"""
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from padertorch_tpu.base import Module
+from padertorch_tpu import nn
+from padertorch_tpu.ops.sequence.mask import compute_mask
+
+__all__ = [
+    'RoPE',
+    'MultiheadAttention',
+    'TransformerEncoderLayer',
+    'TransformerEncoder',
+    'TransformerDecoderLayer',
+    'TransformerDecoder',
+    'DynamicTanh',
+]
+
+
+class RoPE(Module):
+    """Rotary position embeddings (Su et al. 2021). Reference: mk/transformer.py:231."""
+
+    def __init__(self, d_head, base=10000.0):
+        assert d_head % 2 == 0, d_head
+        self.d_head = d_head
+        self.base = base
+        inv_freq = 1.0 / (
+            base ** (np.arange(0, d_head, 2) / d_head))
+        self.register_buffer(
+            'inv_freq', jnp.asarray(inv_freq, dtype='float32'))
+
+    def forward(self, x, offset=0):
+        """x: (B, H, T, D) -> rotated."""
+        t = x.shape[-2]
+        pos = jnp.arange(offset, offset + t)[:, None]  # (T, 1)
+        angles = pos * self.inv_freq[None, :]  # (T, D/2)
+        sin = jnp.sin(angles)
+        cos = jnp.cos(angles)
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        rot1 = x1 * cos - x2 * sin
+        rot2 = x2 * cos + x1 * sin
+        return jnp.concatenate([rot1, rot2], axis=-1).astype(x.dtype)
+
+
+class DynamicTanh(Module):
+    """DyT normalization-free layer (Zhu 2025). Reference: mk/transformer.py:459."""
+
+    def __init__(self, d_model, alpha0=0.5):
+        self.alpha = jnp.full((1,), alpha0)
+        self.weight = jnp.ones((d_model,))
+        self.bias = jnp.zeros((d_model,))
+
+    def forward(self, x):
+        return self.weight * jnp.tanh(self.alpha * x) + self.bias
+
+
+class MultiheadAttention(Module):
+    """MHA with optional RoPE, causal and key-padding masks.
+
+    Reference parity: ``mk/modules/transformer.py:549``.
+    """
+
+    def __init__(self, d_model, num_heads, dropout=0.0, use_rope=False,
+                 d_kv=None):
+        assert d_model % num_heads == 0, (d_model, num_heads)
+        self.d_model = d_model
+        self.num_heads = num_heads
+        self.d_head = d_model // num_heads
+        d_kv = d_kv or d_model
+        self.q_proj = nn.Linear(d_model, d_model)
+        self.k_proj = nn.Linear(d_kv, d_model)
+        self.v_proj = nn.Linear(d_kv, d_model)
+        self.out_proj = nn.Linear(d_model, d_model)
+        self.dropout = nn.Dropout(dropout) if dropout else None
+        self.rope = RoPE(self.d_head) if use_rope else None
+
+    def _split(self, x):
+        b, t, _ = x.shape
+        return jnp.transpose(
+            x.reshape(b, t, self.num_heads, self.d_head), (0, 2, 1, 3))
+
+    def forward(self, query, key=None, value=None, key_padding_lens=None,
+                causal=False):
+        """query (B, Tq, D); key/value default to query (self-attention)."""
+        if key is None:
+            key = query
+        if value is None:
+            value = key
+        q = self._split(self.q_proj(query))
+        k = self._split(self.k_proj(key))
+        v = self._split(self.v_proj(value))
+        if self.rope is not None:
+            q = self.rope(q)
+            k = self.rope(k)
+        scale = 1.0 / math.sqrt(self.d_head)
+        logits = jnp.einsum(
+            'bhqd,bhkd->bhqk', q, k,
+            preferred_element_type=jnp.float32) * scale
+        if key_padding_lens is not None:
+            lens = jnp.asarray(key_padding_lens)
+            pad = jnp.arange(k.shape[2])[None, :] >= lens[:, None]
+            logits = jnp.where(
+                pad[:, None, None, :], jnp.finfo(logits.dtype).min, logits)
+        if causal:
+            tq, tk = q.shape[2], k.shape[2]
+            cmask = jnp.arange(tk)[None, :] > jnp.arange(tq)[:, None]
+            logits = jnp.where(
+                cmask[None, None], jnp.finfo(logits.dtype).min, logits)
+        weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        if self.dropout is not None:
+            weights = self.dropout(weights)
+        out = jnp.einsum('bhqk,bhkd->bhqd', weights, v)
+        b, h, t, d = out.shape
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, h * d)
+        return self.out_proj(out)
+
+
+class _FFN(Module):
+    def __init__(self, d_model, d_ff, dropout=0.0, activation='gelu'):
+        self.lin1 = nn.Linear(d_model, d_ff)
+        self.lin2 = nn.Linear(d_ff, d_model)
+        self.dropout = nn.Dropout(dropout) if dropout else None
+        self.activation = activation
+
+    def forward(self, x):
+        h = getattr(jax.nn, self.activation)(self.lin1(x))
+        if self.dropout is not None:
+            h = self.dropout(h)
+        return self.lin2(h)
+
+
+def _make_norm(norm, d_model):
+    if norm == 'dyt':
+        return DynamicTanh(d_model)
+    return nn.LayerNorm(d_model)
+
+
+class TransformerEncoderLayer(Module):
+    def __init__(self, d_model, num_heads, d_ff=None, dropout=0.0,
+                 use_rope=True, norm='layer_norm', pre_norm=True):
+        d_ff = d_ff or 4 * d_model
+        self.self_attn = MultiheadAttention(
+            d_model, num_heads, dropout=dropout, use_rope=use_rope)
+        self.ffn = _FFN(d_model, d_ff, dropout=dropout)
+        self.norm1 = _make_norm(norm, d_model)
+        self.norm2 = _make_norm(norm, d_model)
+        self.dropout = nn.Dropout(dropout) if dropout else None
+        self.pre_norm = pre_norm
+
+    def forward(self, x, seq_len=None):
+        def drop(h):
+            return self.dropout(h) if self.dropout is not None else h
+
+        if self.pre_norm:
+            x = x + drop(self.self_attn(
+                self.norm1(x), key_padding_lens=seq_len))
+            x = x + drop(self.ffn(self.norm2(x)))
+        else:
+            x = self.norm1(x + drop(self.self_attn(
+                x, key_padding_lens=seq_len)))
+            x = self.norm2(x + drop(self.ffn(x)))
+        return x
+
+
+class TransformerEncoder(Module):
+    """Reference parity: ``mk/modules/transformer.py:1127``.
+
+    >>> from padertorch_tpu import random as ptrandom
+    >>> ptrandom.seed(0)
+    >>> import jax.numpy as jnp
+    >>> enc = TransformerEncoder(d_model=32, num_layers=2, num_heads=4,
+    ...                          input_size=16).eval()
+    >>> enc(jnp.ones((2, 10, 16)), seq_len=[10, 7]).shape
+    (2, 10, 32)
+    """
+
+    def __init__(self, d_model, num_layers, num_heads, d_ff=None,
+                 dropout=0.0, use_rope=True, norm='layer_norm',
+                 pre_norm=True, input_size=None):
+        self.input_proj = (nn.Linear(input_size, d_model)
+                           if input_size and input_size != d_model
+                           else None)
+        self.layers = [
+            TransformerEncoderLayer(
+                d_model, num_heads, d_ff=d_ff, dropout=dropout,
+                use_rope=use_rope, norm=norm, pre_norm=pre_norm)
+            for _ in range(num_layers)
+        ]
+        self.final_norm = _make_norm(norm, d_model) if pre_norm else None
+        self.d_model = self.hidden_size = d_model
+
+    def forward(self, x, seq_len=None):
+        if self.input_proj is not None:
+            x = self.input_proj(x)
+        for layer in self.layers:
+            x = layer(x, seq_len=seq_len)
+        if self.final_norm is not None:
+            x = self.final_norm(x)
+        if seq_len is not None:
+            x = x * compute_mask(x, seq_len, 0, 1)
+        return x
+
+
+class TransformerDecoderLayer(Module):
+    def __init__(self, d_model, num_heads, d_ff=None, dropout=0.0,
+                 use_rope=True, norm='layer_norm', pre_norm=True,
+                 d_memory=None):
+        d_ff = d_ff or 4 * d_model
+        self.self_attn = MultiheadAttention(
+            d_model, num_heads, dropout=dropout, use_rope=use_rope)
+        self.cross_attn = MultiheadAttention(
+            d_model, num_heads, dropout=dropout, d_kv=d_memory)
+        self.ffn = _FFN(d_model, d_ff, dropout=dropout)
+        self.norm1 = _make_norm(norm, d_model)
+        self.norm2 = _make_norm(norm, d_model)
+        self.norm3 = _make_norm(norm, d_model)
+        self.pre_norm = pre_norm
+        self.dropout = nn.Dropout(dropout) if dropout else None
+
+    def forward(self, x, memory, seq_len=None, memory_seq_len=None):
+        def drop(h):
+            return self.dropout(h) if self.dropout is not None else h
+
+        if self.pre_norm:
+            x = x + drop(self.self_attn(self.norm1(x), causal=True))
+            x = x + drop(self.cross_attn(
+                self.norm2(x), memory, key_padding_lens=memory_seq_len))
+            x = x + drop(self.ffn(self.norm3(x)))
+        else:
+            x = self.norm1(x + drop(self.self_attn(x, causal=True)))
+            x = self.norm2(x + drop(self.cross_attn(
+                x, memory, key_padding_lens=memory_seq_len)))
+            x = self.norm3(x + drop(self.ffn(x)))
+        return x
+
+
+class TransformerDecoder(Module):
+    """Reference parity: ``mk/modules/transformer.py:1253``."""
+
+    def __init__(self, d_model, num_layers, num_heads, d_ff=None,
+                 dropout=0.0, use_rope=True, norm='layer_norm',
+                 pre_norm=True, d_memory=None):
+        self.layers = [
+            TransformerDecoderLayer(
+                d_model, num_heads, d_ff=d_ff, dropout=dropout,
+                use_rope=use_rope, norm=norm, pre_norm=pre_norm,
+                d_memory=d_memory)
+            for _ in range(num_layers)
+        ]
+        self.final_norm = _make_norm(norm, d_model) if pre_norm else None
+        self.d_model = d_model
+
+    def forward(self, x, memory, seq_len=None, memory_seq_len=None):
+        for layer in self.layers:
+            x = layer(x, memory, seq_len=seq_len,
+                      memory_seq_len=memory_seq_len)
+        if self.final_norm is not None:
+            x = self.final_norm(x)
+        return x

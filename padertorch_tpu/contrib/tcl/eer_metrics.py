@@ -1,0 +1,48 @@
+"""Speaker verification metrics: EER and minDCF.
+
+Reference parity: ``padertorch/contrib/tcl/eer_metrics.py:7,16``.
+"""
+import numpy as np
+
+__all__ = ['eer', 'min_dcf']
+
+
+def eer(scores, labels):
+    """Equal error rate from similarity scores and binary labels.
+
+    >>> scores = [0.9, 0.8, 0.3, 0.2]
+    >>> labels = [1, 1, 0, 0]
+    >>> eer(scores, labels)
+    0.0
+    >>> round(eer([0.9, 0.3, 0.8, 0.2], [1, 0, 1, 0]), 2)
+    0.0
+    >>> round(eer([0.9, 0.8, 0.3, 0.2], [0, 1, 0, 1]), 2)
+    0.5
+    """
+    scores = np.asarray(scores, dtype=float)
+    labels = np.asarray(labels, dtype=int)
+    order = np.argsort(-scores)
+    labels_sorted = labels[order]
+    n_pos = labels.sum()
+    n_neg = len(labels) - n_pos
+    assert n_pos > 0 and n_neg > 0, (n_pos, n_neg)
+    # thresholds swept from high to low
+    fa = np.cumsum(1 - labels_sorted) / n_neg  # false accepts
+    fr = 1 - np.cumsum(labels_sorted) / n_pos  # false rejects
+    idx = np.argmin(np.abs(fa - fr))
+    return float((fa[idx] + fr[idx]) / 2)
+
+
+def min_dcf(scores, labels, p_target=0.01, c_miss=1.0, c_fa=1.0):
+    """Minimum detection cost function (NIST SRE style)."""
+    scores = np.asarray(scores, dtype=float)
+    labels = np.asarray(labels, dtype=int)
+    order = np.argsort(-scores)
+    labels_sorted = labels[order]
+    n_pos = labels.sum()
+    n_neg = len(labels) - n_pos
+    fa = np.cumsum(1 - labels_sorted) / n_neg
+    fr = 1 - np.cumsum(labels_sorted) / n_pos
+    dcf = c_miss * fr * p_target + c_fa * fa * (1 - p_target)
+    dcf_default = min(c_miss * p_target, c_fa * (1 - p_target))
+    return float(np.min(dcf) / dcf_default)

@@ -345,6 +345,36 @@ class Trainer(Configurable):
             return self.sharding.shard(example)
         return self.model.example_to_device(example, self.sharding)
 
+    @staticmethod
+    def _strip_host_fields(example):
+        """Drop non-numeric leaves (ids, paths) before the jit boundary.
+
+        Hooks still receive the full example; the compiled step only sees
+        arrays/scalars (strings cannot be traced by XLA).
+        """
+        drop = object()
+
+        def strip(obj):
+            if isinstance(obj, (str, bytes)) or obj is None:
+                return drop
+            if isinstance(obj, dict):
+                kept = {}
+                for k, v in obj.items():
+                    s = strip(v)
+                    if s is not drop:
+                        kept[k] = s
+                return kept
+            if isinstance(obj, (list, tuple)):
+                kept = [s for s in (strip(v) for v in obj)
+                        if s is not drop]
+                if not kept and len(obj):
+                    return drop
+                return type(obj)(kept)
+            return obj
+
+        out = strip(example)
+        return {} if out is drop else out
+
     def _check_prev_loss_finite(self):
         if self._prev_loss is None:
             return
@@ -448,6 +478,7 @@ class Trainer(Configurable):
                             self.iteration * vbs + minibatch_index)
                         with self.train_timer['time_per_to_device']:
                             example = self._example_to_device(example)
+                        device_example = self._strip_host_fields(example)
 
                         if vbs == 1:
                             step = self._get_fn(
@@ -456,7 +487,7 @@ class Trainer(Configurable):
                                 (params, static, new_states, loss,
                                  model_out, review, norms) = step(
                                     params, static, self._opt_states,
-                                    example, key, loss_weights)
+                                    device_example, key, loss_weights)
                             self._set_opt_states(new_states)
                             self._record_optimizer_summary(norms)
                         else:
@@ -465,8 +496,8 @@ class Trainer(Configurable):
                             with self.train_timer['time_per_forward']:
                                 (loss, model_out, review, grad_accum,
                                  static) = step(
-                                    params, static, grad_accum, example,
-                                    key, loss_weights)
+                                    params, static, grad_accum,
+                                    device_example, key, loss_weights)
 
                         self._check_prev_loss_finite()
                         self._prev_loss = loss
@@ -565,7 +596,9 @@ class Trainer(Configurable):
                             example = self._example_to_device(example)
                         with self.validate_timer['time_per_forward']:
                             model_out, review = val_step(
-                                params, static, example, key, loss_weights)
+                                params, static,
+                                self._strip_host_fields(example),
+                                key, loss_weights)
                         index += 1
                     yield example, model_out, review
                     del example, model_out, review
