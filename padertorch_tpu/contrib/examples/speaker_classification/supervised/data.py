@@ -1,0 +1,80 @@
+"""Log-mel data pipeline for supervised speaker classification.
+
+Reference parity:
+``contrib/examples/speaker_classification/supervised/data.py`` — STFT
+512/160/400 + 64 mel bins, LabelEncoder over speaker ids, train/dev/test
+split per speaker.
+"""
+import numpy as np
+
+from padertorch_tpu.data import dataset as lazy
+from padertorch_tpu.data.utils import collate_fn, pad_batch
+from padertorch_tpu.contrib.je.data.transforms import (
+    STFT, LabelEncoder,
+)
+
+STFT_PARAMS = dict(shift=160, size=512, window_length=400, pad=True,
+                   fading=None)
+NUM_MELS = 64
+SAMPLE_RATE = 16000
+
+
+def synthetic_database(num_speakers=8, per_speaker=12, num_samples=8000,
+                       seed=0):
+    """Speaker-colored noise database for smoke runs: each speaker has a
+    fixed random spectral envelope."""
+    rng = np.random.RandomState(seed)
+    envelopes = rng.uniform(0.1, 1.0, (num_speakers, 257))
+    examples = {}
+    for s in range(num_speakers):
+        for i in range(per_speaker):
+            n_frames = -(-num_samples // 512)
+            noise = rng.randn(n_frames, 512)
+            spec = np.fft.rfft(noise * np.hanning(512))
+            spec = spec * envelopes[s]
+            audio = np.fft.irfft(spec).reshape(-1)[:num_samples]
+            examples[f'spk{s}_{i}'] = {
+                'example_id': f'spk{s}_{i}',
+                'audio_data': audio.astype('float32'),
+                'seq_len': num_samples,
+                'speaker_id': f'speaker_{s}',
+            }
+    return lazy.from_dict(examples)
+
+
+def finalize(example):
+    return {
+        'example_id': example['example_id'],
+        'stft': example['stft'][None].astype('float32'),  # (C=1, T, F, 2)
+        'seq_len': example['seq_len'],
+        'speaker_id': example['speaker_id'],
+    }
+
+
+def post_batch(batch):
+    batch = collate_fn(batch)
+    stft, seq_len = pad_batch(batch['stft'], axis=1)
+    return {
+        'example_id': list(batch['example_id']),
+        'stft': stft,
+        'seq_len': np.asarray(batch['seq_len'], dtype='int32'),
+        'speaker_id': np.asarray(batch['speaker_id'], dtype='int32'),
+    }
+
+
+def prepare_dataset(dataset, label_encoder, batch_size=8, shuffle=True,
+                    prefetch=True):
+    stft = STFT(**STFT_PARAMS)
+    dataset = dataset.map(stft).map(label_encoder).map(finalize)
+    if shuffle:
+        dataset = dataset.shuffle(reshuffle=True)
+    dataset = dataset.batch(batch_size).map(post_batch)
+    if prefetch:
+        dataset = dataset.prefetch(4, 8)
+    return dataset
+
+
+def get_label_encoder(storage_dir, dataset):
+    encoder = LabelEncoder(label_key='speaker_id', storage_dir=storage_dir)
+    encoder.initialize_labels(dataset=dataset, verbose=True)
+    return encoder

@@ -44,13 +44,30 @@ def new(examples, immutable_warranty='pickle'):
 
 
 def from_list(examples, immutable_warranty='pickle'):
-    del immutable_warranty  # examples are treated as read-only
-    return ListDataset(list(examples))
+    return ListDataset(list(examples), immutable_warranty)
 
 
 def from_dict(examples, immutable_warranty='pickle'):
-    del immutable_warranty
-    return DictDataset(dict(examples))
+    return DictDataset(dict(examples), immutable_warranty)
+
+
+def _copier(immutable_warranty):
+    """lazy_dataset's immutable warranty: each access hands out a copy so
+    in-place-mutating map transforms cannot corrupt the source examples."""
+    if immutable_warranty in (None, False):
+        return lambda x: x
+    if immutable_warranty == 'pickle':
+        import pickle
+
+        def copy_pickle(x):
+            try:
+                return pickle.loads(pickle.dumps(x))
+            except Exception:
+                import copy
+                return copy.deepcopy(x)
+        return copy_pickle
+    import copy
+    return copy.deepcopy
 
 
 class Dataset:
@@ -128,6 +145,11 @@ class Dataset:
             sort_key=sort_key, reverse_sort=reverse_sort,
         )
 
+    def unbatch(self):
+        """Flatten examples that are lists (inverse of batch; used after
+        segmenters that return several chunks per utterance)."""
+        return UnbatchDataset(self)
+
     def prefetch(self, num_workers=2, buffer_size=4, catch_filter_exception=False):
         return PrefetchDataset(
             self, num_workers, buffer_size, catch_filter_exception)
@@ -167,11 +189,13 @@ class Dataset:
 
 
 class ListDataset(Dataset):
-    def __init__(self, examples):
+    def __init__(self, examples, immutable_warranty='pickle'):
         self.examples = examples
+        self._copy = _copier(immutable_warranty)
 
     def __iter__(self):
-        return iter(self.examples)
+        for ex in self.examples:
+            yield self._copy(ex)
 
     def __len__(self):
         return len(self.examples)
@@ -182,21 +206,22 @@ class ListDataset(Dataset):
 
     def __getitem__(self, item):
         if isinstance(item, (int, np.integer)):
-            return self.examples[item]
+            return self._copy(self.examples[item])
         return super().__getitem__(item)
 
 
 class DictDataset(Dataset):
-    def __init__(self, examples):
+    def __init__(self, examples, immutable_warranty='pickle'):
         self.examples = examples
         self._keys = list(examples.keys())
+        self._copy = _copier(immutable_warranty)
 
     def keys(self):
         return list(self._keys)
 
     def __iter__(self):
         for k in self._keys:
-            yield self.examples[k]
+            yield self._copy(self.examples[k])
 
     def __len__(self):
         return len(self._keys)
@@ -207,9 +232,9 @@ class DictDataset(Dataset):
 
     def __getitem__(self, item):
         if isinstance(item, str):
-            return self.examples[item]
+            return self._copy(self.examples[item])
         if isinstance(item, (int, np.integer)):
-            return self.examples[self._keys[item]]
+            return self._copy(self.examples[self._keys[item]])
         return super().__getitem__(item)
 
 
@@ -277,7 +302,15 @@ class CatchDataset(_Wrapper):
 
     def __iter__(self):
         source = self.source
-        if source.indexable:
+        if isinstance(source, MapDataset):
+            # Apply the map per example so one FilterException drops only
+            # that example (a generator would die on the first raise).
+            for ex in source.source:
+                try:
+                    yield source.map_fn(ex)
+                except self.exceptions:
+                    continue
+        elif source.indexable:
             for i in range(len(source)):
                 try:
                     yield source[i]
@@ -412,6 +445,19 @@ class CycleDataset(_Wrapper):
     def __iter__(self):
         while True:
             yield from self.source
+
+
+class UnbatchDataset(_Wrapper):
+    def __len__(self):
+        raise TypeError('UnbatchDataset has no len().')
+
+    @property
+    def indexable(self):
+        return False
+
+    def __iter__(self):
+        for batch in self.source:
+            yield from batch
 
 
 class BatchDataset(_Wrapper):

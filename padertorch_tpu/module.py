@@ -44,18 +44,56 @@ def is_inexact_array(x):
 def _is_dynamic(v):
     """Classify an attribute value as pytree-dynamic (traced) or static.
 
-    ``None`` counts as dynamic (an empty pytree) so that ``partition`` can
-    place ``None`` markers at frozen leaf positions without changing the
-    treedef — the key invariant behind ``combine``.
+    A bare ``None`` attribute counts as dynamic (an empty pytree) so that
+    ``partition`` can place ``None`` markers at frozen leaf positions
+    without changing the treedef — the key invariant behind ``combine``.
+    Containers are dynamic only if they actually hold arrays/Modules
+    somewhere (a dict of config strings with None values must stay static).
     """
     if v is None:
         return True
-    if isinstance(v, (jax.Array, np.ndarray, Module)):
+    return _contains_dynamic(v)
+
+
+class _Masked:
+    """Placeholder at partitioned-out leaf positions.
+
+    An *empty* pytree (no leaves) that — unlike ``None`` — keeps its
+    enclosing container classified as dynamic, so the treedefs of the two
+    partition twins always match.
+    """
+    __slots__ = ()
+
+    def __repr__(self):
+        return '<masked>'
+
+    def __eq__(self, other):
+        return isinstance(other, _Masked)
+
+    def __hash__(self):
+        return hash(_Masked)
+
+
+jax.tree_util.register_pytree_node(
+    _Masked,
+    lambda m: ((), None),
+    lambda aux, children: _MASKED,
+)
+
+_MASKED = _Masked()
+
+
+def _is_placeholder(v):
+    return v is None or isinstance(v, _Masked)
+
+
+def _contains_dynamic(v):
+    if isinstance(v, (jax.Array, np.ndarray, Module, _Masked)):
         return True
     if isinstance(v, (list, tuple)):
-        return any(_is_dynamic(e) for e in v)
+        return any(_contains_dynamic(e) for e in v)
     if isinstance(v, dict):
-        return any(_is_dynamic(e) for e in v.values())
+        return any(_contains_dynamic(e) for e in v.values())
     return False
 
 
@@ -331,9 +369,11 @@ def partition(module, trainable_filter=None):
             return ({k: p[0] for k, p in pairs.items()},
                     {k: p[1] for k, p in pairs.items()})
         # leaf
+        if obj is None:
+            return None, None
         if not frozen_by_parent and trainable_filter(obj):
-            return obj, None
-        return None, obj
+            return obj, _MASKED
+        return _MASKED, obj
 
     return split(module)
 
@@ -346,17 +386,15 @@ def _clone_with(module, overrides):
 
 
 def combine(*trees):
-    """Merge partitioned trees: first non-None leaf wins (equinox-style)."""
+    """Merge partitioned trees: first non-placeholder leaf wins."""
     def merge(*vals):
         for v in vals:
-            if v is not None:
+            if not _is_placeholder(v):
                 return v
         return None
 
-    def is_none(x):
-        return x is None
-
-    return jax.tree_util.tree_map(merge, *trees, is_leaf=is_none)
+    return jax.tree_util.tree_map(
+        merge, *trees, is_leaf=_is_placeholder)
 
 
 def num_parameters(tree):
@@ -375,7 +413,7 @@ def inplace_update(module, *trees):
     like ``create_snapshot`` survive while device arrays advance each step).
     """
     def visit(obj, *srcs):
-        srcs = [s for s in srcs if s is not None]
+        srcs = [s for s in srcs if not _is_placeholder(s)]
         if isinstance(obj, Module):
             for name, v in obj.__dict__.items():
                 if not _is_dynamic(v):
@@ -394,7 +432,7 @@ def inplace_update(module, *trees):
                 for k, v in obj.items()
             }
         for s in srcs:
-            if s is not None:
+            if not _is_placeholder(s):
                 return s
         return obj
 

@@ -31,7 +31,7 @@ def compute_mask(x, sequence_lengths, batch_axis=0, sequence_axis=1):
     ndim = x.ndim
     batch_axis = batch_axis % ndim
     sequence_axis = sequence_axis % ndim
-    lengths = jnp.asarray(np.asarray(sequence_lengths))
+    lengths = jnp.asarray(sequence_lengths)
     # lengths indexed along batch_axis, broadcast over all later axes
     shape_l = [1] * ndim
     shape_l[batch_axis] = -1

@@ -291,11 +291,11 @@ class SummaryHook(TriggeredHook):
             tag = check_tag(f'{prefix}/{key}')
             if isinstance(audio, (tuple, list)):
                 assert len(audio) == 2, (len(audio), audio)
-                trainer.writer.add_audio(
-                    tag, audio[0], iteration, sample_rate=audio[1])
+                _add_audio(trainer.writer, tag, audio[0], iteration,
+                           sample_rate=audio[1])
             else:
-                trainer.writer.add_audio(
-                    tag, audio, iteration, sample_rate=16000)
+                _add_audio(trainer.writer, tag, audio, iteration,
+                           sample_rate=16000)
         for key, image in self.summary['images'].items():
             trainer.writer.add_image(
                 check_tag(f'{prefix}/{key}'), image, iteration)
@@ -336,6 +336,34 @@ def _fetch_audio(value):
     if isinstance(value, (tuple, list)):
         return (_fetch(value[0]), value[1])
     return _fetch(value)
+
+
+def _add_audio(writer, tag, signal, step, sample_rate):
+    """writer.add_audio, with a stdlib-WAV fallback when the optional
+    soundfile dependency (used by tensorboardX for encoding) is absent."""
+    try:
+        writer.add_audio(tag, signal, step, sample_rate=sample_rate)
+    except (ImportError, ModuleNotFoundError):
+        import io
+        import wave
+        from tensorboardX.proto.summary_pb2 import Summary
+        data = np.clip(np.asarray(signal).flatten(), -1, 1)
+        pcm = (data * 32767).astype('<i2').tobytes()
+        buf = io.BytesIO()
+        with wave.open(buf, 'wb') as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(int(sample_rate))
+            w.writeframes(pcm)
+        audio = Summary.Audio(
+            sample_rate=float(sample_rate),
+            num_channels=1,
+            length_frames=len(data),
+            encoded_audio_string=buf.getvalue(),
+            content_type='audio/wav',
+        )
+        writer._get_file_writer().add_summary(
+            Summary(value=[Summary.Value(tag=tag, audio=audio)]), step)
 
 
 class CheckpointHook(TriggeredHook):
