@@ -809,3 +809,46 @@ class Trainer(Configurable):
             loss_rtol=loss_rtol,
             virtual_minibatch_size=virtual_minibatch_size,
         )
+
+
+class MultiDeviceTrainer(Trainer):
+    """API parity with reference ``trainer.py:921``.
+
+    The torch version exists because a model spread over devices needs its
+    losses gathered manually; under XLA+GSPMD device placement is expressed
+    through shardings, so this is the plain Trainer with a sharding slot —
+    kept as a named class so reference configs resolve.
+    """
+
+    def to(self, device):
+        return self
+
+
+class InteractiveWriter:
+    """Summary writer that prints scalars instead of writing event files.
+
+    Reference parity: ``trainer.py:1083``; doubles as a null writer in
+    tests.
+    """
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def add_scalar(self, tag, value, step):
+        print(f'[{step}] {tag}: {value}')
+
+    def __getattr__(self, name):
+        if name.startswith('add_') or name in ('close', 'flush'):
+            return lambda *args, **kwargs: None
+        raise AttributeError(name)
+
+
+class InteractiveTrainer(Trainer):
+    """Trainer for notebook use: prints scalars instead of tensorboard.
+
+    Reference parity: ``trainer.py:1048``.
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.writer_cls = InteractiveWriter
