@@ -22,3 +22,7 @@ from padertorch_tpu.train import (
 from padertorch_tpu import modules
 from padertorch_tpu import ops
 from padertorch_tpu import summary
+from padertorch_tpu import models
+from padertorch_tpu import parallel
+from padertorch_tpu import evaluation
+from padertorch_tpu.ops import mappings

@@ -1,0 +1,221 @@
+"""Hook unit/integration tests modeled on the reference's
+``tests/test_train/test_hooks.py`` and the golden hook-trace idea of
+``tests/test_train/test_trainer.py:68-207``."""
+import types
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import padertorch_tpu as pt
+from padertorch_tpu.train import hooks as hooks_mod
+from padertorch_tpu.train.hooks import (
+    SummaryHook, BackOffValidationHook, LRSchedulerHook, AnnealingHook,
+    LRAnnealingHook, StopTrainingHook, StopTraining,
+)
+from padertorch_tpu.train.trigger import IntervalTrigger
+
+
+class TriggerMock:
+    """Wraps a trigger and logs every query (reference test_trainer.py:68)."""
+
+    def __init__(self, trigger, log, name):
+        self.trigger = trigger
+        self.log = log
+        self.name = name
+
+    def __call__(self, iteration, epoch):
+        result = self.trigger(iteration, epoch)
+        self.log.append(
+            f'I:{iteration}, E: {epoch}, {result} [{self.name}]')
+        return result
+
+    def set_last(self, iteration, epoch):
+        self.trigger.set_last(iteration, epoch)
+
+    @property
+    def last(self):
+        return self.trigger.last
+
+
+def test_golden_hook_trace(tmp_path):
+    """Exact trigger-firing sequence over 2 epochs x 2 iterations."""
+    from tests.test_train.test_trainer import MnistModel, get_datasets
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.train.trainer import Trainer
+
+    ptrandom.seed(0)
+    trainer = Trainer(
+        model=MnistModel(),
+        storage_dir=tmp_path / 'exp',
+        optimizer=pt.Adam(lr=1e-2),
+        stop_trigger=(2, 'epoch'),
+        summary_trigger=(1, 'epoch'),
+        checkpoint_trigger=(1, 'epoch'),
+    )
+    log = []
+    for hook in trainer.hooks:
+        hook.trigger = TriggerMock(
+            hook.trigger, log, type(hook).__name__)
+    tr, dt = get_datasets(batch_size=16)  # 2 batches per epoch
+    trainer.train(tr)
+
+    golden = [
+        # epoch 0 start: all hooks queried at (0, 0)
+        'I:0, E: 0, True [SummaryHook]',
+        'I:0, E: 0, True [CheckpointHook]',
+        'I:0, E: 0, False [StopTrainingHook]',
+        # mid-epoch pre_step at iteration 1 (same epoch: no re-fire)
+        'I:1, E: 0, False [SummaryHook]',
+        'I:1, E: 0, False [CheckpointHook]',
+        'I:1, E: 0, False [StopTrainingHook]',
+        # epoch 1 start
+        'I:2, E: 1, True [SummaryHook]',
+        'I:2, E: 1, True [CheckpointHook]',
+        'I:2, E: 1, False [StopTrainingHook]',
+        'I:3, E: 1, False [SummaryHook]',
+        'I:3, E: 1, False [CheckpointHook]',
+        'I:3, E: 1, False [StopTrainingHook]',
+        # epoch 2 start: stop fires
+        'I:4, E: 2, True [SummaryHook]',
+        'I:4, E: 2, True [CheckpointHook]',
+        'I:4, E: 2, True [StopTrainingHook]',
+    ]
+    assert log == golden, '\n'.join(log)
+
+
+def fake_trainer(iteration=0, epoch=0):
+    """Minimal namespace standing in for a Trainer (reference style)."""
+    import padertorch_tpu.train.trainer as trainer_mod
+    ns = types.SimpleNamespace()
+    ns.iteration = iteration
+    ns.epoch = epoch
+    ns.model = types.SimpleNamespace(
+        create_snapshot=False,
+        modify_summary=lambda s: pt.Model.modify_summary(ns.model, s),
+    )
+    ns.train_timer = trainer_mod.ContextTimerDict()
+    ns.validate_timer = trainer_mod.ContextTimerDict()
+    return ns
+
+
+def test_summary_hook_aggregation():
+    hook = SummaryHook((1, 'epoch'))
+    trainer = fake_trainer()
+    for v in [1.0, 2.0, 3.0]:
+        hook.post_step(trainer, None, None,
+                       {'scalars': {'loss': jnp.asarray(v)}})
+    hook.finalize_summary(trainer)
+    assert hook.summary['scalars']['loss'] == pytest.approx(2.0)
+
+
+def test_summary_hook_duplicate_tag_raises():
+    hook = SummaryHook((1, 'epoch'))
+    trainer = fake_trainer()
+    hook.post_step(trainer, None, None, {
+        'scalars': {'grad_norm': jnp.asarray(1.0)},
+        'histograms': {'grad_norm': jnp.asarray([1.0])},
+    })
+    hook.finalize_summary(trainer)
+
+    class Writer:
+        def add_scalar(self, *a, **k):
+            pass
+
+        def add_histogram(self, *a, **k):
+            pass
+
+    trainer.writer = Writer()
+    with pytest.raises(AssertionError, match='used multiple times'):
+        hook.dump_summary(trainer)
+
+
+def test_summary_hook_rejects_unknown_keys():
+    hook = SummaryHook((1, 'epoch'))
+    with pytest.raises(AssertionError):
+        hook.update_summary({'bogus': {}})
+
+
+def test_annealing_hook_piecewise_linear():
+    values = []
+
+    class TestAnnealing(AnnealingHook):
+        def get_value(self, trainer):
+            return 2.0
+
+        def set_value(self, trainer, value):
+            values.append(value)
+
+    hook = TestAnnealing(
+        (1, 'iteration'), breakpoints=[(2, 1.0), (4, 0.5)],
+        unit='iteration', name='x')
+    for it in range(6):
+        trainer = fake_trainer(iteration=it)
+        hook.pre_step(trainer)
+    # relative to initial value 2.0: 1.0 until x=2, then linear to 0.5 at 4
+    assert values[0] == pytest.approx(2.0)
+    assert values[2] == pytest.approx(2.0)
+    assert values[3] == pytest.approx(1.5)   # halfway 1.0 -> 0.5, x2
+    assert values[4] == pytest.approx(1.0)
+    assert values[5] == pytest.approx(1.0)   # constant after last break
+
+
+def test_lr_annealing_and_scheduler(tmp_path):
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu import nn
+    ptrandom.seed(0)
+    opt = pt.Adam(lr=1.0)
+    opt.set_parameters({'w': jnp.ones(2)})
+    trainer = fake_trainer()
+    trainer.optimizer = opt
+
+    hook = LRAnnealingHook(
+        (1, 'iteration'), breakpoints=[(0, 1.0), (10, 0.1)],
+        unit='iteration')
+    trainer.iteration = 5
+    hook.pre_step(trainer)
+    assert opt.lr == pytest.approx(0.55)
+
+    sched = LRSchedulerHook(
+        lambda count: 0.5 ** count, trigger=(1, 'epoch'))
+    trainer2 = fake_trainer(iteration=1, epoch=1)
+    trainer2.optimizer = opt
+    sched.pre_step(trainer2)
+    assert opt.lr == pytest.approx(0.5)
+    # resume bookkeeping
+    sched2 = LRSchedulerHook(
+        lambda count: 0.5 ** count, trigger=(1, 'epoch'))
+    sched2.set_last(10, 3)
+    assert sched2._count == 3
+
+
+def test_backoff_restores_best_and_decays_lr(tmp_path):
+    """BackOff reloads the best checkpoint and multiplies the lr."""
+    from tests.test_train.test_trainer import MnistModel, get_datasets
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.train.trainer import Trainer
+
+    ptrandom.seed(0)
+    trainer = Trainer(
+        model=MnistModel(),
+        storage_dir=tmp_path / 'exp',
+        optimizer=pt.Adam(lr=1e-2),
+        stop_trigger=(4, 'epoch'),
+    )
+    tr, dt = get_datasets()
+    # back off on the first degradation (reference tests use n_back_off=1)
+    trainer.register_validation_hook(
+        dt, n_back_off=1, back_off_patience=0, lr_update_factor=0.5)
+    trainer.train(tr)
+    # training ran to the end; lr either decayed through backoff or stayed
+    assert trainer.optimizer.lr in (
+        pytest.approx(1e-2), pytest.approx(5e-3))
+    assert trainer.iteration == 16
+
+
+def test_stop_training_hook():
+    hook = StopTrainingHook((1, 'epoch'))
+    trainer = fake_trainer(iteration=10, epoch=1)
+    with pytest.raises(StopTraining):
+        hook.pre_step(trainer)
