@@ -49,8 +49,12 @@ def main():
 
     _log('init model (param init ops)...')
     ptrandom.seed(0)
+    # TPU-tuned flagship config: bf16 gate matmuls (f32 accumulation and
+    # carry) + 4x unrolled time scan; see doc/performance.md.
     model = PermutationInvariantTrainingModel(
-        F=F, recurrent_layers=3, units=600, K=K)
+        F=F, recurrent_layers=3, units=600, K=K,
+        compute_dtype='bfloat16')
+    model.blstm.scan_unroll = 4
     _log('model initialized')
 
     rng = np.random.RandomState(0)

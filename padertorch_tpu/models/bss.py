@@ -69,6 +69,7 @@ class PermutationInvariantTrainingModel(Model):
             dropout_hidden=0.,
             dropout_linear=0.,
             output_activation='relu',
+            compute_dtype=None,
     ):
         self.K = K
         self.F = F
@@ -77,7 +78,7 @@ class PermutationInvariantTrainingModel(Model):
         assert dropout_hidden <= 0.5, dropout_hidden
         self.blstm = LSTM(
             F, units, num_layers=recurrent_layers, bidirectional=True,
-            dropout=dropout_hidden,
+            dropout=dropout_hidden, compute_dtype=compute_dtype,
         )
         assert dropout_linear <= 0.5, dropout_linear
         self.dropout_linear = nn.Dropout(dropout_linear)

@@ -61,7 +61,11 @@ class _RNNBase(Module):
 
     def __init__(self, input_size, hidden_size, num_layers=1,
                  bidirectional=False, dropout=0.0, batch_first=True,
-                 bias=True, dtype='float32'):
+                 bias=True, dtype='float32', compute_dtype=None):
+        """``compute_dtype='bfloat16'`` runs the gate matmuls in bf16 on
+        the MXU (params stay in ``dtype``; accumulation and the recurrent
+        carry stay float32) — ~2-4x faster on TPU with negligible quality
+        impact for speech models."""
         assert batch_first, (
             'padertorch_tpu RNNs are batch-first (B, T, D); '
             'batch_first=False is not supported.')
@@ -72,6 +76,10 @@ class _RNNBase(Module):
         self.dropout_p = dropout
         self.batch_first = batch_first
         self.bias = bias
+        self.compute_dtype = compute_dtype
+        # static unroll factor of the time scan: trades compile time and
+        # code size for less loop overhead on latency-bound small batches
+        self.scan_unroll = 1
         num_directions = 2 if bidirectional else 1
         g = self.gates
         bound = 1.0 / jnp.sqrt(hidden_size).item()
@@ -104,8 +112,14 @@ class _RNNBase(Module):
 
     def _scan_direction(self, x, mask, w_ih, w_hh, b, init_carry):
         """x: (B, T, D); mask: (B, T) or None. Returns (out (B, T, H), carry)."""
+        if self.compute_dtype is not None:
+            cd = jnp.dtype(self.compute_dtype)
+            x = x.astype(cd)
+            w_ih = w_ih.astype(cd)
+            w_hh = w_hh.astype(cd)
         # Hoist the big matmul out of the scan: all timesteps at once.
-        gates_x = x @ w_ih  # (B, T, G*H)
+        gates_x = jnp.dot(
+            x, w_ih, preferred_element_type=jnp.float32)  # (B, T, G*H)
         if b is not None:
             gates_x = gates_x + b
         gates_x_t = jnp.swapaxes(gates_x, 0, 1)  # (T, B, G*H)
@@ -127,6 +141,57 @@ class _RNNBase(Module):
         carry, out_t = jax.lax.scan(step, init_carry, xs)
         return jnp.swapaxes(out_t, 0, 1), carry
 
+    def _can_batch_directions(self, layer):
+        """Both directions of a layer share input size -> batchable."""
+        i = layer * 2
+        return self.w_ih[i].shape == self.w_ih[i + 1].shape
+
+    def _scan_two_directions(self, x2, mask2, w_ih2, w_hh2, b2, init,
+                             batch):
+        """One scan over the direction-stacked batch (2B, T, D).
+
+        w_ih2/w_hh2: (2, D, GH); the input projection uses a block einsum
+        so each half of the batch hits its direction's weights.
+        """
+        b2b = x2.shape[0]
+        x_pair = x2.reshape(2, b2b // 2, *x2.shape[1:])  # (2, B, T, D)
+        if self.compute_dtype is not None:
+            cd = jnp.dtype(self.compute_dtype)
+            x_pair = x_pair.astype(cd)
+            w_ih2 = w_ih2.astype(cd)
+            w_hh2 = w_hh2.astype(cd)
+        gates_x = jnp.einsum(
+            'dbtf,dfg->dbtg', x_pair, w_ih2,
+            preferred_element_type=jnp.float32)
+        if b2 is not None:
+            gates_x = gates_x + b2[:, None, None, :]
+        gates_x = gates_x.reshape(b2b, *gates_x.shape[2:])
+        gates_x_t = jnp.swapaxes(gates_x, 0, 1)  # (T, 2B, GH)
+        mask_t = None if mask2 is None else jnp.swapaxes(mask2, 0, 1)
+        # recurrent weights as a block-diagonal single matmul input:
+        # h (2B, H): first B rows use w_hh[0], rest w_hh[1]
+        w_hh_blocks = w_hh2
+
+        def step(carry, inp):
+            gx, m = inp if mask_t is not None else (inp, None)
+            new_carry, h_out = self._cell_step_two(
+                carry, gx, w_hh_blocks, batch)
+            if m is not None:
+                m = m[:, None]
+                new_carry = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(m, new, old),
+                    new_carry, carry)
+                h_out = h_out * m
+            return new_carry, h_out
+
+        xs = gates_x_t if mask_t is None else (gates_x_t, mask_t)
+        carry, out_t = jax.lax.scan(
+            step, init, xs, unroll=self.scan_unroll)
+        return jnp.swapaxes(out_t, 0, 1), carry
+
+    def _cell_step_two(self, carry, gates_x, w_hh2, batch):
+        raise NotImplementedError
+
     def forward(self, x, seq_lens=None, state=None):
         """x: (B, T, input_size) -> (B, T, H * num_directions).
 
@@ -143,25 +208,59 @@ class _RNNBase(Module):
         finals = []
         out = x
         for layer in range(self.num_layers):
-            outs = []
-            for direction in range(num_directions):
-                i = layer * num_directions + direction
-                inp = out
-                if direction == 1:
-                    inp = reverse_padded(inp, seq_lens)
+            if num_directions == 2 and self._can_batch_directions(layer):
+                # TPU optimization: run both directions in ONE scan by
+                # stacking them into the batch axis — halves the number
+                # of sequential loops and doubles the M dimension of the
+                # recurrent matmul (better MXU utilization at small B).
+                i_f = layer * 2
+                i_b = i_f + 1
+                rev = reverse_padded(out, seq_lens)
+                inp = jnp.concatenate([out, rev], axis=0)  # (2B, T, D)
+                mask2 = None if mask is None else jnp.concatenate(
+                    [mask, mask], axis=0)
                 if state is not None:
                     init = jax.tree_util.tree_map(
-                        lambda s: s[i], state)
+                        lambda s: jnp.concatenate([s[i_f], s[i_b]], 0),
+                        state)
                 else:
-                    init = self._cell_init(batch, x.dtype)
-                o, carry = self._scan_direction(
-                    inp, mask, self.w_ih[i], self.w_hh[i], self.b[i], init)
-                if direction == 1:
-                    o = reverse_padded(o, seq_lens)
-                outs.append(o)
-                finals.append(carry)
-            out = outs[0] if num_directions == 1 else jnp.concatenate(
-                outs, axis=-1)
+                    init = self._cell_init(2 * batch, x.dtype)
+                w_ih = jnp.concatenate(
+                    [self.w_ih[i_f][None], self.w_ih[i_b][None]])
+                w_hh = jnp.concatenate(
+                    [self.w_hh[i_f][None], self.w_hh[i_b][None]])
+                b = None if self.b[i_f] is None else jnp.stack(
+                    [self.b[i_f], self.b[i_b]])
+                o2, carry2 = self._scan_two_directions(
+                    inp, mask2, w_ih, w_hh, b, init, batch)
+                o_f, o_b = o2[:batch], o2[batch:]
+                o_b = reverse_padded(o_b, seq_lens)
+                out = jnp.concatenate([o_f, o_b], axis=-1)
+                finals.append(jax.tree_util.tree_map(
+                    lambda c: c[:batch], carry2))
+                finals.append(jax.tree_util.tree_map(
+                    lambda c: c[batch:], carry2))
+            else:
+                outs = []
+                for direction in range(num_directions):
+                    i = layer * num_directions + direction
+                    inp = out
+                    if direction == 1:
+                        inp = reverse_padded(inp, seq_lens)
+                    if state is not None:
+                        init = jax.tree_util.tree_map(
+                            lambda s: s[i], state)
+                    else:
+                        init = self._cell_init(batch, x.dtype)
+                    o, carry = self._scan_direction(
+                        inp, mask, self.w_ih[i], self.w_hh[i],
+                        self.b[i], init)
+                    if direction == 1:
+                        o = reverse_padded(o, seq_lens)
+                    outs.append(o)
+                    finals.append(carry)
+                out = outs[0] if num_directions == 1 else jnp.concatenate(
+                    outs, axis=-1)
             if self.dropout_p and self.training \
                     and layer < self.num_layers - 1:
                 keep = 1.0 - self.dropout_p
@@ -190,7 +289,20 @@ class LSTM(_RNNBase):
 
     def _cell_step(self, carry, gates_x, w_hh):
         h, c = carry
-        gates = gates_x + h @ w_hh
+        gates = gates_x + jnp.dot(
+            h.astype(w_hh.dtype), w_hh,
+            preferred_element_type=jnp.float32)
+        return self._gates_to_state(gates, c)
+
+    def _cell_step_two(self, carry, gates_x, w_hh2, batch):
+        h, c = carry  # (2B, H)
+        h_pair = h.reshape(2, batch, -1).astype(w_hh2.dtype)
+        gh = jnp.einsum('dbh,dhg->dbg', h_pair, w_hh2,
+                        preferred_element_type=jnp.float32)
+        gates = gates_x + gh.reshape(2 * batch, -1)
+        return self._gates_to_state(gates, c)
+
+    def _gates_to_state(self, gates, c):
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i = jax.nn.sigmoid(i)
         f = jax.nn.sigmoid(f)
@@ -211,9 +323,21 @@ class GRU(_RNNBase):
 
     def _cell_step(self, carry, gates_x, w_hh):
         h = carry
+        gh = jnp.dot(h.astype(w_hh.dtype), w_hh,
+                     preferred_element_type=jnp.float32)
+        return self._gates_to_state(gates_x, gh, h)
+
+    def _cell_step_two(self, carry, gates_x, w_hh2, batch):
+        h = carry  # (2B, H)
+        h_pair = h.reshape(2, batch, -1).astype(w_hh2.dtype)
+        gh = jnp.einsum('dbh,dhg->dbg', h_pair, w_hh2,
+                        preferred_element_type=jnp.float32)
+        return self._gates_to_state(gates_x, gh.reshape(h.shape[0], -1),
+                                    h)
+
+    def _gates_to_state(self, gates_x, gh, h):
         # torch GRU: r, z from summed projections; n uses r * (W_hn h + b_hn)
         gx_r, gx_z, gx_n = jnp.split(gates_x, 3, axis=-1)
-        gh = h @ w_hh
         gh_r, gh_z, gh_n = jnp.split(gh, 3, axis=-1)
         r = jax.nn.sigmoid(gx_r + gh_r)
         z = jax.nn.sigmoid(gx_z + gh_z)

@@ -147,3 +147,16 @@ def test_conv_matches_torch():
         got = np.asarray(ours(jnp.asarray(x)))
         want = t_conv(torch.tensor(x)).detach().numpy()
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_lstm_bf16_compute_close_to_f32():
+    ptrandom.seed(9)
+    f32 = rec.LSTM(8, 16, bidirectional=True).eval()
+    bf16 = rec.LSTM.__new__(rec.LSTM)
+    bf16.__dict__.update(f32.__dict__)
+    bf16.compute_dtype = 'bfloat16'
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 20, 8), 'float32')
+    y32, _ = f32(x)
+    y16, _ = bf16(x)
+    err = np.abs(np.asarray(y32) - np.asarray(y16)).max()
+    assert err < 0.05, err  # bf16 gate matmuls, f32 accumulation/carry
