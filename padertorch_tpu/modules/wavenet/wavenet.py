@@ -308,11 +308,18 @@ class WaveNet(Module):
         return jnp.swapaxes(out, 0, 1)  # (B, T)
 
     def infer(self, x, chunk_length=None, chunk_overlap=0, key=None,
-              sample=True):
+              sample=True, parallel=False):
         """Chunked autoregressive synthesis (reference ``wavenet.py:249``).
 
         Args:
             x: (B, n_cond_channels, frames) conditioning features.
+            parallel: synthesize all chunks **in one batched sampling
+                pass** instead of sequentially.  Chunks are independent
+                (each conditions only on its local features, with
+                ``chunk_overlap`` warm-up samples discarded), so this
+                amortizes the per-step loop overhead over all chunks —
+                on TPU this is the difference between ~1.5x and ~20x
+                real time (see doc/performance.md).
         Returns:
             (B, T) float audio in [-1, 1].
         """
@@ -333,6 +340,28 @@ class WaveNet(Module):
             ]
         if key is None:
             key = jax.random.PRNGKey(0)
+
+        if parallel and len(chunks) > 1:
+            # pad the last chunk to the common length and stack into batch
+            target = chunks[0].shape[-1]
+            tail = target - chunks[-1].shape[-1]
+            if tail:
+                chunks[-1] = jnp.pad(
+                    chunks[-1], ((0, 0),) * 3 + ((0, tail),))
+            stacked = jnp.concatenate(chunks, axis=0)  # (N*B, L, 2R, T)
+            si = self.sample(stacked, key=key, sample=sample)
+            si = mu_law_decode(si, self.n_out_channels)
+            b = x.shape[0]
+            parts = []
+            for i in range(len(chunks)):
+                piece = si[i * b:(i + 1) * b]
+                if i > 0:
+                    piece = piece[..., chunk_overlap:]
+                if i == len(chunks) - 1 and tail:
+                    piece = piece[..., :piece.shape[-1] - tail]
+                parts.append(piece)
+            return jnp.concatenate(parts, axis=-1)
+
         audio = []
         for i, xi in enumerate(chunks):
             key, sub = jax.random.split(key)

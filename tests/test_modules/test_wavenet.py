@@ -106,3 +106,17 @@ def test_training_step_with_loss():
     total = sum(float(jnp.sum(jnp.abs(g)))
                 for g in jax.tree_util.tree_leaves(grads))
     assert total > 0
+
+
+def test_parallel_chunked_infer_matches_shapes():
+    net = small_wavenet()
+    b, frames = 1, 40
+    features = jnp.asarray(
+        np.random.RandomState(0).randn(b, 8, frames), 'float32')
+    t = 8 * frames - 8
+    seq = net.infer(features, chunk_length=64, chunk_overlap=16,
+                    key=jax.random.PRNGKey(0))
+    par = net.infer(features, chunk_length=64, chunk_overlap=16,
+                    key=jax.random.PRNGKey(0), parallel=True)
+    assert seq.shape == par.shape == (b, t)
+    assert float(jnp.max(jnp.abs(par))) <= 1.0
