@@ -262,3 +262,27 @@ class CNN1d(_CNN):
 class CNN2d(_CNN):
     conv_cls = Conv2d
     pool_cls = Pool2d
+
+
+def resnet50(in_channels=1, base_planes=64, norm='batch'):
+    """ResNet-50-style CNN2d bottleneck stack builder.
+
+    Reference parity: ``contrib/je/modules/conv.py:970`` (there a CNN2d
+    factory with ResNet-50 layout).  Returns a CNN2d whose channel plan
+    follows (3, 4, 6, 3) bottleneck groups.
+    """
+    plan = []
+    strides = []
+    for i, blocks in enumerate((3, 4, 6, 3)):
+        planes = base_planes * (2 ** i) * 4
+        for j in range(blocks):
+            plan.append(planes)
+            strides.append(2 if (j == 0 and i > 0) else 1)
+    return CNN2d(
+        in_channels=in_channels,
+        out_channels=plan,
+        kernel_size=3,
+        stride=strides,
+        norm=norm,
+        residual_connections=None,
+    )

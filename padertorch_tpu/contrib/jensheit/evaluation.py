@@ -1,0 +1,67 @@
+"""Mask-based enhancement evaluation: masking and GEV beamforming.
+
+Reference parity: ``padertorch/contrib/jensheit/evaluation.py``
+(``evaluate_masks`` :14/:48) — apply estimated masks to a multi-channel
+STFT, beamform, reconstruct time signals.  SAD (speech activity
+detection) evaluation: ``eval_sad.py:65,120``.
+"""
+import numpy as np
+
+from padertorch_tpu.evaluation.beamforming import gev_beamforming
+
+__all__ = ['evaluate_masks', 'smooth_sad', 'evaluate_sad']
+
+
+def evaluate_masks(observation_stft, speech_mask, noise_mask, stft,
+                   ban=True):
+    """Masked + beamformed reconstructions from masks.
+
+    Args:
+        observation_stft: (C, T, F) complex multi-channel STFT.
+        speech_mask / noise_mask: (T, F).
+        stft: the STFT op (for inverse).
+
+    Returns:
+        dict with 'masked' (T-domain, channel 0 masked) and
+        'beamformed' (T-domain, GEV) signals.
+    """
+    observation_stft = np.asarray(observation_stft)
+    masked = np.asarray(stft.inverse(
+        speech_mask * observation_stft[0]))
+    beamformed_stft = gev_beamforming(
+        observation_stft, speech_mask, noise_mask, ban=ban)
+    beamformed = np.asarray(stft.inverse(beamformed_stft))
+    return {'masked': masked, 'beamformed': beamformed}
+
+
+def smooth_sad(sad, kernel=11):
+    """Majority-smooth a binary SAD sequence (eval_sad.py helper)."""
+    sad = np.asarray(sad, float)
+    pad = kernel // 2
+    padded = np.pad(sad, (pad, pad), mode='edge')
+    smoothed = np.convolve(padded, np.ones(kernel) / kernel, mode='valid')
+    return (smoothed > 0.5).astype(int)
+
+
+def evaluate_sad(prediction, target, threshold=0.5):
+    """Frame-level speech activity detection metrics.
+
+    >>> evaluate_sad([0.9, 0.8, 0.1], [1, 1, 0])['f1']
+    1.0
+    """
+    prediction = (np.asarray(prediction, float) >= threshold).astype(int)
+    target = np.asarray(target, int)
+    tp = int(((prediction == 1) & (target == 1)).sum())
+    fp = int(((prediction == 1) & (target == 0)).sum())
+    fn = int(((prediction == 0) & (target == 1)).sum())
+    tn = int(((prediction == 0) & (target == 0)).sum())
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    return {
+        'precision': precision,
+        'recall': recall,
+        'f1': 2 * precision * recall / max(precision + recall, 1e-12),
+        'accuracy': (tp + tn) / max(len(target), 1),
+        'false_alarm_rate': fp / max(fp + tn, 1),
+        'miss_rate': fn / max(fn + tp, 1),
+    }

@@ -270,3 +270,25 @@ class TransformerDecoder(Module):
         if self.final_norm is not None:
             x = self.final_norm(x)
         return x
+
+
+class PositionalConvEmbedding(Module):
+    """Convolutional relative positional embedding (wav2vec2-style).
+
+    Reference parity: ``mk/modules/transformer.py:151``.
+    """
+
+    def __init__(self, d_model, kernel_size=128, groups=16):
+        self.conv = nn.Conv1d(
+            d_model, d_model, kernel_size, padding=kernel_size // 2,
+            groups=groups)
+        self.kernel_size = kernel_size
+
+    def forward(self, x):
+        """x: (B, T, D) -> x + conv positional features."""
+        h = jnp.swapaxes(x, 1, 2)
+        h = self.conv(h)
+        if self.kernel_size % 2 == 0:
+            h = h[..., :-1]
+        h = jax.nn.gelu(h)
+        return x + jnp.swapaxes(h, 1, 2)

@@ -508,6 +508,16 @@ class ValidationHook(SummaryHook):
             self.n_degradations += 1
         else:
             self.n_degradations = 0
+        # persist the ranking next to the checkpoints (reference layout:
+        # checkpoints/ckpt_ranking.json)
+        import json
+        ranking_file = ckpt_dir / 'ckpt_ranking.json'
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        ranking_file.write_text(json.dumps({
+            'metric': self.metric,
+            'maximize': self.maximize,
+            'ranking': [list(pair) for pair in self.ckpt_ranking],
+        }, indent=2))
 
     def post_step(self, trainer, example, model_out, review):
         if trainer.iteration == self.last_validation:

@@ -308,6 +308,7 @@ def test_run(
                     'ckpt_best_loss.ptt',
                     'ckpt_0.ptt',
                     'ckpt_2.ptt',
+                    'ckpt_ranking.json',
                 }
                 assert checkpoint_names == expect, (
                     checkpoint_names, expect)
