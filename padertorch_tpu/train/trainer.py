@@ -302,11 +302,49 @@ class Trainer(Configurable):
             return self._opt_step(params, grads, opt_states)
         return apply_step
 
+    _DONATE = {
+        # donate old params/static(buffers)/opt_state: the step returns
+        # fresh ones, so XLA can reuse their HBM in place (halves peak
+        # memory for model + optimizer state)
+        'train': (0, 1, 2),
+        # accumulation reuses params across microbatches: donate only the
+        # grad accumulator and the buffer tree
+        'accum': (1, 2),
+        'apply': (0, 1, 2),
+        'val': (),
+    }
+
     def _get_fn(self, name, factory):
         if name not in self._step_fns:
             fn = factory()
-            self._step_fns[name] = jax.jit(fn) if self.jit else fn
+            counter = {'count': 0}
+
+            def counted(*args, __fn=fn, __counter=counter, **kwargs):
+                __counter['count'] += 1
+                return __fn(*args, **kwargs)
+
+            if self.jit:
+                jitted = jax.jit(
+                    counted,
+                    donate_argnums=self._DONATE.get(name, ()))
+            else:
+                jitted = counted
+            jitted._trace_counter = counter
+            self._step_fns[name] = jitted
         return self._step_fns[name]
+
+    @property
+    def num_traces(self):
+        """Total (re)compilations of the step functions so far.
+
+        A recompilation-storm guard: with bucketed shapes this stays at a
+        handful (train/eval x snapshot-flag x shape buckets).
+        """
+        return {
+            name: fn._trace_counter['count']
+            for name, fn in self._step_fns.items()
+            if hasattr(fn, '_trace_counter')
+        }
 
     def _make_val_step(self):
         def val_step(params, static, example, key, loss_weights):
@@ -499,6 +537,11 @@ class Trainer(Configurable):
                                     params, static, grad_accum,
                                     device_example, key, loss_weights)
 
+                        # Sync fresh arrays into the live model right
+                        # away: the old ones may have been DONATED to the
+                        # step (deleted), and hooks/error dumps read
+                        # self.model.
+                        ptmodule.inplace_update(self.model, params, static)
                         self._check_prev_loss_finite()
                         self._prev_loss = loss
 
@@ -517,15 +560,13 @@ class Trainer(Configurable):
                                     params, self._opt_states, grad_accum)
                                 self._set_opt_states(new_states)
                                 self._record_optimizer_summary(norms)
-                            ptmodule.inplace_update(
-                                self.model, params, static)
+                                ptmodule.inplace_update(
+                                    self.model, params, static)
                             optimizer_summary = self._optimizer_summary
                             self._optimizer_summary = None
                             for hook in hooks:
                                 hook.post_optimize(self, optimizer_summary)
                         self.iteration += 1
-                    else:
-                        ptmodule.inplace_update(self.model, params, static)
 
         except StopTraining:
             pass

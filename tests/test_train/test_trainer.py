@@ -274,3 +274,36 @@ def test_tfevents_written_and_readable(tmp_path):
     assert 'validation/loss' in tags, tags
     assert 'training/grad_norm' in tags, tags
     assert 'training/accuracy' in tags, tags
+
+
+def test_recompilation_budget(tmp_path):
+    """With fixed shapes, the step compiles only a handful of programs."""
+    trainer = make_trainer(tmp_path / 'exp')
+    tr, dt = get_datasets()
+    trainer.register_validation_hook(dt)
+    trainer.train(tr)
+    traces = trainer.num_traces
+    # one train program (+1 for the snapshot-flag flip) and one val
+    # program (+1 snapshot variant)
+    assert traces.get('train', 0) <= 3, traces
+    assert traces.get('val', 0) <= 3, traces
+
+
+def test_no_array_leak_across_steps(tmp_path):
+    """Memory hygiene (reference test_trainer.py:565): training must not
+    accumulate live device arrays across iterations."""
+    import gc
+    trainer = make_trainer(tmp_path / 'exp')
+    tr, dt = get_datasets()
+    trainer.train(tr)
+    gc.collect()
+    n_after_first = len(jax.live_arrays())
+
+    trainer2 = make_trainer(tmp_path / 'exp2')
+    trainer2.hooks[-1].trigger.period = 4  # 4 epochs
+    trainer2.train(tr)
+    gc.collect()
+    n_after_second = len(jax.live_arrays())
+    # 2x the epochs must not mean more live arrays (+small slack)
+    assert n_after_second < n_after_first + 50, (
+        n_after_first, n_after_second)
