@@ -181,3 +181,21 @@ def track(root: Module, trackers=None):
         yield report
     finally:
         Module.__call__ = original_call
+
+
+def profile_trace(log_dir, fn, *args, steps=3, **kwargs):
+    """Capture a device profile of ``fn`` into a TensorBoard trace.
+
+    The device-side complement of :func:`track` (which times host-side
+    module calls): wraps ``jax.profiler.trace`` so XLA kernel timelines
+    show up under the `Profile` tab of tensorboard.
+
+    Returns the last result of ``fn``.
+    """
+    import jax
+    with jax.profiler.trace(str(log_dir)):
+        out = None
+        for _ in range(steps):
+            out = fn(*args, **kwargs)
+        jax.block_until_ready(out)
+    return out

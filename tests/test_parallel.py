@@ -1,0 +1,59 @@
+"""Data-parallel mesh tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import padertorch_tpu as pt
+from padertorch_tpu import nn
+from padertorch_tpu import random as ptrandom
+from padertorch_tpu.module import partition
+from padertorch_tpu.parallel import (
+    make_mesh, DataParallel, replicate, shard_batch, data_sharding,
+)
+
+
+def test_mesh_and_shardings():
+    mesh = make_mesh()
+    assert mesh.shape['data'] == len(jax.devices())
+    dp = DataParallel(mesh)
+    batch = {'x': np.ones((16, 4), 'float32'), 'id': ['a'] * 16,
+             'scalar': np.float32(1.0)}
+    sharded = dp.shard(batch)
+    assert len(sharded['x'].sharding.device_set) == len(jax.devices())
+    assert sharded['id'] == ['a'] * 16  # host leaves pass through
+
+
+def test_data_parallel_step_equals_single_device(tmp_path):
+    """The sharded fused step computes the same update as unsharded."""
+    from padertorch_tpu.train.trainer import Trainer
+    from tests.test_train.test_trainer import MnistModel
+
+    mesh = make_mesh()
+    dp = DataParallel(mesh)
+
+    def run(sharding, model_seed=0):
+        ptrandom.seed(model_seed)
+        model = MnistModel()
+        if sharding is not None:
+            model = replicate(model, mesh)
+        trainer = Trainer(
+            model=model, storage_dir=tmp_path / 'x',
+            optimizer=pt.Adam(lr=1e-2), sharding=sharding)
+        trainer.iteration = 0
+        rng = np.random.RandomState(0)
+        batch = {
+            'image': rng.rand(16, 28, 28).astype('float32'),
+            'digit': rng.randint(0, 10, 16).astype('int32'),
+        }
+        batch = trainer._example_to_device(batch)
+        params, static = partition(trainer.model)
+        step = trainer._get_fn('train', trainer._make_train_step)
+        out = step(params, static, trainer._opt_states, batch,
+                   jax.random.PRNGKey(0), None)
+        return np.asarray(out[3]), jax.device_get(
+            jax.tree_util.tree_leaves(out[0])[0])
+
+    loss_dp, w_dp = run(dp)
+    loss_single, w_single = run(None)
+    np.testing.assert_allclose(loss_dp, loss_single, rtol=1e-5)
+    np.testing.assert_allclose(w_dp, w_single, rtol=1e-4, atol=1e-6)
