@@ -80,6 +80,11 @@ class _RNNBase(Module):
         # static unroll factor of the time scan: trades compile time and
         # code size for less loop overhead on latency-bound small batches
         self.scan_unroll = 1
+        # 'scan' (lax.scan) or 'pallas' (ops.pallas.lstm fused cell-scan
+        # kernel; LSTM only).  The Pallas kernel's custom VJP makes the
+        # *training* path ~1.75x faster (it reuses stored activations
+        # instead of replaying the recurrence); forward-only is at parity.
+        self.backend = 'scan'
         num_directions = 2 if bidirectional else 1
         g = self.gates
         bound = 1.0 / jnp.sqrt(hidden_size).item()
@@ -112,6 +117,9 @@ class _RNNBase(Module):
 
     def _scan_direction(self, x, mask, w_ih, w_hh, b, init_carry):
         """x: (B, T, D); mask: (B, T) or None. Returns (out (B, T, H), carry)."""
+        if self.backend == 'pallas' and self.gates == 4:
+            return self._pallas_direction(
+                x, mask, w_ih, w_hh, b, init_carry)
         if self.compute_dtype is not None:
             cd = jnp.dtype(self.compute_dtype)
             x = x.astype(cd)
@@ -153,6 +161,9 @@ class _RNNBase(Module):
         w_ih2/w_hh2: (2, D, GH); the input projection uses a block einsum
         so each half of the batch hits its direction's weights.
         """
+        if self.backend == 'pallas' and self.gates == 4:
+            return self._pallas_two_directions(
+                x2, mask2, w_ih2, w_hh2, b2, init, batch)
         b2b = x2.shape[0]
         x_pair = x2.reshape(2, b2b // 2, *x2.shape[1:])  # (2, B, T, D)
         if self.compute_dtype is not None:
@@ -311,6 +322,60 @@ class LSTM(_RNNBase):
         c = f * c + i * g
         h = o * jnp.tanh(c)
         return (h, c), h
+
+    # -- Pallas fused cell-scan backend -----------------------------------
+    @staticmethod
+    def _pallas_interpret():
+        # the kernel is TPU-only; run the interpreter on CPU so tests and
+        # the virtual multi-chip dryrun execute the same code path
+        return jax.default_backend() != 'tpu'
+
+    def _pallas_gates_x(self, x, w_ih, b, einsum=None):
+        """Big input projection outside the kernel (bf16-able, batched
+        over T).  Returns f32 (T, B, 4H)."""
+        if self.compute_dtype is not None:
+            cd = jnp.dtype(self.compute_dtype)
+            x = x.astype(cd)
+            w_ih = w_ih.astype(cd)
+        if einsum is None:
+            gates_x = jnp.dot(
+                x, w_ih, preferred_element_type=jnp.float32)
+        else:
+            gates_x = jnp.einsum(
+                einsum, x, w_ih, preferred_element_type=jnp.float32)
+        if b is not None:
+            gates_x = gates_x + b
+        return gates_x
+
+    def _pallas_direction(self, x, mask, w_ih, w_hh, b, init_carry):
+        from padertorch_tpu.ops.pallas.lstm import lstm_cell_scan
+        gates_x = self._pallas_gates_x(x, w_ih, b)  # (B, T, 4H)
+        gates_x_t = jnp.swapaxes(gates_x, 0, 1)
+        mask_t = None if mask is None else jnp.swapaxes(mask, 0, 1)
+        h0, c0 = init_carry
+        out_t, h_t, c_t = lstm_cell_scan(
+            gates_x_t, w_hh.astype(jnp.float32), mask_t,
+            h0.astype(jnp.float32), c0.astype(jnp.float32),
+            self._pallas_interpret(), self.compute_dtype)
+        return jnp.swapaxes(out_t, 0, 1), (h_t, c_t)
+
+    def _pallas_two_directions(self, x2, mask2, w_ih2, w_hh2, b2, init,
+                               batch):
+        from padertorch_tpu.ops.pallas.lstm import lstm_cell_scan
+        b2b = x2.shape[0]
+        x_pair = x2.reshape(2, b2b // 2, *x2.shape[1:])  # (2, B, T, D)
+        bias = None if b2 is None else b2[:, None, None, :]
+        gates_x = self._pallas_gates_x(
+            x_pair, w_ih2, bias, einsum='dbtf,dfg->dbtg')
+        gates_x = gates_x.reshape(b2b, *gates_x.shape[2:])
+        gates_x_t = jnp.swapaxes(gates_x, 0, 1)  # (T, 2B, 4H)
+        mask_t = None if mask2 is None else jnp.swapaxes(mask2, 0, 1)
+        h0, c0 = init
+        out_t, h_t, c_t = lstm_cell_scan(
+            gates_x_t, w_hh2.astype(jnp.float32), mask_t,
+            h0.astype(jnp.float32), c0.astype(jnp.float32),
+            self._pallas_interpret(), self.compute_dtype)
+        return jnp.swapaxes(out_t, 0, 1), (h_t, c_t)
 
 
 class GRU(_RNNBase):

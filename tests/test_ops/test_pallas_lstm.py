@@ -1,0 +1,119 @@
+"""Equivalence of the Pallas LSTM cell-scan kernel vs the lax.scan path.
+
+On CPU the kernel runs in interpret mode (same code path the TPU compiles);
+numerics must match the scan backend, including masked variable-length
+batches, bidirectional direction stacking, and gradients.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from padertorch_tpu import random as ptrandom
+from padertorch_tpu.module import partition, combine
+from padertorch_tpu.modules.recurrent import LSTM
+from padertorch_tpu.ops.pallas.lstm import lstm_cell_scan
+
+
+def _ref_cell_scan(gates_x, w_hh, mask, h0, c0):
+    def step(carry, inp):
+        h, c = carry
+        gx, m = inp
+        gates = gx + jnp.dot(h, w_hh, preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, -1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        if m is not None:
+            mm = m[:, None]
+            h_new = jnp.where(mm > 0, h_new, h)
+            c_new = jnp.where(mm > 0, c_new, c)
+            return (h_new, c_new), h_new * mm
+        return (h_new, c_new), h_new
+
+    if mask is None:
+        (h_t, c_t), out = jax.lax.scan(
+            lambda c, gx: step(c, (gx, None)), (h0, c0), gates_x)
+    else:
+        (h_t, c_t), out = jax.lax.scan(step, (h0, c0), (gates_x, mask))
+    return out, h_t, c_t
+
+
+@pytest.mark.parametrize('use_mask', [False, True])
+def test_kernel_matches_scan(use_mask):
+    t, b, h = 10, 8, 128
+    rng = np.random.RandomState(int(use_mask))
+    gates_x = jnp.asarray(rng.randn(t, b, 4 * h) * 0.3, 'float32')
+    w_hh = jnp.asarray(rng.randn(h, 4 * h) * 0.1, 'float32')
+    h0 = jnp.asarray(rng.randn(b, h) * 0.1, 'float32')
+    c0 = jnp.asarray(rng.randn(b, h) * 0.1, 'float32')
+    mask = None
+    if use_mask:
+        lens = rng.randint(1, t + 1, b)
+        mask = jnp.asarray(np.arange(t)[:, None] < lens[None, :],
+                           'float32')
+
+    out_p = lstm_cell_scan(gates_x, w_hh, mask, h0, c0, True)
+    out_r = _ref_cell_scan(gates_x, w_hh, mask, h0, c0)
+    for a, b_ in zip(out_p, out_r):
+        np.testing.assert_allclose(a, b_, atol=1e-5)
+
+    def loss(fn):
+        def wrapped(gx, w, h0_, c0_):
+            o, ht, ct = fn(gx, w, mask, h0_, c0_)
+            return jnp.sum(o ** 2) + jnp.sum(ht) + jnp.sum(ct * 0.5)
+        return jax.grad(wrapped, argnums=(0, 1, 2, 3))
+
+    pallas_fn = lambda gx, w, m, a, c: lstm_cell_scan(  # noqa: E731
+        gx, w, m, a, c, True)
+    g_p = loss(pallas_fn)(gates_x, w_hh, h0, c0)
+    g_r = loss(_ref_cell_scan)(gates_x, w_hh, h0, c0)
+    for a, b_, name in zip(g_p, g_r, ['dgx', 'dw_hh', 'dh0', 'dc0']):
+        np.testing.assert_allclose(a, b_, atol=2e-4, rtol=1e-4,
+                                   err_msg=name)
+
+
+@pytest.mark.parametrize('bidirectional', [False, True])
+def test_lstm_backend_pallas_matches_scan(bidirectional):
+    """Module-level: LSTM(backend='pallas') == LSTM(backend='scan'),
+    outputs and parameter gradients, with variable lengths."""
+    ptrandom.seed(7)
+    lstm = LSTM(32, 64, num_layers=2, bidirectional=bidirectional)
+    b, t = 4, 12
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(b, t, 32), 'float32')
+    seq_lens = jnp.asarray([12, 7, 9, 3])
+
+    def run(backend, xx):
+        lstm.backend = backend
+        out, (h, c) = lstm(xx, seq_lens=seq_lens)
+        return out, h, c
+
+    out_s, h_s, c_s = run('scan', x)
+    out_p, h_p, c_p = run('pallas', x)
+    np.testing.assert_allclose(out_p, out_s, atol=1e-5)
+    np.testing.assert_allclose(h_p, h_s, atol=1e-5)
+    np.testing.assert_allclose(c_p, c_s, atol=1e-5)
+
+    # parameter + input gradients
+    def grads(backend):
+        lstm.backend = backend
+        params, static = partition(lstm)
+
+        def loss(params, xx):
+            m = combine(params, static)
+            out, (h, c) = m(xx, seq_lens=seq_lens)
+            return jnp.sum(out ** 2) + jnp.sum(h) + jnp.sum(c)
+
+        return jax.grad(loss, argnums=(0, 1))(params, x)
+
+    gp_s, gx_s = grads('scan')
+    gp_p, gx_p = grads('pallas')
+    np.testing.assert_allclose(gx_p, gx_s, atol=2e-4, rtol=1e-4)
+    flat_s = jax.tree_util.tree_leaves(gp_s)
+    flat_p = jax.tree_util.tree_leaves(gp_p)
+    assert len(flat_s) == len(flat_p)
+    for a, b_ in zip(flat_p, flat_s):
+        np.testing.assert_allclose(a, b_, atol=2e-4, rtol=1e-4)
