@@ -1,0 +1,328 @@
+"""ParallelWaveGAN vocoder, TPU-native.
+
+Reference parity: ``padertorch/contrib/mk/synthesis/vocoder/pwg.py`` —
+the reference wraps pretrained torch checkpoints from the
+``parallel_wavegan`` package (kan-bayashi) for CPU/GPU inference.  Here
+the **generator architecture itself is implemented in JAX** (it is a
+feedforward non-causal WaveNet: one conv stack, fully parallel over
+time — exactly what the TPU wants; no autoregression), plus a weight
+importer that converts a kan-bayashi checkpoint's generator state_dict
+(torch is used only for deserialization — no network access needed if
+the checkpoint is local).
+
+Synthesis is one jitted forward: ~mel frames -> waveform in a single
+XLA program, batchable over utterances.
+"""
+import math
+from pathlib import Path
+import typing as tp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from padertorch_tpu import nn
+from padertorch_tpu.base import Module
+from padertorch_tpu import random as ptrandom
+from padertorch_tpu.contrib.mk.synthesis.base import Synthesis
+
+__all__ = ['ParallelWaveGANGenerator', 'PWGVocoder',
+           'load_pwg_generator']
+
+
+class _ResidualBlock(Module):
+    """Non-causal WaveNet residual block with aux conditioning
+    (parallel_wavegan.layers.residual_block.ResidualBlock semantics)."""
+
+    def __init__(self, residual_channels, gate_channels, skip_channels,
+                 aux_channels, kernel_size, dilation):
+        self.dilation = dilation
+        self.kernel_size = kernel_size
+        self.conv = nn.Conv1d(
+            residual_channels, gate_channels, kernel_size,
+            dilation=dilation)
+        self.conv_aux = nn.Conv1d(
+            aux_channels, gate_channels, 1, bias=False)
+        half = gate_channels // 2
+        self.conv_out = nn.Conv1d(half, residual_channels, 1)
+        self.conv_skip = nn.Conv1d(half, skip_channels, 1)
+
+    def forward(self, x, c):
+        """x: (B, R, T) residual; c: (B, A, T) upsampled aux."""
+        pad = (self.kernel_size - 1) // 2 * self.dilation
+        y = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)))
+        y = self.conv(y)
+        y = y + self.conv_aux(c)
+        a, b = jnp.split(y, 2, axis=1)
+        z = jnp.tanh(a) * jax.nn.sigmoid(b)
+        res = (x + self.conv_out(z)) * math.sqrt(0.5)
+        skip = self.conv_skip(z)
+        return res, skip
+
+
+class _UpsampleNetwork(Module):
+    """Nearest-neighbor stretch + smoothing convs per scale
+    (parallel_wavegan ConvInUpsampleNetwork)."""
+
+    def __init__(self, aux_channels, upsample_scales,
+                 aux_context_window=2):
+        self.aux_context_window = aux_context_window
+        self.upsample_scales = list(upsample_scales)
+        k = 2 * aux_context_window + 1
+        self.conv_in = nn.Conv1d(aux_channels, aux_channels, k,
+                                 bias=False)
+        # one (1, 2*scale+1) smoothing conv per scale, acting on the
+        # (freq, time) plane with a single channel
+        self.up_convs = [
+            nn.Conv2d(1, 1, (1, 2 * s + 1), bias=False)
+            for s in self.upsample_scales
+        ]
+
+    def forward(self, c):
+        """c: (B, A, T') -> (B, A, T' * prod(scales)).
+
+        The caller is responsible for providing ``aux_context_window``
+        extra frames on both sides (or accepting shrinkage)."""
+        pad = self.aux_context_window
+        if pad:
+            c = jnp.pad(c, ((0, 0), (0, 0), (pad, pad)), mode='edge')
+        c = self.conv_in(c)
+        c = c[:, None]  # (B, 1, A, T)
+        for s, conv in zip(self.upsample_scales, self.up_convs):
+            c = jnp.repeat(c, s, axis=-1)  # nearest-neighbor stretch
+            c = jnp.pad(c, ((0, 0), (0, 0), (0, 0), (s, s)))
+            c = conv(c)
+        return c[:, 0]
+
+
+class ParallelWaveGANGenerator(Module):
+    """PWG generator: noise + upsampled log-mel -> waveform.
+
+    Defaults follow kan-bayashi's published configs (30 layers,
+    3 stacks, 64/128/64 channels, 80 mels, hop 256 via scales
+    [4, 4, 4, 4]).
+    """
+
+    def __init__(self, in_channels=1, out_channels=1, kernel_size=3,
+                 layers=30, stacks=3, residual_channels=64,
+                 gate_channels=128, skip_channels=64, aux_channels=80,
+                 aux_context_window=2,
+                 upsample_scales=(4, 4, 4, 4)):
+        assert layers % stacks == 0
+        layers_per_stack = layers // stacks
+        self.first_conv = nn.Conv1d(in_channels, residual_channels, 1)
+        self.upsample_net = _UpsampleNetwork(
+            aux_channels, upsample_scales, aux_context_window)
+        self.blocks = [
+            _ResidualBlock(
+                residual_channels, gate_channels, skip_channels,
+                aux_channels, kernel_size,
+                dilation=2 ** (i % layers_per_stack))
+            for i in range(layers)
+        ]
+        self.last_conv1 = nn.Conv1d(skip_channels, skip_channels, 1)
+        self.last_conv2 = nn.Conv1d(skip_channels, out_channels, 1)
+        self.aux_channels = aux_channels
+        self.aux_context_window = aux_context_window
+        self.upsample_factor = int(np.prod(upsample_scales))
+        self.layers = layers
+
+    def forward(self, z, c):
+        """z: (B, 1, T) noise; c: (B, A, T') mel with
+        T = T' * upsample_factor.  Returns (B, out_channels, T)."""
+        c_up = self.upsample_net(c)
+        # edge-pad context may leave c_up longer than T; center-crop
+        t = z.shape[-1]
+        extra = c_up.shape[-1] - t
+        if extra > 0:
+            c_up = c_up[..., extra // 2:extra // 2 + t]
+        x = self.first_conv(z)
+        skips = 0.0
+        for block in self.blocks:
+            x, s = block(x, c_up)
+            skips = skips + s
+        skips = skips * math.sqrt(1.0 / self.layers)
+        y = jax.nn.relu(skips)
+        y = jax.nn.relu(self.last_conv1(y))
+        return self.last_conv2(y)
+
+    def inference(self, c, key=None):
+        """c: (B, A, T') or (A, T') mel -> (B, T) waveform."""
+        squeeze = c.ndim == 2
+        if squeeze:
+            c = c[None]
+        t = c.shape[-1] * self.upsample_factor
+        if key is None:
+            try:
+                key = ptrandom.next_key()     # inside a step context
+            except RuntimeError:
+                key = ptrandom.init_key()     # standalone synthesis
+        z = jax.random.normal(key, (c.shape[0], 1, t), jnp.float32)
+        y = self.forward(z, c)
+        y = y[:, 0]
+        return y[0] if squeeze else y
+
+
+def _copy_conv(conv, sd, prefix):
+    """torch Conv state_dict entry -> our nn.Conv weights (in place)."""
+    w = np.asarray(sd[f'{prefix}.weight'])
+    # torch conv1d weight: (out, in, k); ours: same layout
+    conv.weight = jnp.asarray(w)
+    if f'{prefix}.bias' in sd:
+        conv.bias = jnp.asarray(np.asarray(sd[f'{prefix}.bias']))
+    return conv
+
+
+def load_pwg_generator(checkpoint_path, config=None):
+    """Build a :class:`ParallelWaveGANGenerator` from a kan-bayashi
+    ``parallel_wavegan`` checkpoint (``*.pkl`` with
+    ``{'model': {'generator': state_dict}}``).
+
+    The torch checkpoint must have weight norm removed or not applied
+    (published inference checkpoints store plain weights after
+    ``remove_weight_norm``; for training checkpoints the ``weight_g/
+    weight_v`` pairs are merged here).
+    """
+    import torch
+    ckpt = torch.load(checkpoint_path, map_location='cpu',
+                      weights_only=False)
+    sd = {k: v.numpy() for k, v in ckpt['model']['generator'].items()}
+    # merge weight-norm pairs if present
+    merged = {}
+    for k in list(sd):
+        if k.endswith('weight_v'):
+            base = k[:-len('_v')]
+            g = sd[base + '_g']
+            v = sd[k]
+            norm = np.sqrt((v ** 2).sum(
+                axis=tuple(range(1, v.ndim)), keepdims=True))
+            merged[base] = g * v / norm
+        elif k.endswith('weight_g'):
+            continue
+        else:
+            merged[k] = sd[k]
+    sd = merged
+
+    if config is None:
+        config = {}
+    gen_params = dict(config.get('generator_params', config))
+    gen_params = {
+        k.replace('upsample_kernal_sizes', 'upsample_kernel_sizes'): v
+        for k, v in gen_params.items()
+    }
+    # infer sizes from the state dict when not configured
+    layers = len({k.split('.')[1] for k in sd
+                  if k.startswith('conv_layers.')})
+    first_w = sd['first_conv.weight']
+    kwargs = dict(
+        in_channels=first_w.shape[1],
+        residual_channels=first_w.shape[0],
+        layers=layers,
+        kernel_size=sd['conv_layers.0.conv.weight'].shape[-1],
+        gate_channels=sd['conv_layers.0.conv.weight'].shape[0],
+        skip_channels=sd['conv_layers.0.conv1x1_skip.weight'].shape[0],
+        aux_channels=sd['conv_layers.0.conv1x1_aux.weight'].shape[1],
+        out_channels=sd['last_conv_layers.3.weight'].shape[0],
+    )
+    # upsample scales from the smoothing-conv kernel widths (1, 2s+1)
+    up_keys = sorted(
+        (k for k in sd
+         if k.startswith('upsample_net.upsample.up_layers.')
+         and k.endswith('.weight')),
+        key=lambda k: int(k.split('.')[3]))
+    if up_keys:
+        kwargs['upsample_scales'] = [
+            (sd[k].shape[-1] - 1) // 2 for k in up_keys]
+    if 'upsample_net.conv_in.weight' in sd:
+        kwargs['aux_context_window'] = (
+            sd['upsample_net.conv_in.weight'].shape[-1] - 1) // 2
+    for key in ('stacks', 'aux_context_window', 'upsample_scales'):
+        if key in gen_params:
+            kwargs[key] = gen_params[key]
+    gen = ParallelWaveGANGenerator(**kwargs)
+
+    _copy_conv(gen.first_conv, sd, 'first_conv')
+    for i, block in enumerate(gen.blocks):
+        _copy_conv(block.conv, sd, f'conv_layers.{i}.conv')
+        _copy_conv(block.conv_aux, sd, f'conv_layers.{i}.conv1x1_aux')
+        _copy_conv(block.conv_out, sd, f'conv_layers.{i}.conv1x1_out')
+        _copy_conv(block.conv_skip, sd, f'conv_layers.{i}.conv1x1_skip')
+    _copy_conv(gen.last_conv1, sd, 'last_conv_layers.1')
+    _copy_conv(gen.last_conv2, sd, 'last_conv_layers.3')
+    up_prefix = 'upsample_net.conv_in'
+    if f'{up_prefix}.weight' in sd:
+        _copy_conv(gen.upsample_net.conv_in, sd, up_prefix)
+    for i, conv in enumerate(gen.upsample_net.up_convs):
+        for cand in (
+                f'upsample_net.upsample.up_layers.{2 * i + 1}',
+                f'upsample_net.upsample.up_layers.{i}.conv'):
+            if f'{cand}.weight' in sd:
+                _copy_conv(conv, sd, cand)
+                break
+    return gen
+
+
+class PWGVocoder(Synthesis):
+    """Mel -> waveform synthesis with a (possibly imported) PWG
+    generator; z-normalizes the input mel with training stats like the
+    reference's ``normalize_before``.
+
+    Reference parity: ``mk/synthesis/vocoder/pwg.py:179`` (``Vocoder``),
+    minus the checkpoint *download* (zero-egress environment — pass a
+    local checkpoint directory instead).
+    """
+
+    def __init__(self, generator=None, checkpoint_dir=None,
+                 normalize_before=True, sampling_rate=22050,
+                 postprocessing=None):
+        if generator is None:
+            if checkpoint_dir is None:
+                generator = ParallelWaveGANGenerator()
+            else:
+                checkpoint_dir = Path(checkpoint_dir)
+                pkls = sorted(checkpoint_dir.glob('*.pkl'))
+                assert pkls, f'no *.pkl checkpoint in {checkpoint_dir}'
+                config = {}
+                cfg_file = checkpoint_dir / 'config.yml'
+                if cfg_file.exists():
+                    try:
+                        import yaml
+                        config = yaml.safe_load(cfg_file.read_text())
+                    except ImportError:
+                        pass
+                generator = load_pwg_generator(pkls[-1], config)
+                stats_file = checkpoint_dir / 'stats.npy'
+                if stats_file.exists():
+                    stats = np.load(stats_file)
+                    self.register_buffer(
+                        'mean', jnp.asarray(stats[0], jnp.float32))
+                    self.register_buffer(
+                        'scale', jnp.asarray(stats[1], jnp.float32))
+        self.generator = generator
+        self.normalize_before = normalize_before
+        self.sampling_rate = sampling_rate
+        self.postprocessing = postprocessing
+        if not hasattr(self, 'mean'):
+            self.register_buffer(
+                'mean', jnp.zeros((generator.aux_channels,), jnp.float32))
+            self.register_buffer(
+                'scale', jnp.ones((generator.aux_channels,), jnp.float32))
+
+    def forward(self, mel, sequence_lengths=None, key=None):
+        """mel: (B, T', A) or (T', A) log-mel -> waveform (B, T)/(T,)."""
+        mel = jnp.asarray(mel, jnp.float32)
+        squeeze = mel.ndim == 2
+        if squeeze:
+            mel = mel[None]
+        if self.normalize_before:
+            mel = (mel - self.mean) / self.scale
+        c = jnp.swapaxes(mel, -1, -2)  # (B, A, T')
+        y = self.generator.inference(c, key=key)
+        if sequence_lengths is not None:
+            f = self.generator.upsample_factor
+            mask = (jnp.arange(y.shape[-1])[None, :]
+                    < f * jnp.asarray(sequence_lengths)[:, None])
+            y = y * mask
+        if self.postprocessing is not None:
+            y = self.postprocessing(y)
+        return y[0] if squeeze else y
