@@ -162,16 +162,19 @@ class ConvTranspose2d(_ConvBase):
 class _Pool(Module):
     n = 1
 
-    def __init__(self, pool_type='max', pool_size=2):
+    def __init__(self, pool_type='max', pool_size=2, pool_stride=None):
         self.pool_type = pool_type
         self.pool_size = pool_size
+        self.pool_stride = pool_size if pool_stride is None \
+            else pool_stride
 
     def forward(self, x, seq_len=None):
-        if self.pool_size in (1, None):
+        if self.pool_type is None or self.pool_size in (1, None):
             return x, seq_len
         k = to_list(self.pool_size, self.n)
+        s = to_list(self.pool_stride, self.n)
         window = (1, 1) + tuple(k)
-        strides = window
+        strides = (1, 1) + tuple(s)
         if self.pool_type == 'max':
             y = jax.lax.reduce_window(
                 x, -jnp.inf, jax.lax.max, window[:x.ndim],
@@ -183,8 +186,11 @@ class _Pool(Module):
         else:
             raise ValueError(self.pool_type)
         if seq_len is not None:
-            seq_len = np.asarray(seq_len) // k[-1] if not hasattr(
-                seq_len, 'dtype') else seq_len // k[-1]
+            seq_len = np.asarray(seq_len) if not hasattr(
+                seq_len, 'dtype') else seq_len
+            seq_len = (seq_len - k[-1]) // s[-1] + 1
+            seq_len = jnp.maximum(seq_len, 1) if hasattr(
+                seq_len, 'dtype') else np.maximum(seq_len, 1)
         return y, seq_len
 
 
@@ -197,9 +203,15 @@ class Pool2d(_Pool):
 
 
 class _CNN(Module):
-    """Stack of convs (+ optional pooling), with length bookkeeping.
+    """Stack of convs (+ optional pooling), with length bookkeeping and
+    projected residual connections.
 
-    Reference parity: ``je/modules/conv.py:954-966``.
+    Reference parity: ``je/modules/conv.py:421-743`` — ``residual_
+    connections[src]`` names the *destination layer index* whose input
+    receives the saved input of layer ``src``; when channels or
+    cumulative stride differ, a 1x1 skip conv (with matching stride)
+    projects the residual, exactly like the reference's
+    ``residual_skip_convs``.
     """
 
     conv_cls = None
@@ -208,81 +220,155 @@ class _CNN(Module):
     def __init__(self, in_channels, out_channels, kernel_size, *,
                  dropout=0.0, pad_type='both', dilation=1, stride=1,
                  norm=None, activation_fn='relu', gated=False,
-                 pool_type='max', pool_size=1, output_activation_fn=None,
-                 residual_connections=None):
+                 pool_type='max', pool_size=1, pool_stride=None,
+                 output_activation_fn=None, residual_connections=None,
+                 pre_activation=False):
         out_channels = list(out_channels)
         num_layers = len(out_channels)
         kernel_sizes = to_list(kernel_size, num_layers)
         dilations = to_list(dilation, num_layers)
         strides = to_list(stride, num_layers)
         pool_sizes = to_list(pool_size, num_layers)
+        pool_strides = to_list(
+            pool_size if pool_stride is None else pool_stride,
+            num_layers)
+        pool_types = to_list(pool_type, num_layers)
         dropouts = to_list(dropout, num_layers)
         norms = to_list(norm, num_layers)
         activations = to_list(activation_fn, num_layers)
         if output_activation_fn is not None:
             activations[-1] = output_activation_fn
-        self.residual_connections = to_list(
+        # normalize to list-of-lists of destination indices
+        rc = to_list(
             residual_connections
             if residual_connections is not None else [None] * num_layers,
             num_layers)
+        self.residual_connections = [
+            [] if dst is None else [int(d) for d in to_list(dst)]
+            for dst in rc
+        ]
         channels = [in_channels] + out_channels
         self.convs = [
             self.conv_cls(
                 channels[i], channels[i + 1], kernel_sizes[i],
                 dropout=dropouts[i], pad_type=pad_type,
                 dilation=dilations[i], stride=strides[i], norm=norms[i],
-                activation_fn=activations[i], gated=gated)
+                activation_fn=activations[i], gated=gated,
+                pre_activation=pre_activation)
             for i in range(num_layers)
         ]
         self.pools = [
-            self.pool_cls(pool_type=pool_type, pool_size=pool_sizes[i])
+            self.pool_cls(pool_type=pool_types[i],
+                          pool_size=pool_sizes[i],
+                          pool_stride=pool_strides[i])
             for i in range(num_layers)
         ]
+        # skip projections where channels or cumulative stride mismatch
+        self.kernel_sizes = kernel_sizes
+        self.dilations = dilations
+        self.strides = strides
+        self.pool_sizes = pool_sizes
+        self.pool_strides = pool_strides
+        self.num_layers = num_layers
+        skip_convs = {}
+        for src, dsts in enumerate(self.residual_connections):
+            for dst in dsts:
+                assert src < dst <= num_layers, (src, dst)
+                cum_stride = 1
+                for j in range(src, dst):
+                    cum_stride *= strides[j] * pool_strides[j]
+                if channels[src] != channels[dst] or cum_stride != 1:
+                    skip_convs[f'{src}->{dst}'] = self.conv_cls(
+                        channels[src], channels[dst], 1,
+                        stride=cum_stride, activation_fn='identity')
+        self.residual_skip_convs = skip_convs
         self.out_channels = out_channels[-1]
 
     def forward(self, x, seq_len=None):
-        residuals = {}
+        saved = {}
         for i, (conv, pool) in enumerate(zip(self.convs, self.pools)):
-            dst = self.residual_connections[i]
-            if dst is not None:
-                residuals.setdefault(int(dst), []).append(x)
-            x, seq_len = conv(x, seq_len)
-            for res in residuals.pop(i, []):
+            for src, res in saved.pop(i, []):
+                key = f'{src}->{i}'
+                if key in self.residual_skip_convs:
+                    res, _ = self.residual_skip_convs[key](res)
                 if res.shape == x.shape:
                     x = x + res
+            for dst in self.residual_connections[i]:
+                saved.setdefault(dst, []).append((i, x))
+            x, seq_len = conv(x, seq_len)
             x, seq_len = pool(x, seq_len)
+        # destinations == num_layers attach to the output
+        for src, res in saved.pop(self.num_layers, []):
+            key = f'{src}->{self.num_layers}'
+            if key in self.residual_skip_convs:
+                res, _ = self.residual_skip_convs[key](res)
+            if res.shape == x.shape:
+                x = x + res
         return x, seq_len
+
+    def get_receptive_field(self):
+        """Receptive field (reference je/modules/conv.py:944)."""
+        is_2d = self.n == 2
+        receptive_field = np.ones(1 + is_2d, dtype=int)
+        for i in reversed(range(self.num_layers)):
+            receptive_field *= np.array(
+                to_list(self.pool_strides[i], self.n))
+            receptive_field += (
+                np.array(to_list(self.pool_sizes[i], self.n))
+                - np.array(to_list(self.pool_strides[i], self.n)))
+            receptive_field *= np.array(to_list(self.strides[i], self.n))
+            receptive_field += (
+                1 + (np.array(to_list(self.kernel_sizes[i], self.n)) - 1)
+                * np.array(to_list(self.dilations[i], self.n))
+                - np.array(to_list(self.strides[i], self.n)))
+        return receptive_field
 
 
 class CNN1d(_CNN):
+    n = 1
     conv_cls = Conv1d
     pool_cls = Pool1d
 
 
 class CNN2d(_CNN):
+    n = 2
     conv_cls = Conv2d
     pool_cls = Pool2d
 
 
-def resnet50(in_channels=1, base_planes=64, norm='batch'):
-    """ResNet-50-style CNN2d bottleneck stack builder.
-
-    Reference parity: ``contrib/je/modules/conv.py:970`` (there a CNN2d
-    factory with ResNet-50 layout).  Returns a CNN2d whose channel plan
-    follows (3, 4, 6, 3) bottleneck groups.
+def resnet50(in_channels, out_channels, out_pool_size=1,
+             activation_fn='relu', pre_activation=False, norm='batch'):
+    """ResNet-50 as a CNN2d plan — faithful port of the reference
+    builder (``contrib/je/modules/conv.py:970``): 7x7/2 stem with 3x3/2
+    max pool, (3, 4, 6, 3) bottleneck groups with 1x1-3x3-1x1 convs and
+    projected residual connections, global avg pool, 1x1 classifier.
     """
-    plan = []
-    strides = []
-    for i, blocks in enumerate((3, 4, 6, 3)):
-        planes = base_planes * (2 ** i) * 4
-        for j in range(blocks):
-            plan.append(planes)
-            strides.append(2 if (j == 0 and i > 0) else 1)
+    out_channels = ([64] + 3 * 3 * [64] + 4 * 3 * [128]
+                    + 6 * 3 * [256] + 3 * 3 * [512] + [out_channels])
+    assert len(out_channels) == 50
+    for i in range(3, 50, 3):
+        out_channels[i] *= 4
+    kernel_size = [7] + 49 * [1]
+    for i in range(2, 50, 3):
+        kernel_size[i] *= 3
+    stride = ([2] + 3 * 3 * [1] + [2] + (4 * 3 - 1) * [1]
+              + [2] + (6 * 3 - 1) * [1] + [2] + 3 * 3 * [1])
+    pool_size = [3] + 47 * [1] + [out_pool_size] + [1]
+    pool_stride = [2] + 47 * [1] + [out_pool_size] + [1]
+    pool_type = ['max'] + 47 * [None] + ['avg'] + [None]
+    residual_connections = 50 * [None]
+    for i in range(1, 48, 3):
+        residual_connections[i] = i + 3
     return CNN2d(
         in_channels=in_channels,
-        out_channels=plan,
-        kernel_size=3,
-        stride=strides,
+        out_channels=out_channels,
+        kernel_size=kernel_size,
+        stride=stride,
+        pool_size=pool_size,
+        pool_stride=pool_stride,
+        pool_type=pool_type,
+        residual_connections=residual_connections,
+        activation_fn=activation_fn,
+        pre_activation=pre_activation,
         norm=norm,
-        residual_connections=None,
     )

@@ -79,3 +79,37 @@ def test_cnn_trains():
     total = sum(float(jnp.sum(jnp.abs(v)))
                 for v in jax.tree_util.tree_leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_resnet50_plan():
+    """Faithful reference plan: 50 layers, bottleneck residuals with
+    projected skips, global avg pool (reference je/modules/conv.py:970).
+    """
+    import numpy as np
+    import jax.numpy as jnp
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.contrib.je.modules.conv import resnet50
+    ptrandom.seed(0)
+    net = resnet50(3, 10, out_pool_size=2, norm=None)
+    assert len(net.convs) == 50
+    # 16 bottleneck saves; only channel/stride mismatches get skip convs
+    assert sum(len(d) for d in net.residual_connections) == 16
+    assert len(net.residual_skip_convs) == 5
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 3, 64, 64),
+                    'float32')
+    y, _ = net(x)
+    assert y.shape == (1, 10, 1, 1)
+
+
+def test_cnn_residual_projection_and_receptive_field():
+    import jax.numpy as jnp
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.contrib.je.modules.conv import CNN1d
+    ptrandom.seed(0)
+    # channel change across the skip -> a 1x1 projection must exist
+    cnn = CNN1d(4, [8, 16, 16], 3, residual_connections=[2, None, None])
+    assert '0->2' in cnn.residual_skip_convs
+    o, sl = cnn(jnp.ones((1, 4, 32)), seq_len=[32])
+    assert o.shape == (1, 16, 32) and list(sl) == [32]
+    rf = cnn.get_receptive_field()
+    assert rf[0] == 7  # three stacked 3-convs
