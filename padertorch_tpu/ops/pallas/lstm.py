@@ -60,7 +60,8 @@ def _dir_matmul(x, w_ref, n_dir, transpose=False, cast=None):
 
 def _fwd_kernel(gx_ref, w_ref, mask_ref, h0_ref, c0_ref,
                 out_ref, c_seq_ref, gates_ref, hT_ref, cT_ref,
-                h_scr, c_scr, *, use_mask, n_dir, cast, with_residuals=True):
+                h_scr, c_scr, *, use_mask, n_dir, cast, block_t,
+                with_residuals=True):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -70,41 +71,46 @@ def _fwd_kernel(gx_ref, w_ref, mask_ref, h0_ref, c0_ref,
 
     h = h_scr[:]
     c = c_scr[:]
-    gates = gx_ref[0] + _dir_matmul(h, w_ref, n_dir, cast=cast)
     hdim = h.shape[-1]
-    i = jax.nn.sigmoid(gates[:, :hdim])
-    f = jax.nn.sigmoid(gates[:, hdim:2 * hdim])
-    g = jnp.tanh(gates[:, 2 * hdim:3 * hdim])
-    o = jax.nn.sigmoid(gates[:, 3 * hdim:])
-    c_new = f * c + i * g
-    h_new = o * jnp.tanh(c_new)
-    if use_mask:
-        m = mask_ref[0]  # (B, 1)
-        h_new = jnp.where(m > 0, h_new, h)
-        c_new = jnp.where(m > 0, c_new, c)
-        h_out = h_new * m
-    else:
-        h_out = h_new
-    # residuals for backward
-    if with_residuals:
-        gates_ref[0] = jnp.concatenate([i, f, g, o], axis=-1)
-        c_seq_ref[0] = c
-    out_ref[0] = h_out
-    h_scr[:] = h_new
-    c_scr[:] = c_new
+    # unrolled sub-steps amortize grid/DMA overhead over block_t steps
+    for j in range(block_t):
+        gates = gx_ref[j] + _dir_matmul(h, w_ref, n_dir, cast=cast)
+        i = jax.nn.sigmoid(gates[:, :hdim])
+        f = jax.nn.sigmoid(gates[:, hdim:2 * hdim])
+        g = jnp.tanh(gates[:, 2 * hdim:3 * hdim])
+        o = jax.nn.sigmoid(gates[:, 3 * hdim:])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        if use_mask:
+            m = mask_ref[j]  # (B, 1)
+            h_new = jnp.where(m > 0, h_new, h)
+            c_new = jnp.where(m > 0, c_new, c)
+            h_out = h_new * m
+        else:
+            h_out = h_new
+        # residuals for backward
+        if with_residuals:
+            gates_ref[j] = jnp.concatenate([i, f, g, o], axis=-1)
+            c_seq_ref[j] = c
+        out_ref[j] = h_out
+        h = h_new
+        c = c_new
+    h_scr[:] = h
+    c_scr[:] = c
     n = pl.num_programs(0)
 
     @pl.when(t == n - 1)
     def _():
-        hT_ref[:] = h_new
-        cT_ref[:] = c_new
+        hT_ref[:] = h
+        cT_ref[:] = c
 
 
-def _bwd_kernel(gates_ref, c_seq_ref, out_ref, w_ref,
-                mask_ref, dout_ref, dhT_ref, dcT_ref, h_prev_ref,
-                dgx_ref, dw_ref, dh0_ref, dc0_ref,
-                dh_scr, dc_scr, *, use_mask, n_dir, cast):
-    """Reverse-order grid: program t processes timestep T-1-t."""
+def _bwd_kernel(gates_ref, c_seq_ref, w_ref,
+                mask_ref, dout_ref, dhT_ref, dcT_ref,
+                dgx_ref, dh0_ref, dc0_ref,
+                dh_scr, dc_scr, *, use_mask, n_dir, cast, block_t):
+    """Reverse-order grid: program t processes time block n-1-t,
+    sub-steps in reverse inside the block."""
     t = pl.program_id(0)
     n = pl.num_programs(0)
 
@@ -112,64 +118,68 @@ def _bwd_kernel(gates_ref, c_seq_ref, out_ref, w_ref,
     def _():
         dh_scr[:] = dhT_ref[:]
         dc_scr[:] = dcT_ref[:]
-        dw_ref[:] = jnp.zeros_like(dw_ref)
 
     hdim = dh_scr.shape[-1]
-    gates = gates_ref[0]
-    i = gates[:, :hdim]
-    f = gates[:, hdim:2 * hdim]
-    g = gates[:, 2 * hdim:3 * hdim]
-    o = gates[:, 3 * hdim:]
-    c_prev = c_seq_ref[0]
-    # c at this step: recompute from stored pieces
-    c_t = f * c_prev + i * g
-    tanh_c = jnp.tanh(c_t)
+    dh_carry = dh_scr[:]
+    dc_carry = dc_scr[:]
+    for j in reversed(range(block_t)):
+        gates = gates_ref[j]
+        i = gates[:, :hdim]
+        f = gates[:, hdim:2 * hdim]
+        g = gates[:, 2 * hdim:3 * hdim]
+        o = gates[:, 3 * hdim:]
+        c_prev = c_seq_ref[j]
+        # c at this step: recompute from stored pieces
+        c_t = f * c_prev + i * g
+        tanh_c = jnp.tanh(c_t)
 
-    dh = dh_scr[:] + dout_ref[0]
-    dc = dc_scr[:]
-    if use_mask:
-        m = mask_ref[0]  # (B, 1)
-    do = dh * tanh_c
-    dc = dc + dh * o * (1 - tanh_c * tanh_c)
-    di = dc * g
-    dg = dc * i
-    df = dc * c_prev
-    dzi = di * i * (1 - i)
-    dzf = df * f * (1 - f)
-    dzg = dg * (1 - g * g)
-    dzo = do * o * (1 - o)
-    dz = jnp.concatenate([dzi, dzf, dzg, dzo], axis=-1)  # (B, 4H)
-    if use_mask:
-        # masked steps: state passed through unchanged -> gate grads are 0
-        # and dh/dc flow straight through
-        dz = dz * m
-        dh_pass = dh_scr[:]
-        dc_pass = dc_scr[:]
-    dh_prev = _dir_matmul(dz, w_ref, n_dir, transpose=True,
-                          cast=cast)
-    dc_prev = dc * f
-    if use_mask:
-        dh_prev = jnp.where(m > 0, dh_prev, dh_pass)
-        dc_prev = jnp.where(m > 0, dc_prev, dc_pass)
-    # accumulate dW_hh += h_prev^T dz (per direction block)
-    h_prev = h_prev_ref[0]
-    bd = dz.shape[0] // n_dir
-    for d in range(n_dir):
-        hp = h_prev[d * bd:(d + 1) * bd].T
-        dzd = dz[d * bd:(d + 1) * bd]
-        if cast is not None:
-            hp = hp.astype(cast)
-            dzd = dzd.astype(cast)
-        dw_ref[d] += jnp.dot(
-            hp, dzd, preferred_element_type=jnp.float32)
-    dgx_ref[0] = dz
-    dh_scr[:] = dh_prev
-    dc_scr[:] = dc_prev
+        dh = dh_carry + dout_ref[j]
+        dc = dc_carry
+        if use_mask:
+            m = mask_ref[j]  # (B, 1)
+        do = dh * tanh_c
+        dc = dc + dh * o * (1 - tanh_c * tanh_c)
+        di = dc * g
+        dg = dc * i
+        df = dc * c_prev
+        dzi = di * i * (1 - i)
+        dzf = df * f * (1 - f)
+        dzg = dg * (1 - g * g)
+        dzo = do * o * (1 - o)
+        dz = jnp.concatenate([dzi, dzf, dzg, dzo], axis=-1)  # (B, 4H)
+        if use_mask:
+            # masked steps: state passed through unchanged -> gate
+            # grads are 0 and dh/dc flow straight through
+            dz = dz * m
+            dh_pass = dh_carry
+            dc_pass = dc_carry
+        dh_prev = _dir_matmul(dz, w_ref, n_dir, transpose=True,
+                              cast=cast)
+        dc_prev = dc * f
+        if use_mask:
+            dh_prev = jnp.where(m > 0, dh_prev, dh_pass)
+            dc_prev = jnp.where(m > 0, dc_prev, dc_pass)
+        dgx_ref[j] = dz
+        dh_carry = dh_prev
+        dc_carry = dc_prev
+    dh_scr[:] = dh_carry
+    dc_scr[:] = dc_carry
 
     @pl.when(t == n - 1)
     def _():
-        dh0_ref[:] = dh_prev
-        dc0_ref[:] = dc_prev
+        dh0_ref[:] = dh_carry
+        dc0_ref[:] = dc_carry
+
+
+def _pick_block_t(t, b, gh4):
+    """Largest divisor of T that keeps the per-grid-step gates block
+    small (<= ~2 MB) -- amortizes grid/DMA overhead without blowing
+    VMEM (double-buffered in+out blocks + weights must fit in 16 MB)."""
+    budget = int(2.0e6)
+    for k in (10, 8, 5, 4, 2):
+        if t % k == 0 and k * b * gh4 * 4 <= budget:
+            return k
+    return 1
 
 
 def _norm_w(w_hh):
@@ -190,18 +200,19 @@ def _fwd_call(gates_x, w_hh, mask, h0, c0, interpret,
     cast = None if compute_dtype is None else jnp.dtype(compute_dtype)
     if cast is not None:
         w3 = w3.astype(cast)
+    bt = _pick_block_t(t, b, gh4)
     kernel = functools.partial(
         _fwd_kernel, use_mask=use_mask, n_dir=n_dir, cast=cast,
-        with_residuals=with_residuals)
+        block_t=bt, with_residuals=with_residuals)
     step_specs = {
-        'gx': pl.BlockSpec((1, b, gh4), lambda i: (i, 0, 0),
+        'gx': pl.BlockSpec((bt, b, gh4), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM),
-        'mask': pl.BlockSpec((1, b, 1), lambda i: (i, 0, 0),
+        'mask': pl.BlockSpec((bt, b, 1), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
         'full': pl.BlockSpec(memory_space=pltpu.VMEM),
-        'h_step': pl.BlockSpec((1, b, h), lambda i: (i, 0, 0),
+        'h_step': pl.BlockSpec((bt, b, h), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        'g_step': pl.BlockSpec((1, b, gh4), lambda i: (i, 0, 0),
+        'g_step': pl.BlockSpec((bt, b, gh4), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         'state': pl.BlockSpec((b, h), lambda i: (0, 0),
                               memory_space=pltpu.VMEM),
@@ -220,7 +231,7 @@ def _fwd_call(gates_x, w_hh, mask, h0, c0, interpret,
                    h_scr, c_scr)
         out, h_t, c_t = pl.pallas_call(
             lean_kernel,
-            grid=(t,),
+            grid=(t // bt,),
             in_specs=[step_specs['gx'], step_specs['full'],
                       step_specs['mask'], step_specs['full'],
                       step_specs['full']],
@@ -237,7 +248,7 @@ def _fwd_call(gates_x, w_hh, mask, h0, c0, interpret,
         return out, None, None, h_t, c_t
     out, c_seq, gates, h_t, c_t = pl.pallas_call(
         kernel,
-        grid=(t,),
+        grid=(t // bt,),
         in_specs=[step_specs['gx'], step_specs['full'],
                   step_specs['mask'], step_specs['full'],
                   step_specs['full']],
@@ -266,40 +277,32 @@ def _bwd_call(residuals, cotangents, interpret, compute_dtype=None):
     use_mask = mask is not None
     mask_arg = (mask[..., None].astype(jnp.float32) if use_mask
                 else jnp.zeros((t, b, 1), jnp.float32))
-    # h_{t-1} sequence: h0 then out[:-1] -- but out is masked (zeros in
-    # padding); the true carried h differs there. For masked steps dz=0,
-    # so only unmasked steps read h_prev; within a row, positions < len
-    # have out == h, so this is exact.
-    h_prev_seq = jnp.concatenate([h0[None], out[:-1]], axis=0)
     cast = None if compute_dtype is None else jnp.dtype(compute_dtype)
     w_bwd = w3 if cast is None else w3.astype(cast)
+    bt = _pick_block_t(t, b, gh4)
+    nb = t // bt
     kernel = functools.partial(_bwd_kernel, use_mask=use_mask,
-                               n_dir=n_dir, cast=cast)
-    rev = lambda i: (t - 1 - i, 0, 0)  # noqa: E731
-    dgx, dw, dh0, dc0 = pl.pallas_call(
+                               n_dir=n_dir, cast=cast, block_t=bt)
+    rev = lambda i: (nb - 1 - i, 0, 0)  # noqa: E731
+    dgx, dh0, dc0 = pl.pallas_call(
         kernel,
-        grid=(t,),
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, b, 4 * h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, b, 4 * h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, b, h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w
-            pl.BlockSpec((1, b, 1), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, b, 1), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, b, h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dh_T
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dc_T
-            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, b, 4 * h), jnp.float32),
-            jax.ShapeDtypeStruct((n_dir, h, 4 * h), jnp.float32),
             jax.ShapeDtypeStruct((b, h), jnp.float32),
             jax.ShapeDtypeStruct((b, h), jnp.float32),
         ],
         out_specs=[
-            pl.BlockSpec((1, b, 4 * h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_dir, h, 4 * h), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, b, 4 * h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda i: (0, 0),
@@ -310,10 +313,29 @@ def _bwd_call(residuals, cotangents, interpret, compute_dtype=None):
             pltpu.VMEM((b, h), jnp.float32),
         ],
         interpret=interpret,
-    )(gates, c_seq, out, w_bwd, mask_arg, d_out, dh_t, dc_t,
-      h_prev_seq)
-    if squeeze:
-        dw = dw[0]
+    )(gates, c_seq, w_bwd, mask_arg, d_out, dh_t, dc_t)
+    # dW_hh = sum_t h_{t-1}^T dz_t -- one big streaming MXU matmul,
+    # where XLA is better than a VMEM-resident accumulator (which costs
+    # 11.5 MB of VMEM at H=600 and caps the kernel's time blocking).
+    # h_{t-1} sequence: h0 then out[:-1] -- out is masked (zeros in
+    # padding) but dz is 0 at masked steps, so the product is exact.
+    h_prev_seq = jnp.concatenate([h0[None], out[:-1]], axis=0)
+    hp = h_prev_seq
+    dz = dgx
+    if cast is not None:
+        hp = hp.astype(cast)
+        dz = dz.astype(cast)
+    if n_dir == 1:
+        dw = jnp.einsum('tbh,tbg->hg', hp, dz,
+                        preferred_element_type=jnp.float32)
+        if not squeeze:
+            dw = dw[None]
+    else:
+        bd = b // n_dir
+        hp = hp.reshape(t, n_dir, bd, h).swapaxes(0, 1)
+        dz3 = dz.reshape(t, n_dir, bd, 4 * h).swapaxes(0, 1)
+        dw = jnp.einsum('dtbh,dtbg->dhg', hp, dz3,
+                        preferred_element_type=jnp.float32)
     return dgx, dw, dh0, dc0
 
 

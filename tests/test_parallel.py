@@ -57,3 +57,48 @@ def test_data_parallel_step_equals_single_device(tmp_path):
     loss_single, w_single = run(None)
     np.testing.assert_allclose(loss_dp, loss_single, rtol=1e-5)
     np.testing.assert_allclose(w_dp, w_single, rtol=1e-4, atol=1e-6)
+
+
+def test_data_parallel_pallas_lstm_step(tmp_path):
+    """The Pallas LSTM cell-scan kernel composes with batch sharding:
+    the sharded fused train step on the PIT BLSTM (backend='pallas',
+    interpret mode on CPU) matches the unsharded step bit-for-bit."""
+    from padertorch_tpu.train.trainer import Trainer
+    from padertorch_tpu.models.bss import PermutationInvariantTrainingModel
+
+    mesh = make_mesh()
+    dp = DataParallel(mesh)
+    b, t, f, k = 8, 20, 65, 2
+
+    def run(sharding):
+        ptrandom.seed(0)
+        model = PermutationInvariantTrainingModel(
+            F=f, recurrent_layers=2, units=32, K=k)
+        model.blstm.backend = 'pallas'
+        if sharding is not None:
+            model = replicate(model, mesh)
+        trainer = Trainer(
+            model=model, storage_dir=tmp_path / 'x',
+            optimizer=pt.Adam(lr=1e-3), sharding=sharding,
+            loss_weights={'pit_mse_loss': 1.0, 'pit_ips_loss': 1.0})
+        trainer.iteration = 0
+        rng = np.random.RandomState(0)
+        batch = {
+            'Y_abs': np.abs(rng.randn(b, t, f)).astype('float32'),
+            'X_abs': np.abs(rng.randn(b, t, k, f)).astype('float32'),
+            'cos_phase_difference': np.cos(
+                rng.randn(b, t, k, f)).astype('float32'),
+            'num_frames': np.asarray([t, t - 3, t, t - 7] * (b // 4)),
+        }
+        batch = trainer._example_to_device(batch)
+        params, static = partition(trainer.model)
+        step = trainer._get_fn('train', trainer._make_train_step)
+        out = step(params, static, trainer._opt_states, batch,
+                   jax.random.PRNGKey(0), trainer._loss_weight_arrays())
+        return np.asarray(out[3]), jax.device_get(
+            jax.tree_util.tree_leaves(out[0])[0])
+
+    loss_dp, w_dp = run(dp)
+    loss_single, w_single = run(None)
+    np.testing.assert_allclose(loss_dp, loss_single, rtol=1e-5)
+    np.testing.assert_allclose(w_dp, w_single, rtol=1e-4, atol=1e-6)
