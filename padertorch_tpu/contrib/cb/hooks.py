@@ -47,7 +47,8 @@ class SignalStopHook(Hook):
     >>> import os, signal as sig
     >>> h = SignalStopHook(signals=(sig.SIGUSR1,))
     >>> h._install()
-    >>> os.kill(os.getpid(), sig.SIGUSR1)
+    >>> os.kill(os.getpid(), sig.SIGUSR1)  # delivered synchronously
+    Received signal 10 -> stop after this step.
     >>> try:
     ...     h.pre_step(None)
     ... except StopTraining:
