@@ -317,25 +317,37 @@ def _bwd_call(residuals, cotangents, interpret, compute_dtype=None):
     # dW_hh = sum_t h_{t-1}^T dz_t -- one big streaming MXU matmul,
     # where XLA is better than a VMEM-resident accumulator (which costs
     # 11.5 MB of VMEM at H=600 and caps the kernel's time blocking).
-    # h_{t-1} sequence: h0 then out[:-1] -- out is masked (zeros in
-    # padding) but dz is 0 at masked steps, so the product is exact.
-    h_prev_seq = jnp.concatenate([h0[None], out[:-1]], axis=0)
-    hp = h_prev_seq
+    # h_{t-1} = out shifted by one step; slices instead of a
+    # concatenate keep XLA from materializing a full (T,B,H) copy
+    # (~0.8 ms of dynamic-update-slice per layer at the bench shapes).
+    # out is masked (zeros in padding) but dz is 0 at masked steps,
+    # so the product is exact.
+    hp = out[:-1]
     dz = dgx
     if cast is not None:
         hp = hp.astype(cast)
         dz = dz.astype(cast)
+        h0 = h0.astype(cast)
+
+    def _dw(hp_d, dz_d, h0_d, dz0_d):
+        dw_d = jnp.einsum('tbh,tbg->hg', hp_d, dz_d,
+                          preferred_element_type=jnp.float32)
+        return dw_d + jnp.dot(h0_d.T, dz0_d,
+                              preferred_element_type=jnp.float32)
+
     if n_dir == 1:
-        dw = jnp.einsum('tbh,tbg->hg', hp, dz,
-                        preferred_element_type=jnp.float32)
+        dw = _dw(hp, dz[1:], h0, dz[0])
         if not squeeze:
             dw = dw[None]
     else:
         bd = b // n_dir
-        hp = hp.reshape(t, n_dir, bd, h).swapaxes(0, 1)
-        dz3 = dz.reshape(t, n_dir, bd, 4 * h).swapaxes(0, 1)
-        dw = jnp.einsum('dtbh,dtbg->dhg', hp, dz3,
-                        preferred_element_type=jnp.float32)
+        dw = jnp.stack([
+            _dw(hp[:, d * bd:(d + 1) * bd],
+                dz[1:, d * bd:(d + 1) * bd],
+                h0[d * bd:(d + 1) * bd],
+                dz[0, d * bd:(d + 1) * bd])
+            for d in range(n_dir)
+        ])
     return dgx, dw, dh0, dc0
 
 
