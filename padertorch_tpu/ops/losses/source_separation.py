@@ -48,10 +48,19 @@ def _mse(estimate, target):
     return jnp.mean((estimate - target) ** 2)
 
 
-def _permutation_indexer(ndim, axis, permutation):
-    indexer = [slice(None)] * ndim
-    indexer[axis] = list(permutation)
-    return tuple(indexer)
+def _permute_static(x, axis, permutation):
+    """Reorder ``axis`` by a *static* permutation via slices + concat.
+
+    Fancy indexing (``x[:, [1, 0]]``) becomes an XLA gather, which TPU
+    lowers to a while loop (~1 ms per call on (T, K, F) speech tensors);
+    static slices fuse away entirely.
+    """
+    parts = [
+        jax.lax.index_in_dim(x, i, axis, keepdims=True)
+        for i in permutation
+    ]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(
+        parts, axis=axis)
 
 
 def pit_loss(
@@ -107,15 +116,13 @@ def pit_loss(
 
     permutations = list(itertools.permutations(range(sources)))
     candidates = jnp.stack([
-        loss_fn(estimate[_permutation_indexer(estimate.ndim, axis, p)],
-                target)
+        loss_fn(_permute_static(estimate, axis, p), target)
         for p in permutations
     ])
-    idx = jnp.argmin(candidates)
-    min_loss = candidates[idx]
+    min_loss = jnp.min(candidates)
     if return_permutation:
         perm_table = jnp.asarray(permutations)
-        return min_loss, perm_table[idx]
+        return min_loss, perm_table[jnp.argmin(candidates)]
     return min_loss
 
 
