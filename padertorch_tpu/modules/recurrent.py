@@ -359,8 +359,10 @@ class LSTM(_RNNBase):
 
     def _pallas_direction(self, x, mask, w_ih, w_hh, b, init_carry):
         from padertorch_tpu.ops.pallas.lstm import lstm_cell_scan
-        gates_x = self._pallas_gates_x(x, w_ih, b)  # (B, T, 4H)
-        gates_x_t = jnp.swapaxes(gates_x, 0, 1)
+        # produce gates directly in the kernel's (T, B, 4H) layout --
+        # a post-hoc transpose costs a full HBM copy of the gates
+        gates_x_t = self._pallas_gates_x(
+            x, w_ih, b, einsum='btf,fg->tbg')
         mask_t = None if mask is None else jnp.swapaxes(mask, 0, 1)
         h0, c0 = init_carry
         out_t, h_t, c_t = lstm_cell_scan(
@@ -374,11 +376,13 @@ class LSTM(_RNNBase):
         from padertorch_tpu.ops.pallas.lstm import lstm_cell_scan
         b2b = x2.shape[0]
         x_pair = x2.reshape(2, b2b // 2, *x2.shape[1:])  # (2, B, T, D)
-        bias = None if b2 is None else b2[:, None, None, :]
+        bias = None if b2 is None else b2[None, :, None, :]
+        # (T, 2, B, 4H) straight from the einsum: reshaping to the
+        # kernel's (T, 2B, 4H) is then layout-free, where transposing a
+        # (2B, T, 4H) result costs a ~300 MB HBM copy per layer
         gates_x = self._pallas_gates_x(
-            x_pair, w_ih2, bias, einsum='dbtf,dfg->dbtg')
-        gates_x = gates_x.reshape(b2b, *gates_x.shape[2:])
-        gates_x_t = jnp.swapaxes(gates_x, 0, 1)  # (T, 2B, 4H)
+            x_pair, w_ih2, bias, einsum='dbtf,dfg->tdbg')
+        gates_x_t = gates_x.reshape(gates_x.shape[0], b2b, -1)
         mask_t = None if mask2 is None else jnp.swapaxes(mask2, 0, 1)
         h0, c0 = init
         out_t, h_t, c_t = lstm_cell_scan(

@@ -6,3 +6,8 @@ from padertorch_tpu.parallel.mesh import (
     shard_batch,
     DataParallel,
 )
+from padertorch_tpu.parallel.tensor import (
+    make_mesh_2d,
+    shard_module,
+    ModelParallel,
+)

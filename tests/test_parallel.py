@@ -102,3 +102,55 @@ def test_data_parallel_pallas_lstm_step(tmp_path):
     loss_single, w_single = run(None)
     np.testing.assert_allclose(loss_dp, loss_single, rtol=1e-5)
     np.testing.assert_allclose(w_dp, w_single, rtol=1e-4, atol=1e-6)
+
+
+def test_tensor_parallel_step_equals_single_device(tmp_path):
+    """2D (data, model) mesh: batch over 'data', gate matrices
+    column-sharded over 'model' — the fused step matches unsharded."""
+    from padertorch_tpu.train.trainer import Trainer
+    from padertorch_tpu.parallel.tensor import ModelParallel
+    from padertorch_tpu.models.bss import PermutationInvariantTrainingModel
+
+    b, t, f, k = 8, 20, 65, 2
+
+    def run(mp):
+        ptrandom.seed(0)
+        model = PermutationInvariantTrainingModel(
+            F=f, recurrent_layers=2, units=32, K=k)
+        if mp is not None:
+            model = mp.shard_module(model)
+        trainer = Trainer(
+            model=model, storage_dir=tmp_path / 'x',
+            optimizer=pt.Adam(lr=1e-3), sharding=mp,
+            loss_weights={'pit_mse_loss': 1.0, 'pit_ips_loss': 1.0})
+        trainer.iteration = 0
+        rng = np.random.RandomState(0)
+        batch = {
+            'Y_abs': np.abs(rng.randn(b, t, f)).astype('float32'),
+            'X_abs': np.abs(rng.randn(b, t, k, f)).astype('float32'),
+            'cos_phase_difference': np.cos(
+                rng.randn(b, t, k, f)).astype('float32'),
+            'num_frames': np.asarray([t, t - 3, t, t - 7] * (b // 4)),
+        }
+        batch = trainer._example_to_device(batch)
+        params, static = partition(trainer.model)
+        step = trainer._get_fn('train', trainer._make_train_step)
+        out = step(params, static, trainer._opt_states, batch,
+                   jax.random.PRNGKey(0), trainer._loss_weight_arrays())
+        return np.asarray(out[3]), jax.device_get(
+            jax.tree_util.tree_leaves(out[0])[0])
+
+    mp = ModelParallel(data=4, model=2, min_size=0)
+    # big matrices actually sharded over 'model'
+    ptrandom.seed(0)
+    probe = mp.shard_module(PermutationInvariantTrainingModel(
+        F=f, recurrent_layers=2, units=32, K=k))
+    w = probe.blstm.w_ih[0]
+    assert len(w.sharding.device_set) == 8
+    from jax.sharding import PartitionSpec as P
+    assert w.sharding.spec == P(None, 'model'), w.sharding.spec
+
+    loss_mp, w_mp = run(mp)
+    loss_single, w_single = run(None)
+    np.testing.assert_allclose(loss_mp, loss_single, rtol=1e-5)
+    np.testing.assert_allclose(w_mp, w_single, rtol=1e-4, atol=1e-6)
