@@ -26,3 +26,14 @@ from padertorch_tpu import models
 from padertorch_tpu import parallel
 from padertorch_tpu import evaluation
 from padertorch_tpu.ops import mappings
+# reference top-level surface (``pt.X`` works like in fgnt/padertorch)
+from padertorch_tpu.ops import (
+    STFT, einsum, move_axis, mu_law_encode, mu_law_decode,
+    compute_mask,
+)
+from padertorch_tpu.ops.losses import (
+    pit_loss, deep_clustering_loss, mse_loss, softmax_cross_entropy,
+)
+from padertorch_tpu.train.trainer import InteractiveTrainer
+#: reference name for :func:`pt_dataclass` (there ``torch_dataclass``)
+torch_dataclass = pt_dataclass

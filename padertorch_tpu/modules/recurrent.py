@@ -15,6 +15,8 @@ TPU has no cuDNN RNN kernels, so the design goal is to keep the MXU busy:
 Reference parity: ``padertorch/modules/recurrent.py`` (``StatefulLSTM``)
 plus the torch.nn.LSTM/GRU functionality the reference models build on.
 """
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -85,6 +87,9 @@ class _RNNBase(Module):
         # *training* path ~1.75x faster (it reuses stored activations
         # instead of replaying the recurrence); forward-only is at parity.
         self.backend = 'scan'
+        # per-layer jax.checkpoint: recompute layer activations in
+        # backward instead of storing them (long-sequence memory)
+        self.remat = False
         num_directions = 2 if bidirectional else 1
         g = self.gates
         bound = 1.0 / jnp.sqrt(hidden_size).item()
@@ -227,61 +232,18 @@ class _RNNBase(Module):
         # zeros in the padding — exactly packed-sequence semantics.
         mask_b = None if mask is None else jnp.flip(mask, axis=1)
         for layer in range(self.num_layers):
-            if num_directions == 2 and self._can_batch_directions(layer):
-                # TPU optimization: run both directions in ONE scan by
-                # stacking them into the batch axis — halves the number
-                # of sequential loops and doubles the M dimension of the
-                # recurrent matmul (better MXU utilization at small B).
-                i_f = layer * 2
-                i_b = i_f + 1
-                rev = jnp.flip(out, axis=1)
-                inp = jnp.concatenate([out, rev], axis=0)  # (2B, T, D)
-                mask2 = None if mask is None else jnp.concatenate(
-                    [mask, mask_b], axis=0)
-                if state is not None:
-                    init = jax.tree_util.tree_map(
-                        lambda s: jnp.concatenate([s[i_f], s[i_b]], 0),
-                        state)
-                else:
-                    init = self._cell_init(2 * batch, x.dtype)
-                w_ih = jnp.concatenate(
-                    [self.w_ih[i_f][None], self.w_ih[i_b][None]])
-                w_hh = jnp.concatenate(
-                    [self.w_hh[i_f][None], self.w_hh[i_b][None]])
-                b = None if self.b[i_f] is None else jnp.stack(
-                    [self.b[i_f], self.b[i_b]])
-                o2, carry2 = self._scan_two_directions(
-                    inp, mask2, w_ih, w_hh, b, init, batch)
-                o_f, o_b = o2[:batch], o2[batch:]
-                o_b = jnp.flip(o_b, axis=1)
-                out = jnp.concatenate([o_f, o_b], axis=-1)
-                finals.append(jax.tree_util.tree_map(
-                    lambda c: c[:batch], carry2))
-                finals.append(jax.tree_util.tree_map(
-                    lambda c: c[batch:], carry2))
-            else:
-                outs = []
-                for direction in range(num_directions):
-                    i = layer * num_directions + direction
-                    inp = out
-                    m = mask
-                    if direction == 1:
-                        inp = jnp.flip(inp, axis=1)
-                        m = mask_b
-                    if state is not None:
-                        init = jax.tree_util.tree_map(
-                            lambda s: s[i], state)
-                    else:
-                        init = self._cell_init(batch, x.dtype)
-                    o, carry = self._scan_direction(
-                        inp, m, self.w_ih[i], self.w_hh[i],
-                        self.b[i], init)
-                    if direction == 1:
-                        o = jnp.flip(o, axis=1)
-                    outs.append(o)
-                    finals.append(carry)
-                out = outs[0] if num_directions == 1 else jnp.concatenate(
-                    outs, axis=-1)
+            layer_fn = functools.partial(
+                self._layer_forward, layer, mask=mask, mask_b=mask_b,
+                state=state, batch=batch, dtype=x.dtype,
+                num_directions=num_directions)
+            if self.remat:
+                # per-layer rematerialization: drop this layer's
+                # activations after the forward pass and recompute them
+                # during backward — trades FLOPs for HBM on long
+                # sequences (saves (B, T, 2H) per layer)
+                layer_fn = jax.checkpoint(layer_fn)
+            out, layer_finals = layer_fn(out)
+            finals.extend(layer_finals)
             if self.dropout_p and self.training \
                     and layer < self.num_layers - 1:
                 keep = 1.0 - self.dropout_p
@@ -291,6 +253,65 @@ class _RNNBase(Module):
         final_state = jax.tree_util.tree_map(
             lambda *leaves: jnp.stack(leaves), *finals)
         return out, final_state
+
+    def _layer_forward(self, layer, out, *, mask, mask_b, state, batch,
+                       dtype, num_directions):
+        """One (bi)directional layer: ``out -> (out, [carries])``."""
+        if num_directions == 2 and self._can_batch_directions(layer):
+            # TPU optimization: run both directions in ONE scan by
+            # stacking them into the batch axis — halves the number
+            # of sequential loops and doubles the M dimension of the
+            # recurrent matmul (better MXU utilization at small B).
+            i_f = layer * 2
+            i_b = i_f + 1
+            rev = jnp.flip(out, axis=1)
+            inp = jnp.concatenate([out, rev], axis=0)  # (2B, T, D)
+            mask2 = None if mask is None else jnp.concatenate(
+                [mask, mask_b], axis=0)
+            if state is not None:
+                init = jax.tree_util.tree_map(
+                    lambda s: jnp.concatenate([s[i_f], s[i_b]], 0),
+                    state)
+            else:
+                init = self._cell_init(2 * batch, dtype)
+            w_ih = jnp.concatenate(
+                [self.w_ih[i_f][None], self.w_ih[i_b][None]])
+            w_hh = jnp.concatenate(
+                [self.w_hh[i_f][None], self.w_hh[i_b][None]])
+            b = None if self.b[i_f] is None else jnp.stack(
+                [self.b[i_f], self.b[i_b]])
+            o2, carry2 = self._scan_two_directions(
+                inp, mask2, w_ih, w_hh, b, init, batch)
+            o_f, o_b = o2[:batch], o2[batch:]
+            o_b = jnp.flip(o_b, axis=1)
+            out = jnp.concatenate([o_f, o_b], axis=-1)
+            finals = [
+                jax.tree_util.tree_map(lambda c: c[:batch], carry2),
+                jax.tree_util.tree_map(lambda c: c[batch:], carry2),
+            ]
+            return out, finals
+        outs = []
+        finals = []
+        for direction in range(num_directions):
+            i = layer * num_directions + direction
+            inp = out
+            m = mask
+            if direction == 1:
+                inp = jnp.flip(inp, axis=1)
+                m = mask_b
+            if state is not None:
+                init = jax.tree_util.tree_map(lambda s: s[i], state)
+            else:
+                init = self._cell_init(batch, dtype)
+            o, carry = self._scan_direction(
+                inp, m, self.w_ih[i], self.w_hh[i], self.b[i], init)
+            if direction == 1:
+                o = jnp.flip(o, axis=1)
+            outs.append(o)
+            finals.append(carry)
+        out = outs[0] if num_directions == 1 else jnp.concatenate(
+            outs, axis=-1)
+        return out, finals
 
     def extra_repr(self):
         return (f'{self.input_size}, {self.hidden_size}, '

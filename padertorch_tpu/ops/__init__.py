@@ -8,6 +8,9 @@ from padertorch_tpu.ops.mappings import ACTIVATION_FN_MAP
 from padertorch_tpu.ops import losses
 from padertorch_tpu.ops import sequence
 from padertorch_tpu.ops.sequence.mask import compute_mask
+from padertorch_tpu.ops.sequence.pack_module import (
+    pad_sequence, pack_sequence, unpack_sequence,
+)
 from padertorch_tpu.ops.sequence.reduction import (
     sequence_reduction, masked_mean, masked_sum,
 )

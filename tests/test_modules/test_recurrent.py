@@ -160,3 +160,38 @@ def test_lstm_bf16_compute_close_to_f32():
     y16, _ = bf16(x)
     err = np.abs(np.asarray(y32) - np.asarray(y16)).max()
     assert err < 0.05, err  # bf16 gate matmuls, f32 accumulation/carry
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint per layer must not change outputs or grads."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.module import partition, combine
+    from padertorch_tpu.modules.recurrent import LSTM
+
+    ptrandom.seed(11)
+    lstm = LSTM(8, 16, num_layers=2, bidirectional=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 10, 8), 'float32')
+    lens = jnp.asarray([10, 6, 8])
+
+    def run(remat, backend):
+        lstm.remat = remat
+        lstm.backend = backend
+        params, static = partition(lstm)
+
+        def loss(p, xx):
+            out, (h, c) = combine(p, static)(xx, seq_lens=lens)
+            return jnp.sum(out ** 2) + jnp.sum(h) + jnp.sum(c)
+
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+        return val, grads
+
+    for backend in ('scan', 'pallas'):
+        v0, g0 = run(False, backend)
+        v1, g1 = run(True, backend)
+        np.testing.assert_allclose(v1, v0, rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g0)):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
