@@ -48,6 +48,8 @@ def main():
     parser.add_argument('--epochs', type=int, default=100)
     parser.add_argument('--batch_size', type=int, default=4)
     parser.add_argument('--segment_length', type=int, default=32000)
+    parser.add_argument('--rnn_backend', default='pallas',
+                        choices=['scan', 'pallas'])
     args = parser.parse_args()
 
     if args.storage_root:
@@ -63,6 +65,11 @@ def main():
     })
     dump_config({'trainer': config}, storage_dir / 'config.json')
     trainer = Trainer.from_config(config)
+    from padertorch_tpu.modules.recurrent import set_rnn_backend
+    try:
+        set_rnn_backend(trainer.model, args.rnn_backend)
+    except AssertionError:
+        pass
 
     if args.synthetic or args.database is None:
         train_ds = data.synthetic_database(num_examples=16)

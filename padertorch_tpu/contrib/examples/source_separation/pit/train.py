@@ -53,6 +53,8 @@ def main():
     parser.add_argument('--batch_size', type=int, default=4)
     parser.add_argument('--units', type=int, default=600)
     parser.add_argument('--layers', type=int, default=3)
+    parser.add_argument('--rnn_backend', default='pallas',
+                        choices=['scan', 'pallas'])
     args = parser.parse_args()
 
     if args.storage_root:
@@ -69,6 +71,8 @@ def main():
     })
     dump_config({'trainer': config}, storage_dir / 'config.json')
     trainer = Trainer.from_config(config)
+    from padertorch_tpu.modules.recurrent import set_rnn_backend
+    set_rnn_backend(trainer.model, args.rnn_backend)
 
     if args.synthetic or args.database is None:
         train_ds = data.synthetic_database(num_examples=32)

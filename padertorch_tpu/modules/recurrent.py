@@ -24,7 +24,8 @@ from padertorch_tpu.module import Module
 from padertorch_tpu import random as ptrandom
 from padertorch_tpu import nn
 
-__all__ = ['LSTM', 'GRU', 'StatefulLSTM', 'reverse_padded']
+__all__ = ['LSTM', 'GRU', 'StatefulLSTM', 'reverse_padded',
+           'set_rnn_backend']
 
 
 def reverse_padded(x, seq_lens, time_axis=1):
@@ -484,3 +485,38 @@ class StatefulLSTM(Module):
         h, states = self.lstm(x, state=self._states)
         self._states = states if self.save_states else None
         return h
+
+
+def set_rnn_backend(module, backend, remat=None, compute_dtype='keep'):
+    """Set the time-loop backend on every RNN inside a module tree.
+
+    >>> from padertorch_tpu.modules.dual_path_rnn import DPRNN
+    >>> from padertorch_tpu import random as ptrandom
+    >>> ptrandom.seed(0)
+    >>> dprnn = set_rnn_backend(
+    ...     DPRNN(16, 8, window_length=10, hop_size=5, num_blocks=1),
+    ...     'pallas')
+    >>> dprnn.dprnn_blocks[0].intra_chunk_rnn.rnn.backend
+    'pallas'
+
+    Args:
+        module: any Module tree (model, separator, ...).
+        backend: 'scan' or 'pallas' (pallas applies to LSTMs; GRUs
+            keep the scan path).
+        remat: optionally also set per-layer rematerialization.
+        compute_dtype: 'keep' leaves each RNN's compute dtype; any
+            other value (e.g. 'bfloat16' or None) overrides it.
+
+    Returns the module (mutated in place) for chaining.
+    """
+    n = 0
+    for _, sub in module.modules():
+        if isinstance(sub, _RNNBase):
+            sub.backend = backend
+            if remat is not None:
+                sub.remat = remat
+            if compute_dtype != 'keep':
+                sub.compute_dtype = compute_dtype
+            n += 1
+    assert n > 0, 'no RNN modules found in the tree'
+    return module
