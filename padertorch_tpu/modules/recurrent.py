@@ -114,6 +114,30 @@ class _RNNBase(Module):
                 else:
                     self.b.append(None)
 
+    # -- Pallas helpers (shared by LSTM/GRU backends) ---------------------
+    @staticmethod
+    def _pallas_interpret():
+        # the kernels are TPU-only; run the interpreter on CPU so tests
+        # and the virtual multi-chip dryrun execute the same code path
+        return jax.default_backend() != 'tpu'
+
+    def _pallas_gates_x(self, x, w_ih, b, einsum=None):
+        """Big input projection outside the kernel (bf16-able, batched
+        over T).  Returns f32 in the kernel's time-major layout."""
+        if self.compute_dtype is not None:
+            cd = jnp.dtype(self.compute_dtype)
+            x = x.astype(cd)
+            w_ih = w_ih.astype(cd)
+        if einsum is None:
+            gates_x = jnp.dot(
+                x, w_ih, preferred_element_type=jnp.float32)
+        else:
+            gates_x = jnp.einsum(
+                einsum, x, w_ih, preferred_element_type=jnp.float32)
+        if b is not None:
+            gates_x = gates_x + b
+        return gates_x
+
     # -- single direction scan ------------------------------------------------
     def _cell_init(self, batch, dtype):
         raise NotImplementedError
@@ -123,7 +147,8 @@ class _RNNBase(Module):
 
     def _scan_direction(self, x, mask, w_ih, w_hh, b, init_carry):
         """x: (B, T, D); mask: (B, T) or None. Returns (out (B, T, H), carry)."""
-        if self.backend == 'pallas' and self.gates == 4:
+        if self.backend == 'pallas' and hasattr(
+                self, '_pallas_direction'):
             return self._pallas_direction(
                 x, mask, w_ih, w_hh, b, init_carry)
         if self.compute_dtype is not None:
@@ -167,7 +192,8 @@ class _RNNBase(Module):
         w_ih2/w_hh2: (2, D, GH); the input projection uses a block einsum
         so each half of the batch hits its direction's weights.
         """
-        if self.backend == 'pallas' and self.gates == 4:
+        if self.backend == 'pallas' and hasattr(
+                self, '_pallas_two_directions'):
             return self._pallas_two_directions(
                 x2, mask2, w_ih2, w_hh2, b2, init, batch)
         b2b = x2.shape[0]
@@ -355,30 +381,6 @@ class LSTM(_RNNBase):
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    # -- Pallas fused cell-scan backend -----------------------------------
-    @staticmethod
-    def _pallas_interpret():
-        # the kernel is TPU-only; run the interpreter on CPU so tests and
-        # the virtual multi-chip dryrun execute the same code path
-        return jax.default_backend() != 'tpu'
-
-    def _pallas_gates_x(self, x, w_ih, b, einsum=None):
-        """Big input projection outside the kernel (bf16-able, batched
-        over T).  Returns f32 (T, B, 4H)."""
-        if self.compute_dtype is not None:
-            cd = jnp.dtype(self.compute_dtype)
-            x = x.astype(cd)
-            w_ih = w_ih.astype(cd)
-        if einsum is None:
-            gates_x = jnp.dot(
-                x, w_ih, preferred_element_type=jnp.float32)
-        else:
-            gates_x = jnp.einsum(
-                einsum, x, w_ih, preferred_element_type=jnp.float32)
-        if b is not None:
-            gates_x = gates_x + b
-        return gates_x
-
     def _pallas_direction(self, x, mask, w_ih, w_hh, b, init_carry):
         from padertorch_tpu.ops.pallas.lstm import lstm_cell_scan
         # produce gates directly in the kernel's (T, B, 4H) layout --
@@ -445,6 +447,34 @@ class GRU(_RNNBase):
         n = jnp.tanh(gx_n + r * gh_n)
         h = (1 - z) * n + z * h
         return h, h
+
+    # -- Pallas fused cell-scan backend (ops/pallas/gru.py) ---------------
+    def _pallas_direction(self, x, mask, w_ih, w_hh, b, init_carry):
+        from padertorch_tpu.ops.pallas.gru import gru_cell_scan
+        gates_x_t = self._pallas_gates_x(
+            x, w_ih, b, einsum='btf,fg->tbg')
+        mask_t = None if mask is None else jnp.swapaxes(mask, 0, 1)
+        out_t, h_t = gru_cell_scan(
+            gates_x_t, w_hh.astype(jnp.float32), mask_t,
+            init_carry.astype(jnp.float32),
+            self._pallas_interpret(), self.compute_dtype)
+        return jnp.swapaxes(out_t, 0, 1), h_t
+
+    def _pallas_two_directions(self, x2, mask2, w_ih2, w_hh2, b2, init,
+                               batch):
+        from padertorch_tpu.ops.pallas.gru import gru_cell_scan
+        b2b = x2.shape[0]
+        x_pair = x2.reshape(2, b2b // 2, *x2.shape[1:])
+        bias = None if b2 is None else b2[None, :, None, :]
+        gates_x = self._pallas_gates_x(
+            x_pair, w_ih2, bias, einsum='dbtf,dfg->tdbg')
+        gates_x_t = gates_x.reshape(gates_x.shape[0], b2b, -1)
+        mask_t = None if mask2 is None else jnp.swapaxes(mask2, 0, 1)
+        out_t, h_t = gru_cell_scan(
+            gates_x_t, w_hh2.astype(jnp.float32), mask_t,
+            init.astype(jnp.float32),
+            self._pallas_interpret(), self.compute_dtype)
+        return jnp.swapaxes(out_t, 0, 1), h_t
 
 
 class StatefulLSTM(Module):

@@ -117,3 +117,40 @@ def test_lstm_backend_pallas_matches_scan(bidirectional):
     assert len(flat_s) == len(flat_p)
     for a, b_ in zip(flat_p, flat_s):
         np.testing.assert_allclose(a, b_, atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize('bidirectional', [False, True])
+def test_gru_backend_pallas_matches_scan(bidirectional):
+    """GRU(backend='pallas') == GRU(backend='scan'), outputs + grads."""
+    from padertorch_tpu.modules.recurrent import GRU
+    ptrandom.seed(9)
+    gru = GRU(12, 24, num_layers=2, bidirectional=bidirectional)
+    b, t = 4, 9
+    x = jnp.asarray(np.random.RandomState(4).randn(b, t, 12), 'float32')
+    seq_lens = jnp.asarray([9, 3, 7, 9])
+
+    def run(backend):
+        gru.backend = backend
+        return gru(x, seq_lens=seq_lens)
+
+    out_s, h_s = run('scan')
+    out_p, h_p = run('pallas')
+    np.testing.assert_allclose(out_p, out_s, atol=1e-5)
+    np.testing.assert_allclose(h_p, h_s, atol=1e-5)
+
+    def grads(backend):
+        gru.backend = backend
+        params, static = partition(gru)
+
+        def loss(p, xx):
+            o, h = combine(p, static)(xx, seq_lens=seq_lens)
+            return jnp.sum(o ** 2) + jnp.sum(h)
+
+        return jax.grad(loss, argnums=(0, 1))(params, x)
+
+    gp, gx_p = grads('pallas')
+    gs, gx_s = grads('scan')
+    np.testing.assert_allclose(gx_p, gx_s, atol=2e-4, rtol=1e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(gp),
+                     jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(a, b_, atol=2e-4, rtol=1e-4)
