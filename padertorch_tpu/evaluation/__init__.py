@@ -5,3 +5,4 @@ from padertorch_tpu.evaluation.metrics import (
 from padertorch_tpu.evaluation.parallel import (
     split_managed, gather, bcast, is_master, RANK, SIZE,
 )
+from padertorch_tpu.evaluation.stoi import stoi

@@ -147,15 +147,25 @@ class InputMetrics:
     """
 
     def __init__(self, observation, speech_source, sample_rate=8000,
-                 enable_si_sdr=True):
+                 enable_si_sdr=True, enable_stoi=False):
         self.observation = np.asarray(observation)
         self.speech_source = np.asarray(speech_source)
         self.sample_rate = sample_rate
         self.enable_si_sdr = enable_si_sdr
+        self.enable_stoi = enable_stoi
 
     @property
     def si_sdr(self):
         return input_si_sdr(self.observation, self.speech_source)
+
+    @property
+    def stoi(self):
+        from padertorch_tpu.evaluation.stoi import stoi
+        obs = np.broadcast_to(
+            self.observation, self.speech_source.shape)
+        return np.asarray([
+            stoi(ref, est, self.sample_rate)
+            for ref, est in zip(self.speech_source, obs)])
 
     @property
     def mir_eval(self):
@@ -167,6 +177,8 @@ class InputMetrics:
         out = {'mir_eval_sxr_sdr': self.mir_eval['sdr']}
         if self.enable_si_sdr:
             out['si_sdr'] = self.si_sdr
+        if self.enable_stoi:
+            out['stoi'] = self.stoi
         return out
 
 
@@ -174,15 +186,28 @@ class OutputMetrics:
     """Metrics of the separated estimate, permutation-aligned."""
 
     def __init__(self, speech_prediction, speech_source, sample_rate=8000,
-                 enable_si_sdr=True):
+                 enable_si_sdr=True, enable_stoi=False):
         self.speech_prediction = np.asarray(speech_prediction)
         self.speech_source = np.asarray(speech_source)
         self.sample_rate = sample_rate
         self.enable_si_sdr = enable_si_sdr
+        self.enable_stoi = enable_stoi
 
     @property
     def si_sdr(self):
         return output_si_sdr(self.speech_prediction, self.speech_source)
+
+    @property
+    def stoi(self):
+        from padertorch_tpu.evaluation.stoi import stoi
+        # permutation-align by SI-SDR first (like the reference)
+        _, perm = output_si_sdr(
+            self.speech_prediction, self.speech_source,
+            return_permutation=True)
+        pred = self.speech_prediction[np.asarray(perm)]
+        return np.asarray([
+            stoi(ref, est, self.sample_rate)
+            for ref, est in zip(self.speech_source, pred)])
 
     @property
     def mir_eval(self):
@@ -193,4 +218,6 @@ class OutputMetrics:
         out = {'mir_eval_sxr_sdr': self.mir_eval['sdr']}
         if self.enable_si_sdr:
             out['si_sdr'] = self.si_sdr
+        if self.enable_stoi:
+            out['stoi'] = self.stoi
         return out
