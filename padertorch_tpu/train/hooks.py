@@ -30,6 +30,7 @@ __all__ = [
     'BackOffValidationHook',
     'LRSchedulerHook',
     'ProgressBarHook',
+    'JaxProfilerHook',
     'StopTrainingHook',
     'StopTraining',
     'AnnealingHook',
@@ -848,3 +849,55 @@ class LRAnnealingHook(AnnealingHook):
 
     def set_value(self, trainer, value):
         self._optimizer(trainer).lr = value
+
+
+class JaxProfilerHook(TriggeredHook):
+    """Capture a device profiler trace during training.
+
+    Reference parity-plus: the reference's tracing is host-side timers
+    (``ContextTimerDict``) and the cb module tracker (SURVEY.md §5);
+    on TPU the actionable view is the XLA device trace.  When the
+    trigger fires, this hook records ``num_steps`` training steps with
+    ``jax.profiler`` into ``storage_dir/profile`` — open it with
+    TensorBoard's profile plugin or ``xprof``.
+
+    >>> hook = JaxProfilerHook((500, 'iteration'), num_steps=3)
+    """
+
+    def __init__(self, trigger=(500, 'iteration'), num_steps=5,
+                 log_dir=None):
+        super().__init__(trigger)
+        self.num_steps = num_steps
+        self.log_dir = log_dir
+        self._remaining = 0
+        self._active = False
+
+    @property
+    def priority(self):
+        return Priority.DEFAULT
+
+    def pre_step(self, trainer):
+        import jax
+        if self._active:
+            self._remaining -= 1
+            if self._remaining <= 0:
+                jax.profiler.stop_trace()
+                self._active = False
+                print(f'JaxProfilerHook: trace written to '
+                      f'{self._dir(trainer)}')
+            return
+        if self.trigger(trainer.iteration, trainer.epoch):
+            jax.profiler.start_trace(str(self._dir(trainer)))
+            self._active = True
+            self._remaining = self.num_steps
+
+    def _dir(self, trainer):
+        if self.log_dir is not None:
+            return Path(self.log_dir)
+        return Path(trainer.storage_dir) / 'profile'
+
+    def close(self, trainer):
+        if self._active:
+            import jax
+            jax.profiler.stop_trace()
+            self._active = False
