@@ -55,7 +55,7 @@ def main():
     parser.add_argument('--layers', type=int, default=3)
     parser.add_argument('--rnn_backend', default='pallas',
                         choices=['scan', 'pallas'])
-    args = parser.parse_args()
+    args, rest = parser.parse_known_args()
 
     if args.storage_root:
         from padertorch_tpu.io import get_new_subdir
@@ -69,6 +69,10 @@ def main():
         'stop_trigger': (args.epochs, 'epoch'),
         'model': {'units': args.units, 'recurrent_layers': args.layers},
     })
+    if rest:
+        # sacred-style overrides: ... with model.units=300 lr=1e-4
+        from padertorch_tpu.cli import apply_cli_updates
+        config = apply_cli_updates(config, rest)
     dump_config({'trainer': config}, storage_dir / 'config.json')
     trainer = Trainer.from_config(config)
     from padertorch_tpu.modules.recurrent import set_rnn_backend
