@@ -13,6 +13,7 @@ from padertorch_tpu.base import Model, pt_dataclass
 from padertorch_tpu import utils
 from padertorch_tpu import io
 from padertorch_tpu import cli
+from padertorch_tpu import serve
 from padertorch_tpu import random
 from padertorch_tpu import nn
 from padertorch_tpu import data
