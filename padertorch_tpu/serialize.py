@@ -91,3 +91,71 @@ def load_state(path):
         with zf.open('arrays.npz') as f:
             arrays = np.load(io.BytesIO(f.read()))
             return _decode(structure, arrays)
+
+
+# -- orbax backend (multi-host / sharded / production checkpoints) --------
+def _split_arrays(state, _path=()):
+    """Split a nested dict into (array tree, json-able metadata tree)."""
+    import numpy as np
+    import jax
+    arrays = {}
+    meta = {}
+    for key, value in state.items():
+        if isinstance(value, dict):
+            a, m = _split_arrays(value, _path + (key,))
+            if a:
+                arrays[key] = a
+            meta[key] = m
+        elif isinstance(value, (jax.Array, np.ndarray)):
+            arrays[key] = value
+            meta[key] = '__array__'
+        else:
+            meta[key] = value
+    return arrays, meta
+
+
+def _merge_arrays(meta, arrays):
+    out = {}
+    for key, value in meta.items():
+        if isinstance(value, dict):
+            out[key] = _merge_arrays(value, arrays.get(key, {}))
+        elif value == '__array__':
+            out[key] = arrays[key]
+        else:
+            out[key] = value
+    return out
+
+
+def dump_state_orbax(state, path):
+    """Save a trainer/module state dict with orbax.
+
+    Arrays go through ``orbax.checkpoint`` (sharded arrays are written
+    distributed — each host saves its shards, unlike the npz backend
+    which gathers to one host); everything else lands in
+    ``meta.json``.  ``path`` becomes a directory.
+    """
+    import json
+    import shutil
+    import orbax.checkpoint as ocp
+    from pathlib import Path
+    path = Path(path).absolute()
+    if path.exists():
+        shutil.rmtree(path)
+    path.mkdir(parents=True)
+    arrays, meta = _split_arrays(state)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path / 'arrays', arrays)
+    ckptr.wait_until_finished()
+    (path / 'meta.json').write_text(json.dumps(meta, default=str))
+
+
+def load_state_orbax(path):
+    """Load a state dict written by :func:`dump_state_orbax`."""
+    import json
+    import orbax.checkpoint as ocp
+    from pathlib import Path
+    path = Path(path).absolute()
+    meta = json.loads((path / 'meta.json').read_text())
+    ckptr = ocp.StandardCheckpointer()
+    arrays = ckptr.restore(path / 'arrays')
+    return _merge_arrays(meta, arrays)

@@ -101,6 +101,15 @@ class TriggeredHook(Hook):
         self.trigger.set_last(iteration, epoch)
 
 
+def _remove_checkpoint(path):
+    """Remove a checkpoint file (.ptt) or directory (.orbax)."""
+    import shutil
+    if path.is_dir() and not path.is_symlink():
+        shutil.rmtree(path)
+    else:
+        path.unlink()
+
+
 def _fetch(value):
     """Device array -> numpy (a no-op for host values)."""
     import jax
@@ -420,7 +429,9 @@ class ValidationHook(SummaryHook):
 
     @property
     def _best_ckpt_name(self):
-        return f'ckpt_best_{self.metric}{CKPT_EXT}'
+        ext = (Path(self.ckpt_ranking[0][0]).suffix
+               if self.ckpt_ranking else CKPT_EXT)
+        return f'ckpt_best_{self.metric}{ext}'
 
     def state_dict(self):
         return {
@@ -503,7 +514,7 @@ class ValidationHook(SummaryHook):
                     continue
                 ckpt = ckpt_dir / ckpt_name
                 if ckpt.exists():  # may be gone already after backoff
-                    ckpt.unlink()
+                    _remove_checkpoint(ckpt)
                 self.ckpt_ranking.pop(i)
         if self.ckpt_ranking[0][0] != ckpt_path.name:
             self.n_degradations += 1
@@ -605,18 +616,19 @@ class BackOffValidationHook(ValidationHook):
         best_ckpt = self.ckpt_ranking[0][0]
         print(f'Back off to {best_ckpt}.')
         ckpt_dir = trainer.checkpoint_dir
-        latest = (ckpt_dir / f'ckpt_latest{CKPT_EXT}').absolute()
+        latest = (ckpt_dir / f'ckpt_latest{trainer.ckpt_ext}'
+                  ).absolute()
         if latest.is_symlink():
             latest.unlink()
         latest.symlink_to(best_ckpt)
 
-        best_iter = int(best_ckpt[len('ckpt_'):-len(CKPT_EXT)])
+        best_iter = int(Path(best_ckpt).stem[len('ckpt_'):])
         for j in reversed(range(len(self.ckpt_ranking))):
             ckpt = self.ckpt_ranking[j][0]
-            if int(ckpt[len('ckpt_'):-len(CKPT_EXT)]) > best_iter:
+            if int(Path(ckpt).stem[len('ckpt_'):]) > best_iter:
                 ckpt_path = ckpt_dir / ckpt
                 if ckpt_path.exists():
-                    ckpt_path.unlink()
+                    _remove_checkpoint(ckpt_path)
                     self.ckpt_ranking.pop(j)
 
         remaining_back_offs = self.remaining_back_offs

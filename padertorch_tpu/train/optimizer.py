@@ -121,8 +121,21 @@ class Optimizer(Configurable):
 
     def load_state_dict(self, sd):
         self.check_if_set()
+        import jax
+        old_state = self.opt_state
         self.opt_state = ptmodule.load_state_dict(
             self.opt_state, sd, strict=False)
+
+        # keep DP/TP shardings across resume (restore yields host arrays)
+        def place(old, new):
+            import numpy as _np
+            if isinstance(old, jax.Array) and isinstance(
+                    new, (jax.Array, _np.ndarray)):
+                return jax.device_put(new, old.sharding)
+            return new
+
+        self.opt_state = jax.tree_util.tree_map(
+            place, old_state, self.opt_state)
 
     def to(self, device):
         """API parity; jax arrays live on the default device already."""

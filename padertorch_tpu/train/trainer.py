@@ -143,6 +143,7 @@ class Trainer(Configurable):
             seed=0,
             jit=True,
             sharding=None,
+            checkpoint_format='ptt',
     ):
         if not isinstance(model, ptmodule.Module):
             raise TypeError(
@@ -169,6 +170,9 @@ class Trainer(Configurable):
         self.optimizer = optimizer
 
         self.storage_dir = Path(storage_dir).expanduser().resolve()
+        assert checkpoint_format in ('ptt', 'orbax'), \
+            checkpoint_format
+        self.checkpoint_format = checkpoint_format
         self.writer = None
         self.train_timer = ContextTimerDict()
         self.validate_timer = ContextTimerDict()
@@ -745,8 +749,15 @@ class Trainer(Configurable):
     def checkpoint_dir(self):
         return self.storage_dir / 'checkpoints'
 
+    @property
+    def ckpt_ext(self):
+        """'.ptt' (npz+json zip) or '.orbax' (sharded directory)."""
+        return CKPT_EXT if self.checkpoint_format == 'ptt' \
+            else '.orbax'
+
     def default_checkpoint_path(self) -> Path:
-        return self.checkpoint_dir / f'ckpt_{self.iteration}{CKPT_EXT}'
+        return (self.checkpoint_dir
+                / f'ckpt_{self.iteration}{self.ckpt_ext}')
 
     def state_dict(self):
         if isinstance(self.optimizer, dict):
@@ -774,18 +785,41 @@ class Trainer(Configurable):
         if checkpoint_path is None:
             checkpoint_path = self.default_checkpoint_path()
         checkpoint_path = Path(checkpoint_path)
-        dump_state(self.state_dict(), checkpoint_path)
-        latest = (checkpoint_path.parent / f'ckpt_latest{CKPT_EXT}'
-                  ).absolute()
+        if self.checkpoint_format == 'orbax':
+            from padertorch_tpu.serialize import dump_state_orbax
+            dump_state_orbax(self.state_dict(), checkpoint_path)
+        else:
+            dump_state(self.state_dict(), checkpoint_path)
+        latest = (checkpoint_path.parent
+                  / f'ckpt_latest{self.ckpt_ext}').absolute()
         if latest.is_symlink():
             latest.unlink()
         latest.symlink_to(checkpoint_path.name)
         print(f'Saved model and optimizer state at iteration '
               f'{self.iteration} to {checkpoint_path}')
 
+    @staticmethod
+    def _restore_shardings(old_tree, new_tree):
+        """Re-place restored arrays with the pre-load shardings.
+
+        Checkpoint restore yields host/single-device arrays; a sharded
+        (DP/TP) trainer must put them back on the mesh or the resumed
+        step would run single-device (and OOM at scale)."""
+        import jax
+
+        def place(old, new):
+            if isinstance(old, jax.Array) and isinstance(
+                    new, (jax.Array, np.ndarray)):
+                return jax.device_put(new, old.sharding)
+            return new
+
+        return jax.tree_util.tree_map(place, old_tree, new_tree)
+
     def load_state_dict(self, state_dict):
+        old_model = self.model
         self.model = ptmodule.load_state_dict(
             self.model, state_dict['model'])
+        self.model = self._restore_shardings(old_model, self.model)
         if isinstance(self.optimizer, dict):
             assert set(self.optimizer.keys()) == set(
                 state_dict['optimizer'].keys())
@@ -804,9 +838,14 @@ class Trainer(Configurable):
 
     def load_checkpoint(self, map_location=None):
         del map_location
-        checkpoint_path = self.checkpoint_dir / f'ckpt_latest{CKPT_EXT}'
-        assert checkpoint_path.is_file(), checkpoint_path
-        self.load_state_dict(load_state(checkpoint_path))
+        checkpoint_path = (self.checkpoint_dir
+                           / f'ckpt_latest{self.ckpt_ext}')
+        assert checkpoint_path.exists(), checkpoint_path
+        if self.checkpoint_format == 'orbax':
+            from padertorch_tpu.serialize import load_state_orbax
+            self.load_state_dict(load_state_orbax(checkpoint_path))
+        else:
+            self.load_state_dict(load_state(checkpoint_path))
         print(f'Loaded checkpoint {checkpoint_path!r} '
               f'(iteration {self.iteration})')
 

@@ -307,3 +307,42 @@ def test_no_array_leak_across_steps(tmp_path):
     # 2x the epochs must not mean more live arrays (+small slack)
     assert n_after_second < n_after_first + 50, (
         n_after_first, n_after_second)
+
+
+def test_orbax_checkpoint_format(tmp_path):
+    """Full training + resume with checkpoint_format='orbax' (sharded
+    production checkpoints): same directory contract, ranking,
+    symlinks, and max_checkpoints trimming of directories."""
+    storage = tmp_path / 'exp'
+
+    def make(storage):
+        ptrandom.seed(0)
+        return Trainer(
+            model=MnistModel(), storage_dir=storage,
+            optimizer=pt.Adam(lr=1e-2), stop_trigger=(2, 'epoch'),
+            summary_trigger=(1, 'epoch'),
+            checkpoint_trigger=(1, 'epoch'),
+            checkpoint_format='orbax')
+
+    trainer = make(storage)
+    tr, dt = get_datasets()
+    trainer.register_validation_hook(dt, max_checkpoints=2)
+    trainer.train(tr)
+
+    ckpt_dir = storage / 'checkpoints'
+    names = {p.name for p in ckpt_dir.iterdir()}
+    assert 'ckpt_latest.orbax' in names, names
+    assert 'ckpt_best_loss.orbax' in names, names
+    assert (ckpt_dir / 'ckpt_latest.orbax').is_symlink()
+    assert (ckpt_dir / 'ckpt_8.orbax').is_dir()
+
+    # resume from the orbax checkpoint (hook state incl. ranking
+    # restores into the re-registered validation hook)
+    trainer2 = make(storage)
+    trainer2.register_validation_hook(dt, max_checkpoints=2)
+    from padertorch_tpu.train.hooks import StopTrainingHook
+    stop = [h for h in trainer2.hooks
+            if isinstance(h, StopTrainingHook)][0]
+    stop.trigger.period = 4
+    trainer2.train(tr, resume=True)
+    assert trainer2.iteration == 16
