@@ -16,7 +16,7 @@ import numpy as np
 
 from padertorch_tpu.models.bss import PermutationInvariantTrainingModel
 from padertorch_tpu.evaluation import (
-    InputMetrics, OutputMetrics, split_managed, gather, is_master,
+    InputMetrics, OutputMetrics, split_managed, gather_merged, is_master,
 )
 from padertorch_tpu.contrib.neumann.evaluation import compute_means
 from padertorch_tpu.ops._stft import STFT
@@ -83,7 +83,7 @@ def main():
         example_id, metrics = evaluate_example(model, stft, example)
         results[example_id] = metrics
 
-    results = gather(results)[0]
+    results = gather_merged(results)
     if is_master():
         out_dir = model_path / 'eval'
         out_dir.mkdir(exist_ok=True)

@@ -12,7 +12,7 @@ import numpy as np
 
 from padertorch_tpu.models.tasnet import TasNet
 from padertorch_tpu.evaluation import (
-    InputMetrics, OutputMetrics, split_managed, gather, is_master,
+    InputMetrics, OutputMetrics, split_managed, gather_merged, is_master,
 )
 from padertorch_tpu.contrib.neumann.evaluation import compute_means
 
@@ -66,7 +66,7 @@ def main():
                for k in output_metrics},
         }
 
-    results = gather(results)[0]
+    results = gather_merged(results)
     if is_master():
         out_dir = model_path / 'eval'
         out_dir.mkdir(exist_ok=True)

@@ -3,6 +3,6 @@ from padertorch_tpu.evaluation.metrics import (
     InputMetrics, OutputMetrics,
 )
 from padertorch_tpu.evaluation.parallel import (
-    split_managed, gather, bcast, is_master, RANK, SIZE,
+    split_managed, gather, gather_merged, bcast, is_master, RANK, SIZE,
 )
 from padertorch_tpu.evaluation.stoi import stoi

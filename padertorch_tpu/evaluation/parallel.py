@@ -8,12 +8,17 @@ equivalent is host-level concurrency:
 - ``split_managed(dataset)``: a dynamic work queue over examples, executed
   by a thread pool (device inference serializes on the accelerator anyway,
   and host metric code — numpy BSS eval — releases the GIL in BLAS/FFT).
-- ``gather(results)``: identity on one process.
-- Optional true multi-process mode: if the environment variable
-  ``PT_EVAL_WORKER`` is set by a launcher, rank/size semantics apply
-  (kept API-compatible so scripts do not change).
+- ``gather(results)``: identity on one process; with ``PT_EVAL_RANK`` /
+  ``PT_EVAL_SIZE`` / ``PT_EVAL_DIR`` set by a launcher, a file-based
+  gather: every rank atomically writes ``gather_<tag>.rank<k>.json`` into
+  the shared ``PT_EVAL_DIR`` and rank 0 polls until all shards exist, then
+  returns them as a list indexed by rank (other ranks return ``None``) —
+  same semantics as ``dlp_mpi.gather`` in the reference evaluate scripts
+  (``tasnet/evaluate.py:235-256``).
 """
+import json
 import os
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 __all__ = ['split_managed', 'gather', 'bcast', 'is_master', 'RANK', 'SIZE',
@@ -66,15 +71,69 @@ def map_unordered(fn, dataset, num_workers=4, progress_bar=False):
             yield future.result()
 
 
-def gather(results, root=0):
-    """Single-process: wrap in a list (rank layout compatible)."""
-    del root
+def gather(results, root=0, tag='0', timeout=3600.0):
+    """Gather per-rank results onto the master.
+
+    Single-process: returns ``[results]``.  Multi-process (launcher sets
+    ``PT_EVAL_RANK``, ``PT_EVAL_SIZE`` and a shared ``PT_EVAL_DIR``):
+    every rank writes its results as JSON (atomic tmp+rename), rank
+    ``root`` polls until all shards exist and returns them as a list
+    indexed by rank; other ranks return ``None``.  ``tag`` distinguishes
+    multiple gathers within one run.
+    """
     if SIZE == 1:
         return [results]
-    raise NotImplementedError(
-        'Multi-process gather requires an external launcher; '
-        'run evaluation single-process or shard via PT_EVAL_RANK/SIZE '
-        'and merge the result files.')
+    gather_dir = os.environ.get('PT_EVAL_DIR')
+    if not gather_dir:
+        raise RuntimeError(
+            'Multi-process gather (PT_EVAL_SIZE > 1) requires PT_EVAL_DIR '
+            'to point at a directory shared by all ranks.')
+    os.makedirs(gather_dir, exist_ok=True)
+    shard = os.path.join(gather_dir, f'gather_{tag}.rank{RANK}.json')
+    tmp = shard + f'.tmp{os.getpid()}'
+    with open(tmp, 'w') as fh:
+        json.dump(results, fh)
+    os.rename(tmp, shard)
+    if RANK != root:
+        return None
+    shards = [
+        os.path.join(gather_dir, f'gather_{tag}.rank{r}.json')
+        for r in range(SIZE)
+    ]
+    deadline = time.monotonic() + timeout
+    missing = list(shards)
+    while missing:
+        missing = [p for p in missing if not os.path.exists(p)]
+        if not missing:
+            break
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f'gather(tag={tag!r}): still waiting for {missing} '
+                f'after {timeout}s')
+        time.sleep(0.1)
+    out = []
+    for path in shards:
+        # the writer's rename is atomic, so a present file is complete
+        with open(path) as fh:
+            out.append(json.load(fh))
+    return out
+
+
+def gather_merged(results, root=0, tag='0', timeout=3600.0):
+    """``gather`` + merge of the per-rank dicts into one dict (master only).
+
+    Matches the reference's ``dlp_mpi.gather`` + ``nested_merge`` idiom
+    (``tasnet/evaluate.py:235-256``).  Returns ``None`` on workers.
+    """
+    per_rank = gather(results, root=root, tag=tag, timeout=timeout)
+    if per_rank is None:
+        return None
+    merged = {}
+    for rank_results in per_rank:
+        overlap = merged.keys() & rank_results.keys()
+        assert not overlap, f'duplicate example ids across ranks: {overlap}'
+        merged.update(rank_results)
+    return merged
 
 
 def bcast(obj, root=0):
