@@ -13,6 +13,7 @@ import numpy as np
 __all__ = [
     'get_power_spectral_density_matrix',
     'get_gev_vector',
+    'phase_correction',
     'get_mvdr_vector_souden',
     'blind_analytic_normalization',
     'apply_beamforming_vector',
@@ -43,10 +44,27 @@ def _condition(psd, eps=1e-10):
     return psd + eps * np.maximum(scale, 1e-10) * np.eye(c)
 
 
+def phase_correction(vector):
+    """Align beamformer phases across frequency bins: (F, C) -> (F, C).
+
+    A generalized eigenvector has an arbitrary per-frequency phase; left
+    uncorrected it scrambles the waveform after the iSTFT.  Rotate every
+    bin so it is maximally aligned with its lower neighbor (the pb_bss
+    ``phase_correction`` behavior), via a cumulative product of the
+    pairwise rotations.
+    """
+    w = np.asarray(vector)
+    pairwise = np.einsum('fc,fc->f', w[1:], w[:-1].conj())
+    rotations = np.exp(-1j * np.angle(pairwise))
+    corrections = np.concatenate([[1.0 + 0j], np.cumprod(rotations)])
+    return w * corrections[:, None]
+
+
 def get_gev_vector(target_psd, noise_psd):
     """Principal generalized eigenvector of (target_psd, noise_psd): (F, C).
 
-    Maximizes the expected output SNR (Warsitz & Haeb-Umbach 2007).
+    Maximizes the expected output SNR (Warsitz & Haeb-Umbach 2007);
+    phases aligned across frequencies (see ``phase_correction``).
     """
     import scipy.linalg
     f, c, _ = target_psd.shape
@@ -55,7 +73,7 @@ def get_gev_vector(target_psd, noise_psd):
     for i in range(f):
         _, v = scipy.linalg.eigh(target_psd[i], noise_psd[i])
         vectors[i] = v[:, -1]
-    return vectors
+    return phase_correction(vectors)
 
 
 def get_mvdr_vector_souden(target_psd, noise_psd, ref_channel=0):

@@ -1,0 +1,104 @@
+"""Smoke tests: every recipe's evaluate.py runs end-to-end after a tiny
+training, printing a metrics dict and writing eval artifacts.
+
+These run the actual module entry points in subprocesses (like a user
+would) so argument parsing, checkpoint resolution, and result dumping
+are all covered.  Mirrors the reference's one-deliverable-per-recipe
+contract (train.py + evaluate.py, SURVEY.md section 2.6).
+"""
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parents[2]
+
+
+def _run(module, *args, timeout=560):
+    env = {
+        **os.environ,
+        'JAX_PLATFORMS': 'cpu',
+        'PYTHONPATH': str(REPO_ROOT),
+    }
+    proc = subprocess.run(
+        [sys.executable, '-m', module, *args],
+        env=env, capture_output=True, text=True, timeout=timeout,
+        cwd=str(REPO_ROOT),
+    )
+    assert proc.returncode == 0, (
+        f'{module} failed\nstdout: {proc.stdout[-3000:]}\n'
+        f'stderr: {proc.stderr[-3000:]}')
+    return proc.stdout
+
+
+PKG = 'padertorch_tpu.contrib.examples'
+
+
+@pytest.mark.slow
+def test_wavenet_train_then_evaluate(tmp_path):
+    _run(f'{PKG}.audio_synthesis.wavenet.train',
+         '--storage_root', str(tmp_path), '--synthetic',
+         '--epochs', '1', '--small')
+    storage_dir = tmp_path / 'wavenet' / '1'
+    out = _run(f'{PKG}.audio_synthesis.wavenet.evaluate',
+               '--model_path', str(storage_dir), '--synthetic',
+               '--chunk_length', '2000', '--chunk_overlap', '400')
+    means = json.loads((storage_dir / 'eval' / 'means.json').read_text())
+    assert 'rmse' in means and means['num_examples'] == 4, (means, out)
+    assert (storage_dir / 'eval' / 'rmse.json').exists()
+    assert list((storage_dir / 'eval' / 'audio').glob('*.wav'))
+
+
+@pytest.mark.slow
+def test_speaker_clf_train_then_evaluate(tmp_path):
+    _run(f'{PKG}.speaker_classification.supervised.train',
+         '--storage_root', str(tmp_path), '--synthetic', '--epochs', '1')
+    storage_dir = tmp_path / 'speaker_clf' / '1'
+    _run(f'{PKG}.speaker_classification.supervised.evaluate',
+         '--model_path', str(storage_dir), '--synthetic')
+    means = json.loads((storage_dir / 'eval' / 'means.json').read_text())
+    assert 0.0 <= means['accuracy'] <= 1.0
+    assert (storage_dir / 'eval' / 'misclassified.json').exists()
+
+
+@pytest.mark.slow
+def test_audio_tagging_train_then_evaluate(tmp_path):
+    _run(f'{PKG}.sound_recognition.audio_tagging.train',
+         '--storage_root', str(tmp_path), '--synthetic', '--epochs', '1')
+    storage_dir = tmp_path / 'tagging' / '1'
+    _run(f'{PKG}.sound_recognition.audio_tagging.evaluate',
+         '--model_path', str(storage_dir), '--synthetic')
+    means = json.loads((storage_dir / 'eval' / 'means.json').read_text())
+    for key in ('mAP', 'mAUC', 'lwlrap', 'mF1'):
+        assert 0.0 <= means[key] <= 1.0, (key, means)
+
+
+@pytest.mark.slow
+def test_mask_estimator_train_then_evaluate(tmp_path):
+    _run(f'{PKG}.speech_enhancement.mask_estimator.train',
+         '--storage_root', str(tmp_path), '--synthetic',
+         '--epochs', '1', '--num_units', '64')
+    storage_dir = tmp_path / 'mask_estimator' / '1'
+    _run(f'{PKG}.speech_enhancement.mask_estimator.evaluate',
+         '--model_path', str(storage_dir), '--synthetic')
+    means = json.loads((storage_dir / 'eval' / 'means.json').read_text())
+    for condition in ('observed', 'masked', 'beamformed'):
+        assert set(means[condition]) == {'stoi', 'si_sdr', 'sdr'}, means
+
+
+@pytest.mark.slow
+def test_distance_estimator_train_then_evaluate(tmp_path):
+    _run(f'{PKG}.source_localization.distance_estimator.train',
+         '--storage_root', str(tmp_path), '--synthetic', '--epochs', '1',
+         '--feature', 'mag ild ipd')
+    storage_dir = tmp_path / 'distance' / '1'
+    _run(f'{PKG}.source_localization.distance_estimator.evaluate',
+         '--model_path', str(storage_dir), '--synthetic')
+    result = json.loads(
+        (storage_dir / 'eval' / 'evaluation_result.json').read_text())
+    summary = result['summary']
+    assert summary['num_examples'] == 32
+    assert summary['pseudo_accuracy'] >= summary['accuracy']
