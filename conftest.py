@@ -55,3 +55,14 @@ if not _needs_reexec():
             flags + ' --xla_force_host_platform_device_count=8'
         ).strip()
     os.environ.setdefault('JAX_ENABLE_X64', 'false')
+    # Persistent compilation cache: the suite compiles hundreds of small
+    # programs; cache hits across runs (and across the recipe-smoke
+    # subprocesses) cut wall-clock by minutes.  Env vars, not
+    # jax.config, so child processes inherit it.
+    _cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), '.jax_cache')
+    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', _cache_dir)
+    os.environ.setdefault(
+        'JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '0')
+    os.environ.setdefault(
+        'JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0')
