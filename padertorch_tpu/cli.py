@@ -18,12 +18,22 @@ back to plain strings:
 ...                     'flags=[1,2]'])[0]
 {'lr': 0.001, 'name': 'run1', 'flags': [1, 2]}
 
-Integration: recipes call :func:`apply_cli_updates` after argparse::
+Integration (preferred — sacred's dogmatic contract): parse the
+overrides *first* and hand them to ``get_config`` as updates, so
+``finalize_dogmatic_config`` sees them and they outrank its
+assignments::
 
     args, rest = parser.parse_known_args()
-    config = get_trainer_config(storage_dir, updates)
-    config = apply_cli_updates(config, rest)
+    updates, named = parse_with_updates(rest)
+    config = get_trainer_config(storage_dir, nested_merge(
+        base_updates, updates))
+
+:func:`apply_cli_updates` remains for post-finalization use (e.g. when
+the config comes from a file); it *validates* every override path
+against the finalized config and raises on unknown keys with a
+difflib suggestion, instead of silently inserting typos.
 """
+import difflib
 import json
 
 from padertorch_tpu.utils.nested import nested_merge
@@ -79,12 +89,20 @@ def apply_cli_updates(config, argv, named_configs=None):
         named_configs: optional dict name -> update-dict (the analog
             of sacred named configs); selected by bare tokens.
 
+    Every override path must already exist in ``config`` (typos raise
+    with a suggestion instead of being silently inserted):
+
     >>> cfg = {'lr': 1.0, 'model': {'units': 600}}
     >>> apply_cli_updates(cfg, ['with', 'model.units=300', 'small'],
     ...                   named_configs={'small': {'lr': 0.1}})
     {'lr': 0.1, 'model': {'units': 300}}
+    >>> apply_cli_updates(cfg, ['with', 'model.unitz=300'])
+    Traceback (most recent call last):
+    ...
+    KeyError: "Unknown config key 'model.unitz'; did you mean 'model.units'?"
     """
     updates, named = parse_with_updates(argv)
+    _validate_paths(config, updates)
     merged = config
     for name in named:
         if named_configs is None or name not in named_configs:
@@ -93,3 +111,21 @@ def apply_cli_updates(config, argv, named_configs=None):
                 f'Unknown named config {name!r}; known: {known}')
         merged = nested_merge(merged, named_configs[name])
     return nested_merge(merged, updates)
+
+
+def _validate_paths(config, updates, _prefix=''):
+    """Raise KeyError (with a difflib suggestion) for override paths
+    that do not exist in the finalized config."""
+    for key, value in updates.items():
+        path = f'{_prefix}{key}'
+        if not isinstance(config, dict) or key not in config:
+            candidates = list(config) if isinstance(config, dict) else []
+            close = difflib.get_close_matches(key, [
+                str(c) for c in candidates], n=1)
+            suggestion = (
+                f"; did you mean '{_prefix}{close[0]}'?" if close else
+                f'; known keys: {sorted(map(str, candidates))}')
+            raise KeyError(
+                f'Unknown config key {path!r}{suggestion}')
+        if isinstance(value, dict):
+            _validate_paths(config[key], value, _prefix=f'{path}.')

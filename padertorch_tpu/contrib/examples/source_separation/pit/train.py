@@ -65,14 +65,20 @@ def main():
         storage_dir = get_new_storage_dir('pit')
 
     ptrandom.seed(0)
-    config = get_trainer_config(storage_dir, {
+    updates = {
         'stop_trigger': (args.epochs, 'epoch'),
         'model': {'units': args.units, 'recurrent_layers': args.layers},
-    })
+    }
     if rest:
-        # sacred-style overrides: ... with model.units=300 lr=1e-4
-        from padertorch_tpu.cli import apply_cli_updates
-        config = apply_cli_updates(config, rest)
+        # sacred-style overrides (... with model.units=300 lr=1e-4) are
+        # merged into the updates BEFORE get_config, so
+        # finalize_dogmatic_config sees them (the dogmatic contract)
+        from padertorch_tpu.cli import parse_with_updates
+        from padertorch_tpu.utils.nested import nested_merge
+        cli_updates, named = parse_with_updates(rest)
+        assert not named, f'no named configs in this recipe: {named}'
+        updates = nested_merge(updates, cli_updates)
+    config = get_trainer_config(storage_dir, updates)
     dump_config({'trainer': config}, storage_dir / 'config.json')
     trainer = Trainer.from_config(config)
     from padertorch_tpu.modules.recurrent import set_rnn_backend

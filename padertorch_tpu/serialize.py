@@ -133,20 +133,45 @@ def dump_state_orbax(state, path):
     distributed — each host saves its shards, unlike the npz backend
     which gathers to one host); everything else lands in
     ``meta.json``.  ``path`` becomes a directory.
+
+    Atomic: writes into a sibling tmp directory and renames it into
+    place, so a crash mid-save never destroys an existing checkpoint
+    (matching the ptt backend's tmp+rename).  Non-JSON meta values fail
+    loudly at save time instead of being silently stringified.
     """
     import json
+    import os
     import shutil
     import orbax.checkpoint as ocp
     from pathlib import Path
     path = Path(path).absolute()
-    if path.exists():
-        shutil.rmtree(path)
-    path.mkdir(parents=True)
-    arrays, meta = _split_arrays(state)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path / 'arrays', arrays)
-    ckptr.wait_until_finished()
-    (path / 'meta.json').write_text(json.dumps(meta, default=str))
+    tmp = path.with_name(f'{path.name}.tmp{os.getpid()}')
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+    try:
+        arrays, meta = _split_arrays(state)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(tmp / 'arrays', arrays)
+        ckptr.wait_until_finished()
+        try:
+            meta_json = json.dumps(meta, allow_nan=True)
+        except TypeError as e:
+            raise TypeError(
+                f'Checkpoint meta state contains a non-JSON value; '
+                f'refusing to save a checkpoint that cannot restore. '
+                f'({e})') from e
+        (tmp / 'meta.json').write_text(meta_json)
+        if path.exists():
+            old = path.with_name(f'{path.name}.old{os.getpid()}')
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, path)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
 
 
 def load_state_orbax(path):

@@ -22,6 +22,48 @@ from padertorch_tpu import module as ptmodule
 __all__ = ['Optimizer', 'Adam', 'AdamW', 'SGD', 'Adadelta']
 
 
+def _scale_by_amsgrad_torch(b1=0.9, b2=0.999, eps=1e-8):
+    """AMSGrad with torch.optim.Adam(amsgrad=True) semantics.
+
+    torch maxes the *raw* second moment and divides by its bias
+    correction afterwards (``max_exp_avg_sq``), while optax's
+    ``scale_by_amsgrad`` maxes the bias-corrected moment — the two
+    diverge over the first ~1/(1-b2) steps.  This transform mirrors
+    torch exactly (verified in
+    ``tests/test_train/test_optimizer_torch_parity.py``).
+    """
+
+    def init(params):
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=jnp.float32), params)
+        return {
+            'count': jnp.zeros((), jnp.int32),
+            'mu': zeros,
+            'nu': zeros,
+            'nu_max': jax.tree_util.tree_map(jnp.copy, zeros),
+        }
+
+    def update(updates, state, params=None):
+        del params
+        count = state['count'] + 1
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state['mu'], updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * jnp.square(g),
+            state['nu'], updates)
+        nu_max = jax.tree_util.tree_map(
+            jnp.maximum, state['nu_max'], nu)
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+        out = jax.tree_util.tree_map(
+            lambda m, vm: (m / bc1) / (jnp.sqrt(vm / bc2) + eps),
+            mu, nu_max)
+        return out, {'count': count, 'mu': mu, 'nu': nu,
+                     'nu_max': nu_max}
+
+    return optax.GradientTransformation(init, update)
+
+
 def _global_norm(grads):
     leaves = jax.tree_util.tree_leaves(grads)
     if not leaves:
@@ -168,15 +210,23 @@ class Adam(Optimizer):
         self.amsgrad = amsgrad
 
     def _make_optax(self, learning_rate):
+        # torch.optim.Adam semantics: weight_decay is *coupled* L2
+        # regularization, added to the gradient before the moment
+        # updates (unlike AdamW's decoupled decay) — so it chains
+        # add_decayed_weights in front of adam/amsgrad and composes
+        # with amsgrad.
         b1, b2 = self.betas
-        if self.weight_decay:
-            return optax.adamw(
-                learning_rate, b1=b1, b2=b2, eps=self.eps,
-                weight_decay=self.weight_decay)
         if self.amsgrad:
-            return optax.amsgrad(
-                learning_rate, b1=b1, b2=b2, eps=self.eps)
-        return optax.adam(learning_rate, b1=b1, b2=b2, eps=self.eps)
+            inner = optax.chain(
+                _scale_by_amsgrad_torch(b1=b1, b2=b2, eps=self.eps),
+                optax.scale_by_learning_rate(learning_rate),
+            )
+        else:
+            inner = optax.adam(learning_rate, b1=b1, b2=b2, eps=self.eps)
+        if self.weight_decay:
+            return optax.chain(
+                optax.add_decayed_weights(self.weight_decay), inner)
+        return inner
 
 
 class AdamW(Adam):
@@ -192,6 +242,19 @@ class AdamW(Adam):
         super().__init__(
             gradient_clipping, lr=lr, betas=betas, eps=eps,
             weight_decay=weight_decay, amsgrad=amsgrad)
+
+    def _make_optax(self, learning_rate):
+        # torch.optim.AdamW semantics: *decoupled* weight decay.
+        b1, b2 = self.betas
+        if self.amsgrad:
+            return optax.chain(
+                _scale_by_amsgrad_torch(b1=b1, b2=b2, eps=self.eps),
+                optax.add_decayed_weights(self.weight_decay),
+                optax.scale_by_learning_rate(learning_rate),
+            )
+        return optax.adamw(
+            learning_rate, b1=b1, b2=b2, eps=self.eps,
+            weight_decay=self.weight_decay)
 
 
 class SGD(Optimizer):

@@ -589,18 +589,27 @@ class Trainer(Configurable):
     _optimizer_summary = None
 
     def _record_optimizer_summary(self, norms):
+        # Record the *device* lr scalar (opt_state.hyperparams), not
+        # optimizer.lr: the property would force a blocking device->host
+        # sync on the opt state just returned by the async-dispatched
+        # step, every iteration.  SummaryHook's bulk device_get fetches
+        # it together with everything else when a summary is written.
+        # jnp.copy because the opt state is donated to the next step —
+        # the hyperparams buffer itself would dangle.
         summary = {'scalars': {}, 'histograms': {}}
         if isinstance(self.optimizer, dict):
             for key, opt in self.optimizer.items():
                 summary['scalars'][f'{key}_grad_norm'] = norms[key]
                 summary['histograms'][f'{key}_grad_norm_'] = \
                     jnp.reshape(norms[key], (1,))
-                summary['scalars'][f'lr/{key}/param_group_0'] = opt.lr
+                summary['scalars'][f'lr/{key}/param_group_0'] = jnp.copy(
+                    opt.opt_state.hyperparams['learning_rate'])
         else:
             norm = norms['']
             summary['scalars']['grad_norm'] = norm
             summary['histograms']['grad_norm_'] = jnp.reshape(norm, (1,))
-            summary['scalars']['lr/param_group_0'] = self.optimizer.lr
+            summary['scalars']['lr/param_group_0'] = jnp.copy(
+                self.optimizer.opt_state.hyperparams['learning_rate'])
         self._optimizer_summary = summary
 
     # ------------------------------------------------------------------ #
@@ -622,10 +631,17 @@ class Trainer(Configurable):
             self.model.eval()
             loss_weights = self._loss_weight_arrays()
             try:
-                params, static = partition(self.model)
                 val_step = self._get_fn('val', self._make_val_step)
                 validation_iter = iter(validation_iterator)
                 index = 0
+                # Re-partition each step: ValidationHook flips
+                # model.create_snapshot to False after the first yield,
+                # and that flag lives in the static part — partitioning
+                # once would bake snapshot=True into every step (wasted
+                # compute, and the keep-last summary would record the
+                # LAST example's snapshot where the reference records
+                # the first's).  Two jit cache entries total
+                # (snapshot on/off); the flatten itself is cheap.
                 while True:
                     with self.validate_timer['time_per_iteration']:
                         try:
@@ -634,6 +650,7 @@ class Trainer(Configurable):
                                 example = next(validation_iter)
                         except StopIteration:
                             break
+                        params, static = partition(self.model)
                         key = jax.random.fold_in(
                             jax.random.fold_in(
                                 self._base_key, 0x7FFFFFFF), index)
