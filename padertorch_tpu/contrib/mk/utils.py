@@ -1,8 +1,12 @@
 """Receptive-field arithmetic for 1D CNN stacks.
 
-Reference parity: ``padertorch/contrib/mk/utils.py``
-(``compute_receptive_field_1d``; recursion from
-https://distill.pub/2019/computing-receptive-fields).
+Behavioral parity with ``padertorch/contrib/mk/utils.py``
+(``compute_receptive_field_1d``), re-derived from the closed forms in
+https://distill.pub/2019/computing-receptive-fields (eqs. 2 and 6)
+instead of the reference's running recursion: each conv (and each
+pooling window, treated as an extra stage) contributes
+``(k_eff - 1) * prod(earlier strides)`` to the receptive field, and the
+start index subtracts the stride-weighted left paddings.
 """
 import typing as tp
 
@@ -37,42 +41,47 @@ def compute_receptive_field_1d(
     >>> compute_receptive_field_1d([3, 3], center_index=0)
     ([5, 3], np.int64(-2))
     """
-    kernel_sizes = list(kernel_sizes)
-    dilations = to_list(dilations, len(kernel_sizes))
-    strides = to_list(strides, len(kernel_sizes))
-    pad_types = to_list(pad_types, len(kernel_sizes))
-    pool_sizes = to_list(pool_sizes, len(kernel_sizes))
-    pool_strides = to_list(pool_strides, len(kernel_sizes))
+    n = len(list(kernel_sizes))
+    layers = list(zip(
+        list(kernel_sizes),
+        to_list(dilations, n),
+        to_list(strides, n),
+        to_list(pool_sizes, n),
+        to_list(pool_strides, n),
+    ))
 
-    padding = [
-        compute_pad_size(k, d, s, p)
-        for k, d, s, p in zip(kernel_sizes, dilations, strides, pad_types)
-    ]
-
-    receptive_fields = []
-    _stride = 1
-    r = 0
-    # recursion formula (18) of the distill.pub article
-    for k, d, s, pk, ps in zip(
-            kernel_sizes, dilations, strides, pool_sizes, pool_strides):
-        k = d * (k - 1) + 1
-        r = r + _stride * (k - 1)
-        receptive_fields.insert(0, r + 1)
-        _stride = _stride * s
-        # pooling behaves like a kernel + stride
-        if pk > 1:
-            r = r + _stride * (pk - 1)
-            receptive_fields[0] = r
-            _stride = _stride * ps
+    # Expand each layer into (effective_kernel, stride) stages; a pooling
+    # window acts as one more stage.  jump = prod of strides *before* a
+    # stage (the distill article's j).
+    per_layer_sizes = []
+    jump = 1
+    growth = 0  # sum of (k_eff - 1) * jump so far
+    for kernel, dilation, stride, pool_size, pool_stride in layers:
+        k_eff = dilation * (kernel - 1) + 1
+        growth += (k_eff - 1) * jump
+        jump *= stride
+        size = growth + 1
+        if pool_size > 1:
+            growth += (pool_size - 1) * jump
+            jump *= pool_stride
+            # reference quirk kept for parity: the pooled layer's stored
+            # size omits the +1
+            size = growth
+        per_layer_sizes.append(size)
+    per_layer_sizes.reverse()
 
     if center_index is None:
-        return receptive_fields
+        return per_layer_sizes
 
-    # receptive field start, recursion formula (22)
-    strides_arr = np.asarray(np.concatenate(([1], strides[:-1])))
-    padding_arr = np.asarray(padding)[:, 0]
-    receptive_field_start = (
-        center_index * _stride
-        - np.sum(padding_arr * np.cumprod(strides_arr))
-    )
-    return receptive_fields, receptive_field_start
+    # Start index (eq. 6): weight each layer's left padding by the jump
+    # in front of it.
+    left_pads = np.asarray([
+        compute_pad_size(kernel, dilation, stride, pad_type)[0]
+        for (kernel, dilation, stride, _, _), pad_type in zip(
+            layers, to_list(pad_types, n))
+    ])
+    jumps = np.cumprod(
+        np.concatenate(([1], [stride for _, _, stride, _, _ in
+                              layers[:-1]])))
+    start = center_index * jump - np.sum(left_pads * jumps)
+    return per_layer_sizes, start

@@ -415,12 +415,12 @@ class ValidationHook(SummaryHook):
     ):
         super().__init__(trigger, summary_prefix='validation')
         self.iterator = iterator
-        self.metric = metric
-        self.maximize = maximize
+        # what to rank by
+        self.metric, self.maximize = metric, maximize
         self.max_checkpoints = max_checkpoints
         self.early_stopping_patience = early_stopping_patience
-        self.ckpt_ranking = []
-        self.n_degradations = 0
+        # resumable state (see state_dict)
+        self.ckpt_ranking, self.n_degradations = [], 0
         self.last_validation = -1
 
     @property
@@ -466,66 +466,91 @@ class ValidationHook(SummaryHook):
             raise StopTraining
 
     def run_validation(self, trainer):
-        ckpt_dir = trainer.checkpoint_dir
-        ckpt_path = trainer.default_checkpoint_path()
-        # ckpt_path does not exist yet; CheckpointHook (lower priority)
-        # writes it afterwards, so this hook's state lands in it.
-        assert all(len(v) == 0 for v in self.summary.values()), self.summary
-        assert len(trainer.validate_timer.timings) == 0, (
-            trainer.validate_timer)
-        print('Starting Validation')
-        at_least_one_value = False
-        create_snapshot = trainer.model.create_snapshot
-        trainer.model.create_snapshot = True
-        for example, model_out, review in trainer.validate(self.iterator):
-            at_least_one_value = True
-            trainer.model.create_snapshot = False
-            self.update_summary(review)
-        trainer.model.create_snapshot = create_snapshot
-        if not at_least_one_value:
-            raise Exception(
-                f'Got an empty validation iterator: {self.iterator}')
+        """Full validation pass -> score -> checkpoint ranking update.
 
+        The checkpoint for this iteration does not exist yet: the
+        CheckpointHook runs at lower priority and writes it *after* this
+        hook, so the ranking entry recorded here (hook state) is part of
+        that very checkpoint.
+        """
+        score = self._validation_score(trainer)
+        self._rank_checkpoint(
+            trainer.checkpoint_dir,
+            trainer.default_checkpoint_path().name,
+            score,
+        )
+
+    def _validation_score(self, trainer):
+        """Run the model over the validation set; returns the metric."""
+        assert not any(self.summary.values()), (
+            'summary not drained before validation', self.summary)
+        assert not trainer.validate_timer.timings, trainer.validate_timer
+        print('Starting Validation')
+        # snapshots (images/audio) only for the first example; the flag
+        # is restored afterwards
+        snapshot_before = trainer.model.create_snapshot
+        trainer.model.create_snapshot = True
+        n_examples = 0
+        try:
+            for _, _, review in trainer.validate(self.iterator):
+                trainer.model.create_snapshot = False
+                self.update_summary(review)
+                n_examples += 1
+        finally:
+            trainer.model.create_snapshot = snapshot_before
+        if n_examples == 0:
+            raise RuntimeError(
+                f'Validation iterator yielded no examples: '
+                f'{self.iterator!r}')
+
+        # modify_summary must see eval mode
         trainer.model.eval()
         try:
             self.finalize_summary(trainer)
         finally:
             trainer.model.train()
-        assert self.metric in self.summary['scalars'].keys(), (
-            f'The chosen validation metric {self.metric} is not included '
-            f'in the scalars dict provided by the model review. '
-            f'Provided keys: {self.summary["scalars"].keys()}'
-        )
-        score = float(self.summary['scalars'][self.metric])
+        scalars = self.summary['scalars']
+        if self.metric not in scalars:
+            raise KeyError(
+                f'Validation metric {self.metric!r} missing from the '
+                f'review scalars {sorted(scalars)}; return it from '
+                f'review()/modify_summary().')
+        score = float(scalars[self.metric])
         self.dump_summary(trainer)
         print(f'Finished Validation. Mean {self.metric}: {score}')
+        return score
 
-        # Relative names only, so the storage dir stays movable.
-        self.ckpt_ranking.append((ckpt_path.name, score))
-        self.ckpt_ranking.sort(key=lambda x: (
-            -x[1] if self.maximize else x[1],
-            _natkey(x[0]),
-        ))
+    def _rank_checkpoint(self, ckpt_dir, ckpt_name, score):
+        """Insert (ckpt_name, score) into the ranking, prune checkpoints
+        beyond max_checkpoints, track degradations, persist the ranking.
+
+        Names are stored relative so the storage dir stays movable; ties
+        go to the older checkpoint (natural name order).
+        """
+        self.ckpt_ranking.append((ckpt_name, score))
+        sign = -1.0 if self.maximize else 1.0
+        self.ckpt_ranking.sort(
+            key=lambda entry: (sign * entry[1], _natkey(entry[0])))
         if self.max_checkpoints is not None:
-            for i in range(
-                    len(self.ckpt_ranking) - 1, self.max_checkpoints - 1, -1):
-                ckpt_name = self.ckpt_ranking[i][0]
-                if ckpt_name == ckpt_path.name:
+            kept = []
+            for index, (name, value) in enumerate(self.ckpt_ranking):
+                if index < self.max_checkpoints or name == ckpt_name:
+                    # never delete the checkpoint being written right now
+                    kept.append((name, value))
                     continue
-                ckpt = ckpt_dir / ckpt_name
-                if ckpt.exists():  # may be gone already after backoff
-                    _remove_checkpoint(ckpt)
-                self.ckpt_ranking.pop(i)
-        if self.ckpt_ranking[0][0] != ckpt_path.name:
-            self.n_degradations += 1
-        else:
+                stale = ckpt_dir / name
+                if stale.exists():  # backoff may have removed it already
+                    _remove_checkpoint(stale)
+            self.ckpt_ranking = kept
+        if self.ckpt_ranking[0][0] == ckpt_name:
             self.n_degradations = 0
-        # persist the ranking next to the checkpoints (reference layout:
+        else:
+            self.n_degradations += 1
+        # persist next to the checkpoints (reference layout:
         # checkpoints/ckpt_ranking.json)
         import json
-        ranking_file = ckpt_dir / 'ckpt_ranking.json'
         ckpt_dir.mkdir(parents=True, exist_ok=True)
-        ranking_file.write_text(json.dumps({
+        (ckpt_dir / 'ckpt_ranking.json').write_text(json.dumps({
             'metric': self.metric,
             'maximize': self.maximize,
             'ranking': [list(pair) for pair in self.ckpt_ranking],
@@ -791,24 +816,26 @@ class AnnealingHook(TriggeredHook):
         if self.trigger(iteration=trainer.iteration, epoch=trainer.epoch):
             if self.scale is None:
                 self.scale = float(np.asarray(self.get_value(trainer)))
-            x = trainer.iteration if self.unit == 'iteration' \
-                else trainer.epoch
-            if self.unit not in ('iteration', 'epoch'):
-                raise ValueError(f'{self.unit} is not a valid unit.')
-            last_break = (0, 1.0)
-            i = 0
-            while len(self.breakpoints) > i and self.breakpoints[i][0] <= x:
-                last_break = self.breakpoints[i]
-                i += 1
-            if len(self.breakpoints) > i:
-                slope = (
-                    (self.breakpoints[i][1] - last_break[1])
-                    / (self.breakpoints[i][0] - last_break[0])
-                )
-                value = last_break[1] + slope * (x - last_break[0])
+            if self.unit == 'iteration':
+                x = trainer.iteration
+            elif self.unit == 'epoch':
+                x = trainer.epoch
             else:
-                value = self.breakpoints[-1][1]
+                raise ValueError(f'{self.unit} is not a valid unit.')
+            value = self._interpolate(x)
             self.set_value(trainer, value * self.scale)
+
+    def _interpolate(self, x):
+        """Piecewise-linear lookup over the sorted breakpoints; the
+        implicit origin is (0, 1.0) and the curve is flat past the end."""
+        import bisect
+        xs = [bx for bx, _ in self.breakpoints]
+        i = bisect.bisect_right(xs, x)
+        if i == len(self.breakpoints):
+            return self.breakpoints[-1][1]
+        x0, y0 = (0, 1.0) if i == 0 else self.breakpoints[i - 1]
+        x1, y1 = self.breakpoints[i]
+        return y0 + (y1 - y0) * (x - x0) / (x1 - x0)
 
 
 class LossWeightAnnealingHook(AnnealingHook):
