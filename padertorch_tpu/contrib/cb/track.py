@@ -31,6 +31,9 @@ __all__ = [
     'ParameterTracker',
     'TimeTracker',
     'IOPNumTracker',
+    'IOPMemTracker',
+    'CPUMemTracker',
+    'DeviceMemTracker',
 ]
 
 
@@ -104,17 +107,98 @@ class TimeTracker(Tracker):
         return f'{(time.perf_counter() - self._t0) * 1000:.2f} ms'
 
 
+def _count_elements(obj):
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(obj):
+        if hasattr(leaf, 'shape'):
+            total += int(np.prod(np.shape(leaf)))
+    return total
+
+
+def _count_bytes(obj):
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(obj):
+        if hasattr(leaf, 'shape') and hasattr(leaf, 'dtype'):
+            total += int(np.prod(np.shape(leaf))
+                         * np.dtype(leaf.dtype).itemsize)
+    return total
+
+
 class IOPNumTracker(Tracker):
     header = '#in/#out elements'
 
     def post(self, module, args, kwargs, output):
-        def count(obj):
-            total = 0
-            for leaf in jax.tree_util.tree_leaves(obj):
-                if hasattr(leaf, 'shape'):
-                    total += int(np.prod(np.shape(leaf)))
-            return total
-        return f'{count(args)} / {count(output)}'
+        return f'{_count_elements(args)} / {_count_elements(output)}'
+
+
+class IOPMemTracker(Tracker):
+    """Bytes of inputs / outputs / parameters per module call
+    (reference ``cb/track.py:754``)."""
+    header = 'in/out/param bytes'
+
+    def post(self, module, args, kwargs, output):
+        params, _ = partition(module)
+        return (f'{_count_bytes(args):_} / {_count_bytes(output):_} / '
+                f'{_count_bytes(params):_} B')
+
+
+class CPUMemTracker(Tracker):
+    """Process RSS delta across the module call (reference
+    ``cb/track.py:527``).  Tracks the *process*, not just arrays."""
+    header = 'CPU mem'
+
+    @staticmethod
+    def get_mem():
+        try:
+            import psutil
+            import os
+            return psutil.Process(os.getpid()).memory_info().rss
+        except ImportError:  # pragma: no cover
+            import resource
+            return resource.getrusage(
+                resource.RUSAGE_SELF).ru_maxrss * 1024
+
+    def pre(self, module, args, kwargs):
+        self._pre_mem = self.get_mem()
+
+    def post(self, module, args, kwargs, output):
+        return f'{self.get_mem() - self._pre_mem:_} B'
+
+
+class DeviceMemTracker(Tracker):
+    """Device (TPU/accelerator) memory delta across the module call —
+    the GPUMemTracker analog (reference ``cb/track.py:565``).
+
+    Uses the PJRT allocator stats when the backend exposes them;
+    otherwise falls back to the summed bytes of all live jax arrays
+    (exact for eager execution, which is what ``track`` runs under).
+    """
+    header = 'device mem'
+
+    @staticmethod
+    def get_mem():
+        device = jax.local_devices()[0]
+        stats = getattr(device, 'memory_stats', lambda: None)()
+        if stats and 'bytes_in_use' in stats:
+            return int(stats['bytes_in_use'])
+        return sum(
+            a.nbytes for a in jax.live_arrays()
+            if a.is_fully_addressable
+        )
+
+    def pre(self, module, args, kwargs):
+        try:
+            jax.block_until_ready(args)
+        except Exception:
+            pass
+        self._pre_mem = self.get_mem()
+
+    def post(self, module, args, kwargs, output):
+        try:
+            jax.block_until_ready(output)
+        except Exception:
+            pass
+        return f'{self.get_mem() - self._pre_mem:_} B'
 
 
 class _TrackedReport:

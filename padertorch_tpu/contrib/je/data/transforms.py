@@ -15,10 +15,13 @@ from padertorch_tpu.data.utils import collate_fn, pad_batch
 __all__ = [
     'AudioReader',
     'STFT',
+    'TimeWarpedSTFT',
     'MelTransform',
     'LabelEncoder',
     'MultiHotEncoder',
     'Collate',
+    'StackArrays',
+    'ConcatenateArrays',
 ]
 
 
@@ -66,11 +69,14 @@ class AudioReader:
 class STFT:
     """Host numpy STFT (same parameters as the device op).
 
-    Reference parity: ``je/data/transforms.py:193``.
+    Reference parity: ``je/data/transforms.py:193``.  With
+    ``alignment_keys`` the transform also converts
+    ``{key}_start_samples``/``{key}_stop_samples`` annotations to frame
+    indices (``{key}_start_frames``/``{key}_stop_frames``).
     """
 
     def __init__(self, shift, size, window_length=None, pad=True,
-                 fading='full', window='blackman'):
+                 fading='full', window='blackman', alignment_keys=None):
         from padertorch_tpu.ops._stft import STFT as DeviceSTFT
         self._stft = DeviceSTFT(
             size=size, shift=shift, window_length=window_length, pad=pad,
@@ -78,6 +84,11 @@ class STFT:
             complex_representation='stacked')
         self.shift = shift
         self.size = size
+        self.window_length = self._stft.window_length
+        self.window = window
+        self.pad = pad
+        self.fading = fading
+        self.alignment_keys = alignment_keys
 
     def __call__(self, example):
         audio = np.asarray(example['audio_data'])
@@ -86,10 +97,120 @@ class STFT:
         if 'seq_len' in example:
             example['seq_len'] = self._stft.samples_to_frames(
                 example['seq_len'])
+        self.add_start_stop_frames(example)
         return example
 
     def samples_to_frames(self, samples):
         return self._stft.samples_to_frames(samples)
+
+    def sample_index_to_frame_index(self, sample_index):
+        return self._stft.sample_index_to_frame_index(sample_index)
+
+    def add_start_stop_frames(self, example):
+        """Frame-index annotations for every alignment key present."""
+        for key in (self.alignment_keys or ()):
+            for boundary in ('start', 'stop'):
+                samples_key = f'{key}_{boundary}_samples'
+                if samples_key in example:
+                    example[f'{key}_{boundary}_frames'] = [
+                        self.sample_index_to_frame_index(int(s))
+                        for s in np.atleast_1d(example[samples_key])
+                    ]
+
+
+class TimeWarpedSTFT:
+    """Piecewise time-warping STFT augmentation.
+
+    Reference parity: ``je/data/transforms.py:229``.  Samples a warp
+    anchor a in (0, 1) and a shift for it; the signal left of the anchor
+    is analyzed with a smaller/larger frame shift and the right part
+    with the complementary one, so total frame count is preserved while
+    content moves relative to the anchor.  Alignment annotations
+    (``alignment_keys`` of the base STFT) are warped accordingly.
+    """
+
+    def __init__(self, base_stft, anchor_sampling_fn,
+                 anchor_shift_sampling_fn):
+        self.base_stft = base_stft
+        self.anchor_sampling_fn = anchor_sampling_fn
+        self.anchor_shift_sampling_fn = anchor_shift_sampling_fn
+
+    def __call__(self, example):
+        from padertorch_tpu.ops._stft import STFT as DeviceSTFT
+        base = self.base_stft
+        anchor = float(self.anchor_sampling_fn())
+        anchor_shift = float(self.anchor_shift_sampling_fn())
+        warp_factor = (anchor + anchor_shift) / anchor
+
+        overlap = base.window_length - base.shift
+        audio = self._pad_audio(np.atleast_2d(
+            np.asarray(example['audio_data'])))
+        num_samples = audio.shape[-1]
+        # frame shift left of the anchor (squeezed by warp_factor) and
+        # right of it (stretched so the total length matches)
+        shift_left = round(base.shift / warp_factor)
+        shift_right = round(
+            base.shift * (1 - anchor) / (1 - anchor * warp_factor))
+        warp_factor = base.shift / shift_left  # rounding-corrected
+
+        boundary = (num_samples - overlap) * anchor
+        boundary = round(boundary / shift_left) * shift_left + overlap
+
+        segments = []
+        for index, (onset, length, shift) in enumerate([
+                (0, boundary, shift_left),
+                (boundary - overlap, num_samples - boundary + overlap,
+                 shift_right),
+        ]):
+            seg_stft = DeviceSTFT(
+                size=base.size, shift=shift,
+                window_length=base.window_length, window=base.window,
+                pad=(index == 1) and base.pad, fading=None,
+                complex_representation='stacked')
+            segments.append(np.asarray(
+                seg_stft(audio[..., onset:onset + length])))
+        stft = np.concatenate(segments, axis=1).astype(np.float32)
+        example['stft'] = stft
+        num_frames = stft.shape[1]
+        if 'seq_len' in example:
+            example['seq_len'] = num_frames
+
+        if base.alignment_keys:
+            base.add_start_stop_frames(example)
+            boundary_frame = base.sample_index_to_frame_index(boundary)
+
+            def warp(frame):
+                if frame < boundary_frame:
+                    return round(frame * warp_factor)
+                return round(
+                    boundary_frame * warp_factor
+                    + (frame - boundary_frame)
+                    * (num_frames - boundary_frame * warp_factor)
+                    / (num_frames - boundary_frame))
+
+            for key in base.alignment_keys:
+                for boundary_name in ('start', 'stop'):
+                    frames_key = f'{key}_{boundary_name}_frames'
+                    if frames_key in example:
+                        example[frames_key] = [
+                            warp(f) for f in example[frames_key]]
+        return example
+
+    def _pad_audio(self, audio):
+        import math
+        base = self.base_stft
+        pad = base.window_length - base.shift
+        if base.fading == 'full':
+            widths = (pad, pad)
+        elif base.fading == 'half':
+            widths = (pad // 2, math.ceil(pad / 2))
+        elif base.fading is None:
+            widths = (0, 0)
+        else:
+            raise ValueError(f'Invalid fading {base.fading}.')
+        if sum(widths):
+            audio = np.pad(audio, [(0, 0), widths], mode='constant')
+        return audio
 
 
 class MelTransform:
@@ -191,6 +312,84 @@ class MultiHotEncoder(LabelEncoder):
             multi_hot[self.label_mapping[v]] = 1.0
         example[self.label_key] = multi_hot
         return example
+
+
+class StackArrays:
+    """Stack a list of arrays that may differ in ONE dimension.
+
+    Reference parity: ``je/data/transforms.py:465``.  Zero-pads to the
+    per-axis maximum (or truncates to the minimum with ``cut_end``) and
+    stacks along ``axis``.
+
+    >>> batch = [np.ones((2, 3)), np.zeros((2, 5))]
+    >>> StackArrays()(batch).shape
+    (2, 2, 5)
+    >>> StackArrays(axis=1)(batch).shape
+    (2, 2, 5)
+    >>> StackArrays(cut_end=True)(batch).shape
+    (2, 2, 3)
+    >>> StackArrays()({'x': batch})['x'].shape
+    (2, 2, 5)
+    """
+
+    def __init__(self, axis=0, cut_end=False):
+        self.axis = axis
+        self.cut_end = cut_end
+
+    def __call__(self, example):
+        from padertorch_tpu.utils.nested import nested_op
+        if isinstance(example, dict):
+            return nested_op(self.stack, example, sequence_type=())
+        if isinstance(example, (list, tuple)):
+            return self.stack(example)
+        return example
+
+    def stack(self, batch):
+        if not (isinstance(batch, list) and batch
+                and isinstance(batch[0], np.ndarray)):
+            return batch
+        shapes = np.asarray([array.shape for array in batch])
+        target = shapes.min(0) if self.cut_end else shapes.max(0)
+        for shape in shapes:
+            assert (shape != target).sum() <= 1, (
+                'arrays may differ in at most one dim', shape, target)
+        axis = self.axis if self.axis >= 0 \
+            else len(target) + 1 + self.axis
+        out_shape = [*target[:axis], len(batch), *target[axis:]]
+        out = np.zeros(out_shape, dtype=batch[0].dtype)
+        for i, array in enumerate(batch):
+            region = tuple(
+                slice(int(n)) for n in np.minimum(target, array.shape))
+            out[(*region[:axis], i, *region[axis:])] = array[region]
+        return out
+
+
+class ConcatenateArrays:
+    """Concatenate list-of-arrays leaves along ``axis``.
+
+    Reference parity: ``je/data/transforms.py:520``.
+
+    >>> ConcatenateArrays(axis=0)([np.ones((2, 3)), np.zeros((1, 3))]).shape
+    (3, 3)
+    """
+
+    def __init__(self, axis):
+        self.axis = axis
+
+    def __call__(self, example):
+        from padertorch_tpu.utils.nested import nested_op
+        if isinstance(example, dict):
+            return nested_op(self.concatenate, example, sequence_type=())
+        if isinstance(example, (list, tuple)):
+            return self.concatenate(example)
+        return example
+
+    def concatenate(self, batch):
+        if isinstance(batch, list) and batch \
+                and isinstance(batch[0], np.ndarray):
+            return np.concatenate(
+                batch, axis=self.axis).astype(batch[0].dtype)
+        return batch
 
 
 class Collate:

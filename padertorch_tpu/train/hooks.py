@@ -31,6 +31,7 @@ __all__ = [
     'LRSchedulerHook',
     'ProgressBarHook',
     'JaxProfilerHook',
+    'EnergyEstimateHook',
     'StopTrainingHook',
     'StopTraining',
     'AnnealingHook',
@@ -940,3 +941,71 @@ class JaxProfilerHook(TriggeredHook):
             import jax
             jax.profiler.stop_trace()
             self._active = False
+
+
+class EnergyEstimateHook(TriggeredHook):
+    """Dependency-free energy/CO2 estimate -> tensorboard scalars.
+
+    The reference's ``EmissionsTrackerHook`` (``hooks.py:1032``) wraps
+    codecarbon, which is absent in this environment and reads RAPL/GPU
+    counters that do not exist for TPU anyway.  This hook estimates from
+    wall-clock instead: ``energy = elapsed * (chip TDP + host power)``,
+    ``co2 = energy * grid carbon intensity``.  The defaults are a v5e
+    chip budget and the global-average grid; both are configurable, so
+    the numbers are an auditable upper-bound proxy rather than a
+    measurement.
+
+    Writes ``<prefix>/energy_kwh``, ``<prefix>/co2_kg`` and
+    ``<prefix>/avg_power_watts`` at every trigger fire and at close.
+    """
+
+    def __init__(self, trigger=(1, 'epoch'), prefix='x_emissions',
+                 chip_watts=200.0, host_watts=100.0,
+                 grid_kg_co2_per_kwh=0.475):
+        super().__init__(trigger)
+        self.prefix = prefix
+        self.watts = float(chip_watts) + float(host_watts)
+        self.grid_kg_co2_per_kwh = float(grid_kg_co2_per_kwh)
+        self._start = None
+
+    @property
+    def priority(self):
+        return Priority.SUMMARY
+
+    def state_dict(self):
+        # carry consumed energy over resume
+        return {'consumed_kwh_before': self._consumed_kwh()}
+
+    def load_state_dict(self, state_dict):
+        self._kwh_before = float(state_dict['consumed_kwh_before'])
+
+    _kwh_before = 0.0
+
+    def _consumed_kwh(self):
+        import time
+        if self._start is None:
+            return self._kwh_before
+        elapsed_h = (time.monotonic() - self._start) / 3600.0
+        return self._kwh_before + elapsed_h * self.watts / 1000.0
+
+    def _report(self, trainer):
+        energy_kwh = self._consumed_kwh()
+        trainer.writer.add_scalar(
+            f'{self.prefix}/energy_kwh', energy_kwh, trainer.iteration)
+        trainer.writer.add_scalar(
+            f'{self.prefix}/co2_kg',
+            energy_kwh * self.grid_kg_co2_per_kwh, trainer.iteration)
+        trainer.writer.add_scalar(
+            f'{self.prefix}/avg_power_watts', self.watts,
+            trainer.iteration)
+
+    def pre_step(self, trainer):
+        import time
+        if self._start is None:
+            self._start = time.monotonic()
+        if self.trigger(iteration=trainer.iteration, epoch=trainer.epoch):
+            self._report(trainer)
+
+    def close(self, trainer):
+        if self._start is not None:
+            self._report(trainer)

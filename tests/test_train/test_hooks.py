@@ -219,3 +219,34 @@ def test_stop_training_hook():
     trainer = fake_trainer(iteration=10, epoch=1)
     with pytest.raises(StopTraining):
         hook.pre_step(trainer)
+
+
+def test_energy_estimate_hook():
+    from padertorch_tpu.train.hooks import EnergyEstimateHook
+
+    class Writer:
+        def __init__(self):
+            self.scalars = {}
+
+        def add_scalar(self, tag, value, step):
+            self.scalars[tag] = (value, step)
+
+    trainer = fake_trainer()
+    trainer.writer = Writer()
+    hook = EnergyEstimateHook((1, 'epoch'), chip_watts=200.0,
+                              host_watts=100.0)
+    hook.pre_step(trainer)  # starts the clock + fires at epoch 0
+    assert 'x_emissions/energy_kwh' in trainer.writer.scalars
+    assert trainer.writer.scalars['x_emissions/avg_power_watts'][0] == 300.0
+    energy0 = trainer.writer.scalars['x_emissions/energy_kwh'][0]
+    # resume roundtrip carries consumed energy
+    state = hook.state_dict()
+    hook2 = EnergyEstimateHook((1, 'epoch'))
+    hook2.load_state_dict(state)
+    assert hook2._consumed_kwh() >= energy0
+    trainer.iteration = 10
+    hook.close(trainer)
+    energy1 = trainer.writer.scalars['x_emissions/energy_kwh'][0]
+    assert energy1 >= energy0
+    assert trainer.writer.scalars['x_emissions/co2_kg'][0] == (
+        pytest.approx(energy1 * 0.475))
