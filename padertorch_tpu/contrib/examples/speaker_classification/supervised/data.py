@@ -74,6 +74,40 @@ def prepare_dataset(dataset, label_encoder, batch_size=8, shuffle=True,
     return dataset
 
 
+def finalize_audio(example):
+    """On-device-frontend variant: ship raw audio, no host STFT."""
+    return {
+        'example_id': example['example_id'],
+        'audio_data': np.asarray(example['audio_data'], dtype='float32'),
+        'seq_len': example['seq_len'],
+        'speaker_id': example['speaker_id'],
+    }
+
+
+def post_batch_audio(batch):
+    batch = collate_fn(batch)
+    audio, seq_len = pad_batch(batch['audio_data'], axis=0)
+    return {
+        'example_id': list(batch['example_id']),
+        'audio_data': audio,
+        'seq_len': np.asarray(batch['seq_len'], dtype='int32'),
+        'speaker_id': np.asarray(batch['speaker_id'], dtype='int32'),
+    }
+
+
+def prepare_dataset_audio(dataset, label_encoder, batch_size=8,
+                          shuffle=True, prefetch=True):
+    """Pipeline for the on-device (Pallas) frontend: the batch carries
+    raw audio (64 kB per 4 s utterance vs ~1 MB of stacked STFT)."""
+    dataset = dataset.map(label_encoder).map(finalize_audio)
+    if shuffle:
+        dataset = dataset.shuffle(reshuffle=True)
+    dataset = dataset.batch(batch_size).map(post_batch_audio)
+    if prefetch:
+        dataset = dataset.prefetch(4, 8)
+    return dataset
+
+
 def get_label_encoder(storage_dir, dataset):
     encoder = LabelEncoder(label_key='speaker_id', storage_dir=storage_dir)
     encoder.initialize_labels(dataset=dataset, verbose=True)

@@ -42,7 +42,11 @@ class SpeakerClf(Model):
                 nn.ReLU(),
             ]
         self.cnn = nn.Sequential(*layers)
-        mels = feature_extractor.mel_transform.number_of_filters
+        mels = (
+            feature_extractor.mel_transform.number_of_filters
+            if hasattr(feature_extractor, 'mel_transform')
+            else feature_extractor.number_of_filters
+        )
         reduced_mels = mels
         for _ in cnn_channels:
             reduced_mels = -(-reduced_mels // 2)
@@ -52,8 +56,17 @@ class SpeakerClf(Model):
 
     def forward(self, inputs):
         seq_len = inputs.get('seq_len')
-        x, seq_len = self.feature_extractor(
-            inputs['stft'], seq_len=seq_len)  # (B, C, M, T)
+        from padertorch_tpu.contrib.je.modules.features import (
+            FusedAudioLogMelExtractor,
+        )
+        if isinstance(self.feature_extractor, FusedAudioLogMelExtractor):
+            # on-device frontend: raw audio in the batch, log-mel
+            # computed inside the jitted step (Pallas kernel on TPU)
+            x, seq_len = self.feature_extractor(
+                inputs['audio_data'], seq_len=seq_len)
+        else:
+            x, seq_len = self.feature_extractor(
+                inputs['stft'], seq_len=seq_len)  # (B, C, M, T)
         h = self.cnn(x)  # (B, C', M', T)
         b, c, m, t = h.shape
         h = jnp.transpose(h, (0, 3, 1, 2)).reshape(b, t, c * m)

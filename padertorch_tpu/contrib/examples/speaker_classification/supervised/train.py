@@ -28,6 +28,11 @@ def main():
     parser.add_argument('--epochs', type=int, default=50)
     parser.add_argument('--batch_size', type=int, default=8)
     parser.add_argument('--num_speakers', type=int, default=None)
+    parser.add_argument(
+        '--on_device_features', action='store_true',
+        help='compute the log-mel frontend inside the jitted step '
+             '(fused Pallas kernel on TPU) from raw audio, instead of '
+             'host STFTs in the data pipeline')
     args = parser.parse_args()
 
     if args.storage_root:
@@ -54,13 +59,24 @@ def main():
     num_speakers = args.num_speakers or len(label_encoder.label_mapping)
 
     ptrandom.seed(0)
+    model_updates = {
+        'factory': SpeakerClf,
+        'num_speakers': num_speakers,
+        'cnn_channels': (16, 32),
+        'hidden_size': 64,
+    }
+    if args.on_device_features:
+        from padertorch_tpu.contrib.je.modules.features import (
+            FusedAudioLogMelExtractor)
+        model_updates['feature_extractor'] = {
+            'factory': FusedAudioLogMelExtractor,
+            'sample_rate': data.SAMPLE_RATE,
+            'stft_size': 512,
+            'shift': 128,
+            'number_of_filters': 64,
+        }
     config = Trainer.get_config({
-        'model': {
-            'factory': SpeakerClf,
-            'num_speakers': num_speakers,
-            'cnn_channels': (16, 32),
-            'hidden_size': 64,
-        },
+        'model': model_updates,
         'optimizer': {'factory': pt.Adam, 'gradient_clipping': 10.0,
                       'lr': 3e-4},
         'storage_dir': str(storage_dir),
@@ -71,15 +87,14 @@ def main():
     dump_config({'trainer': config}, storage_dir / 'config.json')
     trainer = Trainer.from_config(config)
 
-    train = data.prepare_dataset(
-        train_ds, label_encoder, batch_size=args.batch_size)
-    dev = data.prepare_dataset(
-        dev_ds, label_encoder, batch_size=args.batch_size,
-        shuffle=False, prefetch=False)
+    prepare = (data.prepare_dataset_audio if args.on_device_features
+               else data.prepare_dataset)
+    train = prepare(train_ds, label_encoder, batch_size=args.batch_size)
+    dev = prepare(dev_ds, label_encoder, batch_size=args.batch_size,
+                  shuffle=False, prefetch=False)
     trainer.test_run(
-        data.prepare_dataset(train_ds, label_encoder,
-                             batch_size=args.batch_size, shuffle=False,
-                             prefetch=False),
+        prepare(train_ds, label_encoder, batch_size=args.batch_size,
+                shuffle=False, prefetch=False),
         dev)
     trainer.register_validation_hook(dev, metric='accuracy', maximize=True)
     trainer.train(train)

@@ -25,6 +25,7 @@ __all__ = [
     'get_fbanks',
     'MelTransform',
     'NormalizedLogMelExtractor',
+    'FusedAudioLogMelExtractor',
     'DeltaExtractor',
     'hz2mel',
     'mel2hz',
@@ -275,6 +276,7 @@ class NormalizedLogMelExtractor(Module):
             y = self._spec_augment(y, seq_len)
         return y, seq_len
 
+    # shared by FusedAudioLogMelExtractor
     def _spec_augment(self, y, seq_len):
         """SpecAugment-style time/frequency masking (jit-safe)."""
         b, c, m, t = y.shape
@@ -301,3 +303,112 @@ class NormalizedLogMelExtractor(Module):
     def inverse(self, x):
         return self.mel_transform.inverse(
             jnp.swapaxes(self.norm.inverse(x), -2, -1))
+
+
+class FusedAudioLogMelExtractor(Module):
+    """Raw audio -> normalized log-mel, computed ON DEVICE.
+
+    The whole frontend (framing, windowed DFT, mel matmul, log,
+    normalization) runs inside the model's jitted step, so the data
+    pipeline ships raw int16/float32 audio instead of host-computed
+    STFTs — less host CPU, less host->device bandwidth (a 4 s utterance
+    is 64 kB of audio vs ~1 MB of stacked-complex STFT).
+
+    ``backend='auto'`` uses the fused Pallas kernel
+    (``ops/pallas/logmel.py``) on TPU when the hop divides the window,
+    and the XLA-composed jnp path otherwise — both produce
+    ``log(power @ fbanks + eps)`` with identical filterbanks (tested
+    against each other in ``tests/test_ops/test_pallas.py``).
+
+    Output matches ``NormalizedLogMelExtractor``'s layout:
+    ``((B, 1, M, frames), seq_len_frames)``.
+
+    >>> from padertorch_tpu import random as ptrandom
+    >>> ptrandom.seed(0)
+    >>> ex = FusedAudioLogMelExtractor(16000, 512, 128, 40).eval()
+    >>> y, seq_len = ex(jnp.ones((2, 4000)), seq_len=jnp.asarray([4000, 2000]))
+    >>> y.shape, np.asarray(seq_len).tolist()
+    ((2, 1, 40, 35), [35, 19])
+    """
+
+    def __init__(
+            self, sample_rate, stft_size, shift, number_of_filters, *,
+            window_length=None, window='blackman', fading='full',
+            lowest_frequency=50, highest_frequency=None,
+            norm_statistics_axis='bt', norm_eps=1e-5, clamp=6,
+            backend='auto',
+    ):
+        from padertorch_tpu.ops._stft import STFT
+        self.sample_rate = sample_rate
+        self.stft_size = stft_size
+        self.shift = shift
+        self.window_length = window_length or stft_size
+        self.number_of_filters = number_of_filters
+        self.backend = backend
+        # jnp path building blocks (also the numerics oracle)
+        self._stft = STFT(
+            stft_size, shift, window_length=window_length, window=window,
+            fading=fading, complex_representation='stacked',
+            dtype='float32')
+        fb = get_fbanks(
+            sample_rate, stft_size, number_of_filters,
+            lowest_frequency=lowest_frequency,
+            highest_frequency=highest_frequency).astype(np.float32)
+        fb = fb / (fb.sum(-1, keepdims=True) + 1e-6)
+        # buffer, NOT a parameter: a trained filterbank can go negative
+        # and log(power @ fbanks) NaNs
+        self.register_buffer('fbanks', jnp.asarray(fb.T))  # (F, M)
+        self._frontend_kwargs = dict(
+            sample_rate=sample_rate, size=stft_size, shift=shift,
+            window_length=self.window_length, n_mels=number_of_filters,
+            window=window, lowest_frequency=lowest_frequency,
+            highest_frequency=highest_frequency, fading=fading)
+        self.norm = InputNormalization(
+            data_format='bcft',
+            shape=(None, 1, number_of_filters, None),
+            statistics_axis=norm_statistics_axis,
+            shift=True, scale=True, eps=norm_eps,
+            independent_axis=None, momentum=None,
+        )
+        self.clamp = clamp
+
+    def _use_pallas(self):
+        if self.backend == 'jnp':
+            return False
+        if self.window_length % self.shift:
+            assert self.backend != 'pallas', (
+                'Pallas frontend requires shift | window_length; '
+                f'{self.window_length} % {self.shift} != 0')
+            return False
+        if self.backend == 'pallas':
+            return True
+        return jax.default_backend() == 'tpu'
+
+    def _samples_to_frames(self, samples):
+        """jit-safe (vectorized) version of STFT.samples_to_frames."""
+        size, shift = self.window_length, self.shift
+        fading = self._stft.fading
+        if fading == 'half':
+            samples = samples + (size - shift) // 2 + -(-(size - shift) // 2)
+        elif fading not in (None, False):
+            samples = samples + 2 * (size - shift)
+        return jnp.maximum(1, -(-(samples - size + shift) // shift))
+
+    def forward(self, audio, seq_len=None):
+        """audio: (B, T_samples) or (B, 1, T_samples) float in [-1, 1]."""
+        if audio.ndim == 3:
+            audio = audio[:, 0]
+        if self._use_pallas():
+            from padertorch_tpu.ops.pallas.logmel import LogMelFrontend
+            logmel = LogMelFrontend(**self._frontend_kwargs)(audio)
+        else:
+            spec = self._stft(audio)  # (B, frames, F, 2)
+            power = spec[..., 0] ** 2 + spec[..., 1] ** 2
+            logmel = jnp.log(power @ self.fbanks + 1e-12)
+        y = jnp.swapaxes(logmel, -2, -1)[:, None]  # (B, 1, M, frames)
+        if seq_len is not None:
+            seq_len = self._samples_to_frames(jnp.asarray(seq_len))
+        y = self.norm(y, sequence_lengths=seq_len)
+        if self.clamp is not None:
+            y = jnp.clip(y, -self.clamp, self.clamp)
+        return y, seq_len

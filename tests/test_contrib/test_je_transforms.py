@@ -91,3 +91,45 @@ def test_time_warped_stft_identity_when_no_shift(aligned_example):
         dict(aligned_example))
     np.testing.assert_allclose(
         warped['stft'], plain['stft'], atol=1e-5)
+
+
+def test_fused_audio_logmel_extractor_backends_match():
+    import jax.numpy as jnp
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.contrib.je.modules.features import (
+        FusedAudioLogMelExtractor)
+    from padertorch_tpu.ops.pallas.logmel import LogMelFrontend
+
+    ptrandom.seed(0)
+    extractor = FusedAudioLogMelExtractor(
+        16000, 512, 128, 40, backend='jnp').eval()
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 4000).astype('float32'))
+    spec = extractor._stft(x)
+    power = spec[..., 0] ** 2 + spec[..., 1] ** 2
+    logmel_jnp = jnp.log(power @ extractor.fbanks + 1e-12)
+    logmel_pallas = LogMelFrontend(
+        sample_rate=16000, size=512, shift=128, n_mels=40,
+        interpret=True)(x)
+    np.testing.assert_allclose(
+        np.asarray(logmel_pallas), np.asarray(logmel_jnp),
+        atol=1e-3, rtol=1e-4)
+
+
+def test_fused_audio_logmel_extractor_fbanks_frozen():
+    # the filterbank must be a buffer: if it trained, entries could go
+    # negative and log(power @ fbanks) would NaN
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.contrib.je.modules.features import (
+        FusedAudioLogMelExtractor)
+    from padertorch_tpu.module import partition
+
+    ptrandom.seed(0)
+    extractor = FusedAudioLogMelExtractor(16000, 512, 128, 40)
+    params, static = partition(extractor)
+    import jax
+    trainable_shapes = [
+        tuple(leaf.shape) for leaf in jax.tree_util.tree_leaves(params)
+        if hasattr(leaf, 'shape')
+    ]
+    assert (257, 40) not in trainable_shapes, trainable_shapes
