@@ -27,13 +27,15 @@ from . import data
 from .model import WaveNetVocoder
 
 
-def synthesize_example(model, example, chunk_length, chunk_overlap):
+def synthesize_example(model, example, chunk_length, chunk_overlap,
+                       parallel=False):
     """AR synthesis for one example; returns (example_id, metrics, audio)."""
     features = np.asarray(example['features'])[None]  # (1, M, frames)
     target = np.asarray(example['audio_data'])
 
-    estimate = np.asarray(model.synthesize(
+    estimate = np.asarray(model.wavenet.infer(
         features, chunk_length=chunk_length, chunk_overlap=chunk_overlap,
+        parallel=parallel,
     ))[0]
     # synthesis also reconstructs padded samples; they must be fewer than
     # one frame shift (the maximum pad width)
@@ -57,6 +59,11 @@ def main():
     parser.add_argument('--max_examples', type=int, default=None)
     parser.add_argument('--chunk_length', type=int, default=48_000)
     parser.add_argument('--chunk_overlap', type=int, default=16_000)
+    parser.add_argument('--parallel', action='store_true',
+                        help='batch-parallel chunked synthesis (all '
+                             'chunks sample as one batch)')
+    parser.add_argument('--num_synthetic_examples', type=int, default=4)
+    parser.add_argument('--synthetic_samples', type=int, default=4000)
     parser.add_argument('--num_audio_dumps', type=int, default=10,
                         help='dump this many best + worst utterances as wav')
     args = parser.parse_args()
@@ -68,7 +75,8 @@ def main():
 
     if args.synthetic or args.database is None:
         dataset = data.synthetic_database(
-            num_examples=4, num_samples=4000, seed=2)
+            num_examples=args.num_synthetic_examples,
+            num_samples=args.synthetic_samples, seed=2)
     else:
         from padertorch_tpu.data.database import JsonDatabase
         from padertorch_tpu.contrib.je.data.transforms import AudioReader
@@ -86,6 +94,7 @@ def main():
             model, example,
             chunk_length=args.chunk_length,
             chunk_overlap=args.chunk_overlap,
+            parallel=args.parallel,
         )
         results[example_id] = metrics
         audio_cache[example_id] = estimate

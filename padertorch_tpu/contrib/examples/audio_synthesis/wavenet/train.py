@@ -37,11 +37,13 @@ def main():
         storage_dir = get_new_storage_dir('wavenet')
 
     updates = {'stop_trigger': (args.epochs, 'epoch')}
+    segment_length = 16000
     if args.small:
         updates['model'] = {'wavenet': {
-            'n_layers': 4, 'max_dilation': 4,
-            'n_residual_channels': 16, 'n_skip_channels': 32,
+            'n_layers': 2, 'max_dilation': 2,
+            'n_residual_channels': 8, 'n_skip_channels': 16,
         }}
+        segment_length = 4000
 
     ptrandom.seed(0)
     config = Trainer.get_config(nested_merge({
@@ -66,11 +68,15 @@ def main():
         train_ds = db.get_dataset('train_clean_100').map(reader)
         dev_ds = db.get_dataset('dev_clean').map(reader)
 
-    train = data.prepare_dataset(train_ds, batch_size=args.batch_size)
+    train = data.prepare_dataset(
+        train_ds, batch_size=args.batch_size,
+        segment_length=segment_length)
     dev = data.prepare_dataset(
-        dev_ds, batch_size=args.batch_size, shuffle=False, prefetch=False)
+        dev_ds, batch_size=args.batch_size,
+        segment_length=segment_length, shuffle=False, prefetch=False)
     trainer.test_run(
         data.prepare_dataset(train_ds, batch_size=args.batch_size,
+                             segment_length=segment_length,
                              shuffle=False, prefetch=False),
         dev)
     trainer.register_validation_hook(dev)

@@ -45,9 +45,12 @@ def test_wavenet_train_then_evaluate(tmp_path):
     storage_dir = tmp_path / 'wavenet' / '1'
     out = _run(f'{PKG}.audio_synthesis.wavenet.evaluate',
                '--model_path', str(storage_dir), '--synthetic',
-               '--chunk_length', '2000', '--chunk_overlap', '400')
+               '--num_synthetic_examples', '2',
+               '--synthetic_samples', '2000',
+               '--chunk_length', '1000', '--chunk_overlap', '200',
+               '--parallel')
     means = json.loads((storage_dir / 'eval' / 'means.json').read_text())
-    assert 'rmse' in means and means['num_examples'] == 4, (means, out)
+    assert 'rmse' in means and means['num_examples'] == 2, (means, out)
     assert (storage_dir / 'eval' / 'rmse.json').exists()
     assert list((storage_dir / 'eval' / 'audio').glob('*.wav'))
 
