@@ -55,6 +55,12 @@ def main():
         'checkpoint_trigger': (1, 'epoch'),
     }, updates))
     dump_config({'trainer': config}, storage_dir / 'config.json')
+    from padertorch_tpu.contrib.examples._makefile import \
+        write_recipe_makefile
+    write_recipe_makefile(
+        storage_dir, 'padertorch_tpu.contrib.examples.audio_synthesis.wavenet.train',
+        evaluate_module='padertorch_tpu.contrib.examples.audio_synthesis.wavenet.evaluate',
+        evaluate_args='--synthetic')
     trainer = Trainer.from_config(config)
 
     if args.synthetic or args.database is None:

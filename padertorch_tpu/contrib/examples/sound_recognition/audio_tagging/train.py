@@ -175,6 +175,12 @@ def main():
         'stop_trigger': (args.epochs, 'epoch'),
     })
     dump_config({'trainer': config}, storage_dir / 'config.json')
+    from padertorch_tpu.contrib.examples._makefile import \
+        write_recipe_makefile
+    write_recipe_makefile(
+        storage_dir, 'padertorch_tpu.contrib.examples.sound_recognition.audio_tagging.train',
+        evaluate_module='padertorch_tpu.contrib.examples.sound_recognition.audio_tagging.evaluate',
+        evaluate_args='--synthetic')
     trainer = Trainer.from_config(config)
 
     train_ds = synthetic_database(num_examples=48)

@@ -121,6 +121,12 @@ def main():
     dump_config({'trainer': config}, storage_dir / 'config.json')
     (Path(storage_dir) / 'feature.json').write_text(
         json.dumps({'feature': args.feature}))
+    from padertorch_tpu.contrib.examples._makefile import \
+        write_recipe_makefile
+    write_recipe_makefile(
+        storage_dir, 'padertorch_tpu.contrib.examples.source_localization.distance_estimator.train',
+        evaluate_module='padertorch_tpu.contrib.examples.source_localization.distance_estimator.evaluate',
+        evaluate_args='--synthetic')
     trainer = Trainer.from_config(config)
 
     train_ds = data.synthetic_database(num_examples=48)

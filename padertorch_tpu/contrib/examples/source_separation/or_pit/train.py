@@ -64,6 +64,12 @@ def main():
         'stop_trigger': (args.epochs, 'epoch'),
     })
     dump_config({'trainer': config}, storage_dir / 'config.json')
+    from padertorch_tpu.contrib.examples._makefile import \
+        write_recipe_makefile
+    write_recipe_makefile(
+        storage_dir, 'padertorch_tpu.contrib.examples.source_separation.or_pit.train',
+        evaluate_module='padertorch_tpu.contrib.examples.source_separation.or_pit.evaluate',
+        evaluate_args='--synthetic')
     trainer = Trainer.from_config(config)
     from padertorch_tpu.modules.recurrent import set_rnn_backend
     try:

@@ -80,6 +80,12 @@ def main():
         updates = nested_merge(updates, cli_updates)
     config = get_trainer_config(storage_dir, updates)
     dump_config({'trainer': config}, storage_dir / 'config.json')
+    from padertorch_tpu.contrib.examples._makefile import \
+        write_recipe_makefile
+    write_recipe_makefile(
+        storage_dir, 'padertorch_tpu.contrib.examples.source_separation.pit.train',
+        evaluate_module='padertorch_tpu.contrib.examples.source_separation.pit.evaluate',
+        evaluate_args='--synthetic')
     trainer = Trainer.from_config(config)
     from padertorch_tpu.modules.recurrent import set_rnn_backend
     set_rnn_backend(trainer.model, args.rnn_backend)

@@ -110,6 +110,12 @@ def main():
         storage_dir, variant=args.variant, loss=args.loss,
         updates=updates)
     dump_config({'trainer': config}, storage_dir / 'config.json')
+    from padertorch_tpu.contrib.examples._makefile import \
+        write_recipe_makefile
+    write_recipe_makefile(
+        storage_dir, 'padertorch_tpu.contrib.examples.source_separation.tasnet.train',
+        evaluate_module='padertorch_tpu.contrib.examples.source_separation.tasnet.evaluate',
+        evaluate_args='--synthetic')
     trainer = Trainer.from_config(config)
     from padertorch_tpu.modules.recurrent import set_rnn_backend
     try:

@@ -85,6 +85,12 @@ def main():
         'checkpoint_trigger': (1, 'epoch'),
     })
     dump_config({'trainer': config}, storage_dir / 'config.json')
+    from padertorch_tpu.contrib.examples._makefile import \
+        write_recipe_makefile
+    write_recipe_makefile(
+        storage_dir, 'padertorch_tpu.contrib.examples.speaker_classification.supervised.train',
+        evaluate_module='padertorch_tpu.contrib.examples.speaker_classification.supervised.evaluate',
+        evaluate_args='--synthetic')
     trainer = Trainer.from_config(config)
 
     prepare = (data.prepare_dataset_audio if args.on_device_features
