@@ -11,6 +11,9 @@ from padertorch_tpu.ops import STFT
 
 __all__ = [
     'FeatureExtractor', 'AbsSTFT', 'Log1pAbsSTFT', 'LogMel', 'Cepstrum',
+    'KaldiSTFT', 'AbsKaldiSTFT',
+    'interchannel_phase_differences',
+    'interchannel_phase_differences_op',
 ]
 
 
@@ -73,3 +76,75 @@ class Cepstrum(FeatureExtractor):
         if self.num_coefficients is not None:
             cep = cep[..., :self.num_coefficients]
         return cep
+
+
+class KaldiSTFT(FeatureExtractor):
+    """Kaldi-convention framing: 512-FFT over 400-sample windows with a
+    160-sample shift, no padding/fading.  Reference:
+    ``feature_extractor.py:593``."""
+
+    def __init__(self, size=512, shift=160, window_length=400, pad=False,
+                 fading=False, window='blackman'):
+        super().__init__(size=size, shift=shift,
+                         window_length=window_length, window=window,
+                         fading=fading or None, pad=pad)
+
+    def forward(self, signal):
+        return self.stft(signal)
+
+
+class AbsKaldiSTFT(KaldiSTFT):
+    """|KaldiSTFT|. Reference: ``feature_extractor.py:615``."""
+
+    def forward(self, signal):
+        return jnp.abs(self.stft(signal))
+
+
+def _complex_sign(x):
+    import numpy as np
+    magnitude = np.maximum(np.abs(x), np.finfo(np.float64).tiny)
+    return x / magnitude
+
+
+def interchannel_phase_differences_op(a, b):
+    """cos + i*sin of angle(a * conj(b)). Reference:
+    ``cb/feature_extractor.py:125``."""
+    return _complex_sign(a * b.conj())
+
+
+def interchannel_phase_differences(signal, second_channel=None,
+                                   concatenate=False, rng=None):
+    """Inter-channel phase differences of a multi-channel STFT.
+
+    signal: (..., channels, frames, features) complex.  When
+    ``second_channel`` is not given, each channel is paired with a
+    randomly sampled *other* channel.  Returns ``(cos, sin)`` or, with
+    ``concatenate``, ``[abs, cos, sin]`` stacked on the feature axis
+    (reference ``cb/feature_extractor.py:131``).
+
+    >>> import numpy as np
+    >>> sig = np.exp(1j * np.linspace(0, 1, 4))[:, None, None] \\
+    ...     * np.ones((4, 2, 3))
+    >>> cos, sin = interchannel_phase_differences(
+    ...     sig, second_channel=[1, 0, 3, 2])
+    >>> cos.shape, sin.shape
+    ((4, 2, 3), (4, 2, 3))
+    >>> np.allclose(cos[0], np.cos(0 - 1/3)), np.allclose(sin[1], np.sin(1/3))
+    (True, True)
+    """
+    import numpy as np
+    signal = np.asarray(signal)
+    if second_channel is None:
+        num_channels = signal.shape[-3]
+        assert num_channels >= 2, (num_channels, signal.shape)
+        rng = np.random if rng is None else rng
+        # pair every channel with a random other channel
+        offsets = rng.randint(1, num_channels, size=num_channels)
+        second_channel = (np.arange(num_channels) + offsets) % num_channels
+    second_channel = np.asarray(second_channel)
+    sincos = interchannel_phase_differences_op(
+        signal, signal[..., second_channel, :, :])
+    if concatenate:
+        return np.concatenate(
+            [np.abs(signal), sincos.real, sincos.imag], axis=-1)
+    return sincos.real, sincos.imag

@@ -11,3 +11,7 @@ from padertorch_tpu.parallel.tensor import (
     shard_module,
     ModelParallel,
 )
+from padertorch_tpu.parallel.spmd import (
+    shard_map_value_and_grad,
+    pmean_trees,
+)

@@ -154,3 +154,43 @@ def test_tensor_parallel_step_equals_single_device(tmp_path):
     loss_single, w_single = run(None)
     np.testing.assert_allclose(loss_mp, loss_single, rtol=1e-5)
     np.testing.assert_allclose(w_mp, w_single, rtol=1e-4, atol=1e-6)
+
+
+def test_shard_map_value_and_grad_matches_single_device():
+    """Explicit-collectives formulation (shard_map + psum) computes the
+    same loss and gradients as the plain full-batch value_and_grad."""
+    from padertorch_tpu.parallel.spmd import shard_map_value_and_grad
+    from padertorch_tpu.models.bss import PermutationInvariantTrainingModel
+    from padertorch_tpu.module import combine
+
+    mesh = make_mesh()
+    b, t, f, k = 8, 12, 33, 2
+    ptrandom.seed(0)
+    model = PermutationInvariantTrainingModel(
+        F=f, recurrent_layers=1, units=16, K=k).eval()
+    params, static = partition(model)
+    rng = np.random.RandomState(0)
+    batch = {
+        'Y_abs': np.abs(rng.randn(b, t, f)).astype('float32'),
+        'X_abs': np.abs(rng.randn(b, t, k, f)).astype('float32'),
+        'cos_phase_difference':
+            np.cos(rng.randn(b, t, k, f)).astype('float32'),
+        'num_frames': np.full(b, t, dtype='int32'),
+    }
+
+    def loss_fn(params, batch):
+        m = combine(params, static)
+        return m.review(batch, m(batch))['losses']['pit_mse_loss']
+
+    explicit = shard_map_value_and_grad(loss_fn, mesh)
+    loss_sm, grads_sm = explicit(params, batch)
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(
+        jax.tree_util.tree_map(jnp.asarray, params), batch)
+
+    np.testing.assert_allclose(
+        np.asarray(loss_sm), np.asarray(loss_ref), rtol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(grads_sm),
+                     jax.tree_util.tree_leaves(grads_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-6)
