@@ -11,10 +11,22 @@ import jax.numpy as jnp
 import jax
 
 __all__ = [
+    'sequence_elementwise',
     'abs', 'ceil', 'clamp', 'exp', 'floor', 'log', 'log1p', 'log2',
     'neg', 'relu', 'round', 'sigmoid', 'sign', 'sin', 'cos', 'sqrt',
     'tanh',
 ]
+
+
+def sequence_elementwise(function, x, *args, **kwargs):
+    """Apply an elementwise function to a sequence container.
+
+    Reference parity: ``ops/sequence/pointwise.py:20`` — there it
+    unwraps PackedSequence; here sequences are padded arrays, so this
+    applies the function directly (kept so reference code that builds
+    its own lifted ops keeps working).
+    """
+    return function(x, *args, **kwargs)
 
 abs = jnp.abs
 ceil = jnp.ceil

@@ -4,6 +4,7 @@ from padertorch_tpu.parallel.mesh import (
     replicated_sharding,
     replicate,
     shard_batch,
+    shard_host_local_batch,
     DataParallel,
 )
 from padertorch_tpu.parallel.tensor import (

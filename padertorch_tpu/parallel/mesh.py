@@ -83,6 +83,33 @@ def shard_batch(example, mesh: Mesh, axis='data'):
     return nested_op(place, example)
 
 
+def shard_host_local_batch(example, mesh: Mesh, axis='data'):
+    """Multi-host input sharding: each process holds only ITS shard.
+
+    On a multi-host mesh, every process's data pipeline produces the
+    local slice of the global batch (global batch = per-host batch x
+    num processes); this assembles them into one globally-sharded array
+    without gathering through any single host
+    (``jax.make_array_from_process_local_data``).  On a single process
+    it is equivalent to :func:`shard_batch`.
+    """
+    n = mesh.shape[axis]
+    batch_sharding = data_sharding(mesh, axis)
+    replicated = replicated_sharding(mesh)
+    num_processes = jax.process_count()
+
+    def place(x):
+        if isinstance(x, (jax.Array, np.ndarray)):
+            if x.ndim >= 1 and (x.shape[0] * num_processes) % n == 0:
+                return jax.make_array_from_process_local_data(
+                    batch_sharding, np.asarray(x))
+            return jax.device_put(x, replicated)
+        return x
+
+    from padertorch_tpu.utils.nested import nested_op
+    return nested_op(place, example)
+
+
 class DataParallel:
     """Callable wrapper binding a mesh to the trainer's sharding slot.
 

@@ -194,3 +194,15 @@ def test_shard_map_value_and_grad_matches_single_device():
                      jax.tree_util.tree_leaves(grads_ref)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-6)
+
+
+def test_shard_host_local_batch_single_process_equals_shard_batch():
+    from padertorch_tpu.parallel import shard_host_local_batch
+    mesh = make_mesh()
+    batch = {'x': np.arange(32, dtype='float32').reshape(16, 2),
+             'meta': np.float32(3.0)}
+    a = shard_batch(batch, mesh)
+    b = shard_host_local_batch(batch, mesh)
+    np.testing.assert_array_equal(np.asarray(a['x']), np.asarray(b['x']))
+    assert a['x'].sharding == b['x'].sharding
+    assert float(b['meta']) == 3.0
