@@ -8,7 +8,7 @@ import numpy as np
 from padertorch_tpu.data import dataset as lazy
 from padertorch_tpu.data.segment import Segmenter
 from padertorch_tpu.data.utils import collate_fn, pad_batch
-from padertorch_tpu.ops._stft import STFT
+from padertorch_tpu.ops._stft import HostSTFT as STFT
 
 SAMPLE_RATE = 16000
 STFT_SHIFT = 200

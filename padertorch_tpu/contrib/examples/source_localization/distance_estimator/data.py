@@ -17,7 +17,7 @@ import numpy as np
 
 from padertorch_tpu.data import dataset as lazy
 from padertorch_tpu.data.utils import collate_fn, pad_batch
-from padertorch_tpu.ops._stft import STFT
+from padertorch_tpu.ops._stft import HostSTFT as STFT
 
 __all__ = [
     'FeatureExtraction', 'Diffuseness', 'DataProvider',

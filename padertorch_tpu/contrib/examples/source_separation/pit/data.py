@@ -11,7 +11,7 @@ import numpy as np
 from padertorch_tpu.data import dataset as lazy
 from padertorch_tpu.data.batch import Sorter
 from padertorch_tpu.data.utils import collate_fn, pad_batch
-from padertorch_tpu.ops._stft import STFT
+from padertorch_tpu.ops._stft import HostSTFT as STFT
 
 STFT_SIZE = 512
 STFT_SHIFT = 128

@@ -19,7 +19,7 @@ from padertorch_tpu.evaluation import (
     InputMetrics, OutputMetrics, split_managed, gather_merged, is_master,
 )
 from padertorch_tpu.contrib.neumann.evaluation import compute_means
-from padertorch_tpu.ops._stft import STFT
+from padertorch_tpu.ops._stft import HostSTFT as STFT
 
 from . import data
 

@@ -19,7 +19,7 @@ from padertorch_tpu.data import dataset as lazy
 from padertorch_tpu.data.utils import collate_fn, pad_batch
 from padertorch_tpu.io import dump_config
 from padertorch_tpu.models.mask_estimator import SimpleMaskEstimator
-from padertorch_tpu.ops._stft import STFT
+from padertorch_tpu.ops._stft import HostSTFT as STFT
 from padertorch_tpu.train.trainer import Trainer
 
 STFT_SIZE = 512

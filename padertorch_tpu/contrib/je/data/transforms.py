@@ -77,8 +77,8 @@ class STFT:
 
     def __init__(self, shift, size, window_length=None, pad=True,
                  fading='full', window='blackman', alignment_keys=None):
-        from padertorch_tpu.ops._stft import STFT as DeviceSTFT
-        self._stft = DeviceSTFT(
+        from padertorch_tpu.ops._stft import HostSTFT
+        self._stft = HostSTFT(
             size=size, shift=shift, window_length=window_length, pad=pad,
             fading=fading, window=window,
             complex_representation='stacked')
@@ -136,7 +136,7 @@ class TimeWarpedSTFT:
         self.anchor_shift_sampling_fn = anchor_shift_sampling_fn
 
     def __call__(self, example):
-        from padertorch_tpu.ops._stft import STFT as DeviceSTFT
+        from padertorch_tpu.ops._stft import HostSTFT
         base = self.base_stft
         anchor = float(self.anchor_sampling_fn())
         anchor_shift = float(self.anchor_shift_sampling_fn())
@@ -162,7 +162,7 @@ class TimeWarpedSTFT:
                 (boundary - overlap, num_samples - boundary + overlap,
                  shift_right),
         ]):
-            seg_stft = DeviceSTFT(
+            seg_stft = HostSTFT(
                 size=base.size, shift=shift,
                 window_length=base.window_length, window=base.window,
                 pad=(index == 1) and base.pad, fading=None,

@@ -19,7 +19,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ['STFT']
+__all__ = ['STFT', 'HostSTFT']
 
 
 def _get_window(window, symmetric_window, window_length):
@@ -285,3 +285,86 @@ class STFT:
         """Number of time samples for a number of STFT frames."""
         return _stft_frames_to_samples(
             frames, self.window_length, self.shift, fading=self.fading)
+
+
+class HostSTFT(STFT):
+    """The same transform computed with numpy on the host CPU.
+
+    Data pipelines run in prefetch threads and must not touch the
+    accelerator (feature extraction would contend with the train step
+    for the chip — and remote-relay backends cannot even fetch complex
+    arrays).  This subclass computes ``__call__``/``inverse`` with
+    numpy using the SAME kernel matrices, so numerics match the device
+    op to float32 accuracy (tested in ``tests/test_ops/test_stft.py``).
+    """
+
+    def __call__(self, inputs):
+        x = np.asarray(inputs)
+        org_shape = x.shape
+        x = x.reshape(-1, org_shape[-1]).astype(np.float32)
+        lo, hi = self._pad_widths
+        if lo or hi:
+            x = np.pad(x, ((0, 0), (lo, hi)))
+        length, stride = self.window_length, self.shift
+        if self.pad:
+            if x.shape[-1] < length:
+                x = np.pad(x, ((0, 0), (0, length - x.shape[-1])))
+            elif stride != 1 and (x.shape[-1] + stride - length) % stride:
+                x = np.pad(x, ((0, 0), (
+                    0, stride - (x.shape[-1] + stride - length) % stride)))
+        n_frames = (x.shape[-1] - length) // stride + 1
+        frames = np.lib.stride_tricks.as_strided(
+            x, (x.shape[0], n_frames, length),
+            (x.strides[0], stride * x.strides[1], x.strides[1]))
+        # (B, frames, 2F) — identical math to the device conv
+        kernel = np.asarray(self.stft_kernel)[:, 0, :]  # (2F, L)
+        encoded = frames @ kernel.T.astype(np.float32)
+        encoded = encoded.reshape(*org_shape[:-1], n_frames, -1)
+        real, imag = np.split(encoded, 2, axis=-1)
+        if self.complex_representation == 'stacked':
+            return np.stack([real, imag], axis=-1)
+        if self.complex_representation == 'concat':
+            return np.concatenate([real, imag], axis=-1)
+        return real + 1j * imag
+
+    def inverse(self, stft_signal):
+        stft_signal = np.asarray(stft_signal)
+        if self.complex_representation == 'stacked':
+            real, imag = stft_signal[..., 0], stft_signal[..., 1]
+        elif self.complex_representation == 'concat':
+            real, imag = np.split(stft_signal, 2, axis=-1)
+        else:
+            real, imag = np.real(stft_signal), np.imag(stft_signal)
+        org_shape = real.shape
+        real = real.reshape(-1, *org_shape[-2:]).astype(np.float32)
+        imag = imag.reshape(-1, *org_shape[-2:]).astype(np.float32)
+        # mirror to the full spectrum (imag part reflected negated)
+        real_full = np.concatenate([real, real[..., 1:-1][..., ::-1]], -1)
+        imag_full = np.concatenate([imag, -imag[..., 1:-1][..., ::-1]], -1)
+        k_real = np.asarray(self.istft_kernel_real)[:, 0, :]  # (size, L)
+        k_imag = np.asarray(self.istft_kernel_imag)[:, 0, :]
+        contrib = (real_full @ k_real.astype(np.float32)
+                   + imag_full @ k_imag.astype(np.float32))  # (B, fr, L)
+        batch, n_frames, length = contrib.shape
+        stride = self.shift
+        total = (n_frames - 1) * stride + length
+        ratio = -(-length // stride)
+        # grouped overlap-add: frames g, g+ratio, g+2*ratio, ... do not
+        # overlap, so each group adds via one strided (reshaped) view
+        out = np.zeros(
+            (batch, total + ratio * stride), dtype=np.float32)
+        for g in range(min(ratio, n_frames)):
+            sub = contrib[:, g::ratio]  # (B, n_g, L)
+            n_g = sub.shape[1]
+            view = out[:, g * stride:
+                       g * stride + n_g * ratio * stride]
+            view = view.reshape(batch, n_g, ratio * stride)
+            view[:, :, :length] += sub
+        time_signal = out[:, :total].reshape(*org_shape[:-2], total)
+        if self.fading not in [None, False]:
+            pad_width = self.window_length - self.shift
+            if self.fading == 'half':
+                pad_width /= 2
+            cut_off = time_signal.shape[-1] - ceil(pad_width)
+            time_signal = time_signal[..., int(pad_width):cut_off]
+        return time_signal
