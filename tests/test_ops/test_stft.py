@@ -141,3 +141,35 @@ def test_jit_and_grad():
     g = jax.grad(loss)(x)
     assert g.shape == x.shape
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_host_stft_matches_device_op():
+    """HostSTFT (numpy, prefetch-thread safe) == the device conv op."""
+    from padertorch_tpu.ops._stft import STFT, HostSTFT
+    rng = np.random.RandomState(0)
+    x = rng.randn(3, 8000).astype('float32')
+    for size, shift, wl, fading, rep in [
+            (512, 128, None, 'full', 'complex'),
+            (512, 160, 400, None, 'stacked'),
+            (1024, 256, None, 'half', 'concat')]:
+        device = STFT(size, shift, window_length=wl, fading=fading,
+                      complex_representation=rep, dtype='float32')
+        host = HostSTFT(size, shift, window_length=wl, fading=fading,
+                        complex_representation=rep, dtype='float32')
+        a = np.asarray(device(x))
+        b = host(x)
+        assert isinstance(b, np.ndarray)
+        np.testing.assert_allclose(a, b, atol=2e-4)
+        ra = np.asarray(device.inverse(device(x)))
+        rb = host.inverse(host(x))
+        np.testing.assert_allclose(ra, rb, atol=1e-4)
+
+
+def test_host_stft_roundtrip_reconstruction():
+    from padertorch_tpu.ops._stft import HostSTFT
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 4000).astype('float32')
+    stft = HostSTFT(512, 128, fading='full',
+                    complex_representation='complex', dtype='float32')
+    rec = stft.inverse(stft(x))[..., :4000]
+    np.testing.assert_allclose(rec, x, atol=1e-4)
