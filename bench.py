@@ -128,6 +128,14 @@ def bench_parity():
     )
     if proc.returncode != 0:
         _log(f'parity subprocess failed: {proc.stderr[-2000:]}')
+        # a crashed harness must read as a FAILING metric, not an
+        # absent one
+        print(json.dumps({
+            'metric': 'numerics_parity_max_abs_diff',
+            'value': float('inf'),
+            'unit': 'parity harness failed (see bench stderr)',
+            'vs_baseline': 0.0,
+        }), flush=True)
         return
     diffs = json.loads(proc.stdout.strip().splitlines()[-1])
     worst = max(diffs.values())

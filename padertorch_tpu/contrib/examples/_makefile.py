@@ -6,6 +6,8 @@ from inside the directory (``pit/train.py:93-117`` via the template,
 ``contrib/cb/io.py:105`` SimpleMakefile).  Every recipe's train.py
 calls :func:`write_recipe_makefile` after creating the storage dir.
 """
+import shlex
+import sys
 from pathlib import Path
 
 from padertorch_tpu.contrib.cb.io import SimpleMakefile
@@ -14,10 +16,17 @@ __all__ = ['write_recipe_makefile']
 
 
 def write_recipe_makefile(storage_dir, train_module,
-                          evaluate_module=None, train_args='',
+                          evaluate_module=None, train_args=None,
                           evaluate_args=''):
     """Write ``<storage_dir>/Makefile`` with train/evaluate/tensorboard
-    targets bound to this experiment directory."""
+    targets bound to this experiment directory.
+
+    ``train_args`` defaults to the launching process's CLI arguments, so
+    ``make train`` re-runs this exact training configuration (into a
+    fresh experiment dir, like the reference's init-generated Makefile).
+    """
+    if train_args is None:
+        train_args = shlex.join(sys.argv[1:])
     storage_dir = Path(storage_dir)
     m = SimpleMakefile()
     m += f'# experiment: {storage_dir}'

@@ -23,6 +23,8 @@ from padertorch_tpu.evaluation import (
     split_managed, gather_merged, is_master,
 )
 
+from padertorch_tpu.contrib.examples._audio import write_wav
+
 from . import data
 from .model import WaveNetVocoder
 
@@ -40,7 +42,8 @@ def synthesize_example(model, example, chunk_length, chunk_overlap,
     # synthesis also reconstructs padded samples; they must be fewer than
     # one frame shift (the maximum pad width)
     n_extra = estimate.shape[-1] - target.shape[-1]
-    assert -data.STFT_SHIFT < n_extra, (estimate.shape, target.shape)
+    assert -data.STFT_SHIFT < n_extra < data.STFT_SHIFT, (
+        estimate.shape, target.shape)
     t = min(estimate.shape[-1], target.shape[-1])
     err = float(((estimate[:t] - target[:t]) ** 2).sum())
     return example['example_id'], {
@@ -86,8 +89,11 @@ def main():
     if args.max_examples is not None:
         dataset = list(dataset)[:args.max_examples]
 
+    # spill synthesized audio to disk: only num_audio_dumps best/worst
+    # are kept, and long eval sets would otherwise accumulate GBs in RAM
+    import tempfile
+    spill_dir = Path(tempfile.mkdtemp(prefix='wavenet_eval_'))
     results = {}
-    audio_cache = {}
     for example in split_managed(dataset, progress_bar=True):
         example = data.extract_features(example)
         example_id, metrics, estimate = synthesize_example(
@@ -97,7 +103,8 @@ def main():
             parallel=args.parallel,
         )
         results[example_id] = metrics
-        audio_cache[example_id] = estimate
+        np.save(spill_dir / f'{example_id}.npy',
+                estimate.astype('float32'))
 
     merged = gather_merged(results)
     if is_master():
@@ -121,23 +128,13 @@ def main():
         audio_dir.mkdir(exist_ok=True)
         n = args.num_audio_dumps
         for example_id, _ in (by_rmse[:n] + by_rmse[-n:]):
-            if example_id in audio_cache:
-                _write_wav(
-                    audio_dir / f'{example_id}.wav',
-                    audio_cache[example_id], data.SAMPLE_RATE)
+            spilled = spill_dir / f'{example_id}.npy'
+            if spilled.exists():
+                write_wav(audio_dir / f'{example_id}.wav',
+                          np.load(spilled), data.SAMPLE_RATE)
         print(json.dumps(summary, indent=2))
-
-
-def _write_wav(path, audio, sample_rate):
-    """Minimal 16-bit PCM wav writer (no scipy dependency)."""
-    import wave
-    pcm = np.clip(np.asarray(audio), -1.0, 1.0)
-    pcm = (pcm * 32767).astype('<i2')
-    with wave.open(str(path), 'wb') as fh:
-        fh.setnchannels(1)
-        fh.setsampwidth(2)
-        fh.setframerate(sample_rate)
-        fh.writeframes(pcm.tobytes())
+    import shutil
+    shutil.rmtree(spill_dir, ignore_errors=True)
 
 
 if __name__ == '__main__':

@@ -60,12 +60,18 @@ def main():
     write_recipe_makefile(
         storage_dir, 'padertorch_tpu.contrib.examples.audio_synthesis.wavenet.train',
         evaluate_module='padertorch_tpu.contrib.examples.audio_synthesis.wavenet.evaluate',
-        evaluate_args='--synthetic')
+        evaluate_args='--synthetic'
+        if (getattr(args, 'synthetic', False)
+            or getattr(args, 'database', None) is None)
+        else '')
     trainer = Trainer.from_config(config)
 
     if args.synthetic or args.database is None:
-        train_ds = data.synthetic_database(num_examples=12)
-        dev_ds = data.synthetic_database(num_examples=4, seed=1)
+        train_ds = data.synthetic_database(
+            num_examples=max(12, 4 * args.batch_size))
+        # at least 2 validation batches (test_run exercises two)
+        dev_ds = data.synthetic_database(
+            num_examples=2 * args.batch_size, seed=1)
     else:
         from padertorch_tpu.data.database import JsonDatabase
         db = JsonDatabase(args.database)

@@ -180,7 +180,10 @@ def main():
     write_recipe_makefile(
         storage_dir, 'padertorch_tpu.contrib.examples.sound_recognition.audio_tagging.train',
         evaluate_module='padertorch_tpu.contrib.examples.sound_recognition.audio_tagging.evaluate',
-        evaluate_args='--synthetic')
+        evaluate_args='--synthetic'
+        if (getattr(args, 'synthetic', False)
+            or getattr(args, 'database', None) is None)
+        else '')
     trainer = Trainer.from_config(config)
 
     train_ds = synthetic_database(num_examples=48)

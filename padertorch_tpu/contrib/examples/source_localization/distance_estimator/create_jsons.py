@@ -21,6 +21,8 @@ from pathlib import Path
 
 import numpy as np
 
+from padertorch_tpu.contrib.examples._audio import write_wav as _write_wav
+
 
 def audio_length(path):
     """Number of samples of a wav file (stdlib; no soundfile needed)."""
@@ -99,15 +101,6 @@ def make_synthetic_tree(out_dir, num_scenes=3, num_signals=4,
                                 * np.arange(8000) / sample_rate),
                    sample_rate)
     return rir_dir, sig_dir
-
-
-def _write_wav(path, audio, sample_rate):
-    pcm = (np.clip(audio, -1, 1) * 32767).astype('<i2')
-    with wave.open(str(path), 'wb') as fh:
-        fh.setnchannels(1)
-        fh.setsampwidth(2)
-        fh.setframerate(sample_rate)
-        fh.writeframes(pcm.tobytes())
 
 
 def main():

@@ -126,7 +126,10 @@ def main():
     write_recipe_makefile(
         storage_dir, 'padertorch_tpu.contrib.examples.source_localization.distance_estimator.train',
         evaluate_module='padertorch_tpu.contrib.examples.source_localization.distance_estimator.evaluate',
-        evaluate_args='--synthetic')
+        evaluate_args='--synthetic'
+        if (getattr(args, 'synthetic', False)
+            or getattr(args, 'database', None) is None)
+        else '')
     trainer = Trainer.from_config(config)
 
     train_ds = data.synthetic_database(num_examples=48)

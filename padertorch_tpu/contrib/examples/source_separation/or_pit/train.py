@@ -69,7 +69,10 @@ def main():
     write_recipe_makefile(
         storage_dir, 'padertorch_tpu.contrib.examples.source_separation.or_pit.train',
         evaluate_module='padertorch_tpu.contrib.examples.source_separation.or_pit.evaluate',
-        evaluate_args='--synthetic')
+        evaluate_args='--synthetic'
+        if (getattr(args, 'synthetic', False)
+            or getattr(args, 'database', None) is None)
+        else '')
     trainer = Trainer.from_config(config)
     from padertorch_tpu.modules.recurrent import set_rnn_backend
     try:

@@ -115,7 +115,10 @@ def main():
     write_recipe_makefile(
         storage_dir, 'padertorch_tpu.contrib.examples.source_separation.tasnet.train',
         evaluate_module='padertorch_tpu.contrib.examples.source_separation.tasnet.evaluate',
-        evaluate_args='--synthetic')
+        evaluate_args='--synthetic'
+        if (getattr(args, 'synthetic', False)
+            or getattr(args, 'database', None) is None)
+        else '')
     trainer = Trainer.from_config(config)
     from padertorch_tpu.modules.recurrent import set_rnn_backend
     try:

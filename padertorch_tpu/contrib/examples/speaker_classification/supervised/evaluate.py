@@ -71,9 +71,18 @@ def main():
         dataset = JsonDatabase(args.database).get_dataset(args.dataset)
 
     label_encoder = data.get_label_encoder(model_path, dataset)
-    dataset = data.prepare_dataset(
-        dataset, label_encoder, batch_size=args.batch_size,
-        shuffle=False, prefetch=False)
+    from padertorch_tpu.contrib.je.modules.features import (
+        FusedAudioLogMelExtractor,
+    )
+    if isinstance(model.feature_extractor, FusedAudioLogMelExtractor):
+        # trained with --on_device_features: ship raw audio
+        dataset = data.prepare_dataset_audio(
+            dataset, label_encoder, batch_size=args.batch_size,
+            shuffle=False, prefetch=False)
+    else:
+        dataset = data.prepare_dataset(
+            dataset, label_encoder, batch_size=args.batch_size,
+            shuffle=False, prefetch=False)
 
     results = {}
     for batch in split_managed(dataset, progress_bar=True):

@@ -90,7 +90,10 @@ def main():
     write_recipe_makefile(
         storage_dir, 'padertorch_tpu.contrib.examples.speaker_classification.supervised.train',
         evaluate_module='padertorch_tpu.contrib.examples.speaker_classification.supervised.evaluate',
-        evaluate_args='--synthetic')
+        evaluate_args='--synthetic'
+        if (getattr(args, 'synthetic', False)
+            or getattr(args, 'database', None) is None)
+        else '')
     trainer = Trainer.from_config(config)
 
     prepare = (data.prepare_dataset_audio if args.on_device_features

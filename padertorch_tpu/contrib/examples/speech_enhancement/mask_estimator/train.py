@@ -116,7 +116,10 @@ def main():
     write_recipe_makefile(
         storage_dir, 'padertorch_tpu.contrib.examples.speech_enhancement.mask_estimator.train',
         evaluate_module='padertorch_tpu.contrib.examples.speech_enhancement.mask_estimator.evaluate',
-        evaluate_args='--synthetic')
+        evaluate_args='--synthetic'
+        if (getattr(args, 'synthetic', False)
+            or getattr(args, 'database', None) is None)
+        else '')
     trainer = Trainer.from_config(config)
 
     train_ds = synthetic_database(num_examples=16)

@@ -177,7 +177,11 @@ class TimeWarpedSTFT:
 
         if base.alignment_keys:
             base.add_start_stop_frames(example)
-            boundary_frame = base.sample_index_to_frame_index(boundary)
+            # boundary is in PADDED-audio coordinates; the frame-index
+            # conversion adds the fading pad itself, so undo it first
+            left_pad = self._pad_widths()[0]
+            boundary_frame = base.sample_index_to_frame_index(
+                boundary - left_pad)
 
             def warp(frame):
                 if frame < boundary_frame:
@@ -196,18 +200,20 @@ class TimeWarpedSTFT:
                             warp(f) for f in example[frames_key]]
         return example
 
-    def _pad_audio(self, audio):
+    def _pad_widths(self):
         import math
         base = self.base_stft
         pad = base.window_length - base.shift
         if base.fading == 'full':
-            widths = (pad, pad)
-        elif base.fading == 'half':
-            widths = (pad // 2, math.ceil(pad / 2))
-        elif base.fading is None:
-            widths = (0, 0)
-        else:
-            raise ValueError(f'Invalid fading {base.fading}.')
+            return (pad, pad)
+        if base.fading == 'half':
+            return (pad // 2, math.ceil(pad / 2))
+        if base.fading is None:
+            return (0, 0)
+        raise ValueError(f'Invalid fading {base.fading}.')
+
+    def _pad_audio(self, audio):
+        widths = self._pad_widths()
         if sum(widths):
             audio = np.pad(audio, [(0, 0), widths], mode='constant')
         return audio
@@ -350,9 +356,13 @@ class StackArrays:
             return batch
         shapes = np.asarray([array.shape for array in batch])
         target = shapes.min(0) if self.cut_end else shapes.max(0)
-        for shape in shapes:
-            assert (shape != target).sum() <= 1, (
-                'arrays may differ in at most one dim', shape, target)
+        # arrays may differ in ONE dimension globally (checking each
+        # array against the target alone lets two-dim mismatches pass,
+        # e.g. (2, 3) vs (3, 2) -> target (3, 3))
+        varying_dims = np.flatnonzero((shapes != shapes[0]).any(0))
+        assert varying_dims.size <= 1, (
+            'arrays may differ in at most one dim',
+            [tuple(shape) for shape in shapes])
         axis = self.axis if self.axis >= 0 \
             else len(target) + 1 + self.axis
         out_shape = [*target[:axis], len(batch), *target[axis:]]

@@ -21,8 +21,8 @@ import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 
-__all__ = ['split_managed', 'gather', 'bcast', 'is_master', 'RANK', 'SIZE',
-           'map_unordered']
+__all__ = ['split_managed', 'gather', 'gather_merged', 'bcast',
+           'is_master', 'RANK', 'SIZE', 'map_unordered']
 
 RANK = int(os.environ.get('PT_EVAL_RANK', 0))
 SIZE = int(os.environ.get('PT_EVAL_SIZE', 1))
@@ -89,7 +89,13 @@ def gather(results, root=0, tag='0', timeout=3600.0):
             'Multi-process gather (PT_EVAL_SIZE > 1) requires PT_EVAL_DIR '
             'to point at a directory shared by all ranks.')
     os.makedirs(gather_dir, exist_ok=True)
-    shard = os.path.join(gather_dir, f'gather_{tag}.rank{RANK}.json')
+    # A rerun with the same PT_EVAL_DIR must not pick up a previous
+    # run's shard files: set PT_EVAL_RUN_ID per launch (any string all
+    # ranks share) to namespace them; the master also deletes its
+    # shards after a successful merge.
+    run_id = os.environ.get('PT_EVAL_RUN_ID', 'run')
+    name = f'gather_{run_id}_{tag}'
+    shard = os.path.join(gather_dir, f'{name}.rank{RANK}.json')
     tmp = shard + f'.tmp{os.getpid()}'
     with open(tmp, 'w') as fh:
         json.dump(results, fh)
@@ -97,7 +103,7 @@ def gather(results, root=0, tag='0', timeout=3600.0):
     if RANK != root:
         return None
     shards = [
-        os.path.join(gather_dir, f'gather_{tag}.rank{r}.json')
+        os.path.join(gather_dir, f'{name}.rank{r}.json')
         for r in range(SIZE)
     ]
     deadline = time.monotonic() + timeout
@@ -116,6 +122,11 @@ def gather(results, root=0, tag='0', timeout=3600.0):
         # the writer's rename is atomic, so a present file is complete
         with open(path) as fh:
             out.append(json.load(fh))
+    for path in shards:  # consumed: a rerun must not see them again
+        try:
+            os.remove(path)
+        except OSError:
+            pass
     return out
 
 

@@ -142,6 +142,14 @@ def test_run(
 
         sub_train = list(itertools.islice(train_iterator, 2 * vbs))
         sub_validation = list(itertools.islice(validation_iterator, 2))
+        assert len(sub_train) == 2 * vbs, (
+            f'test_run needs {2 * vbs} train batches but the iterator '
+            f'yielded only {len(sub_train)}; enlarge the (synthetic) '
+            f'training set or lower the batch size.')
+        assert len(sub_validation) == 2, (
+            f'test_run needs 2 validation batches but the iterator '
+            f'yielded only {len(sub_validation)}; enlarge the '
+            f'(synthetic) validation set or lower the batch size.')
         if test_with_known_iterator_length:
             from padertorch_tpu.data.dataset import from_list
             sub_train = from_list(sub_train, immutable_warranty='copy')

@@ -133,3 +133,20 @@ def test_fused_audio_logmel_extractor_fbanks_frozen():
         if hasattr(leaf, 'shape')
     ]
     assert (257, 40) not in trainable_shapes, trainable_shapes
+
+
+def test_time_warped_stft_left_segment_scaling(aligned_example):
+    """Events left of the anchor must land at round(frame * warp_factor)
+    — regression test for the boundary frame being computed in padded
+    coordinates (which offset the whole right-segment mapping)."""
+    stft = STFT(200, 1024, 800, alignment_keys=['labels'],
+                pad=True, fading='full')
+    plain = stft(dict(aligned_example))
+    warped = TimeWarpedSTFT(stft, lambda: 0.5, lambda: 0.1)(
+        dict(aligned_example))
+    warp_factor = 200 / round(200 / 1.2)  # as computed by the transform
+    for plain_frame, warped_frame in zip(
+            plain['labels_start_frames'], warped['labels_start_frames']):
+        if plain_frame < 150:  # comfortably left of the anchor
+            assert abs(warped_frame - round(plain_frame * warp_factor)) \
+                <= 1, (plain_frame, warped_frame, warp_factor)
