@@ -449,7 +449,7 @@ class Trainer(Configurable):
         generator).  ``device`` is accepted for reference API parity; on
         TPU, placement is controlled by ``sharding``.
         """
-        del device, track_emissions
+        del device
         if resume:
             assert resume is True, resume
             self.load_checkpoint()
@@ -473,6 +473,11 @@ class Trainer(Configurable):
             pbh = ProgressBarHook(self._stop_trigger, max_it_len)
             pbh.set_last(self.iteration, self.epoch)
             hooks.append(pbh)
+        if track_emissions:
+            # reference: EmissionsTrackerHook (codecarbon); here the
+            # dependency-free wall-clock x TDP estimate
+            from padertorch_tpu.train.hooks import EnergyEstimateHook
+            hooks.append(EnergyEstimateHook(self._summary_trigger))
         hooks = sorted(hooks, key=lambda h: h.priority, reverse=True)
 
         assert self.virtual_minibatch_size >= 1, self.virtual_minibatch_size
