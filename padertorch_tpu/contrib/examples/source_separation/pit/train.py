@@ -55,9 +55,16 @@ def main():
     parser.add_argument('--layers', type=int, default=3)
     parser.add_argument('--rnn_backend', default='pallas',
                         choices=['scan', 'pallas'])
+    parser.add_argument('--resume', default=None, metavar='STORAGE_DIR',
+                        help='continue a crashed/stopped training from '
+                             'its experiment dir (config + ckpt_latest)')
     args, rest = parser.parse_known_args()
 
-    if args.storage_root:
+    if args.resume:
+        storage_dir = Path(args.resume)
+        assert (storage_dir / 'config.json').exists(), (
+            f'{storage_dir} has no config.json to resume from')
+    elif args.storage_root:
         from padertorch_tpu.io import get_new_subdir
         storage_dir = get_new_subdir(Path(args.storage_root) / 'pit')
     else:
@@ -78,8 +85,12 @@ def main():
         cli_updates, named = parse_with_updates(rest)
         assert not named, f'no named configs in this recipe: {named}'
         updates = nested_merge(updates, cli_updates)
-    config = get_trainer_config(storage_dir, updates)
-    dump_config({'trainer': config}, storage_dir / 'config.json')
+    if args.resume:
+        from padertorch_tpu.io import load_config
+        config = load_config(storage_dir / 'config.json')['trainer']
+    else:
+        config = get_trainer_config(storage_dir, updates)
+        dump_config({'trainer': config}, storage_dir / 'config.json')
     from padertorch_tpu.contrib.examples._makefile import \
         write_recipe_makefile
     write_recipe_makefile(
@@ -109,13 +120,14 @@ def main():
     dev = data.prepare_dataset(
         dev_ds, batch_size=args.batch_size, shuffle=False, prefetch=False)
 
-    trainer.test_run(
-        data.prepare_dataset(train_ds, batch_size=args.batch_size,
-                             shuffle=False, prefetch=False),
-        dev,
-    )
+    if not args.resume:
+        trainer.test_run(
+            data.prepare_dataset(train_ds, batch_size=args.batch_size,
+                                 shuffle=False, prefetch=False),
+            dev,
+        )
     trainer.register_validation_hook(dev)
-    trainer.train(train)
+    trainer.train(train, resume=bool(args.resume))
     print(f'Finished. storage_dir={storage_dir}')
 
 
