@@ -533,10 +533,19 @@ class ValidationHook(SummaryHook):
         self.ckpt_ranking.sort(
             key=lambda entry: (sign * entry[1], _natkey(entry[0])))
         if self.max_checkpoints is not None:
+            # the latest checkpoint must survive pruning even when it
+            # ranks badly: until the CheckpointHook (lower priority)
+            # writes this round's checkpoint and repoints the symlink,
+            # deleting it would leave ckpt_latest dangling if the
+            # process dies in between (crash-resume would find nothing)
+            latest = ckpt_dir / f'ckpt_latest{CKPT_EXT}'
+            latest_target = latest.resolve().name \
+                if latest.is_symlink() else None
             kept = []
             for index, (name, value) in enumerate(self.ckpt_ranking):
-                if index < self.max_checkpoints or name == ckpt_name:
-                    # never delete the checkpoint being written right now
+                if (index < self.max_checkpoints
+                        or name == ckpt_name       # being written now
+                        or name == latest_target):  # crash-resume anchor
                     kept.append((name, value))
                     continue
                 stale = ckpt_dir / name

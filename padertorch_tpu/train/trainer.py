@@ -860,9 +860,29 @@ class Trainer(Configurable):
 
     def load_checkpoint(self, map_location=None):
         del map_location
+        # clean up partial writes of an interrupted save (tmp+rename
+        # means a *.tmp* file is by definition incomplete)
+        for orphan in self.checkpoint_dir.glob('*.tmp*'):
+            print(f'Removing incomplete checkpoint write {orphan}')
+            orphan.unlink(missing_ok=True)
         checkpoint_path = (self.checkpoint_dir
                            / f'ckpt_latest{self.ckpt_ext}')
-        assert checkpoint_path.exists(), checkpoint_path
+        if not checkpoint_path.exists():
+            # dangling symlink (crash after pruning, before the new
+            # save finished): fall back to the newest real checkpoint
+            import re
+            candidates = sorted(
+                (p for p in self.checkpoint_dir.glob(
+                    f'ckpt_*{self.ckpt_ext}')
+                 if re.fullmatch(r'ckpt_\d+' + re.escape(self.ckpt_ext),
+                                 p.name) and p.exists()),
+                key=lambda p: int(re.findall(r'\d+', p.name)[0]))
+            assert candidates, (
+                f'No checkpoint found in {self.checkpoint_dir} '
+                f'(ckpt_latest missing/dangling and no ckpt_<it> files)')
+            checkpoint_path = candidates[-1]
+            print(f'WARNING: ckpt_latest{self.ckpt_ext} is missing or '
+                  f'dangling; resuming from {checkpoint_path.name}')
         if self.checkpoint_format == 'orbax':
             from padertorch_tpu.serialize import load_state_orbax
             self.load_state_dict(load_state_orbax(checkpoint_path))

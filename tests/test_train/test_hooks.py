@@ -250,3 +250,62 @@ def test_energy_estimate_hook():
     assert energy1 >= energy0
     assert trainer.writer.scalars['x_emissions/co2_kg'][0] == (
         pytest.approx(energy1 * 0.475))
+
+
+def test_ranking_never_deletes_latest_checkpoint(tmp_path):
+    """Pruning must not delete the checkpoint ckpt_latest points to —
+    a crash between pruning and the next save would otherwise leave no
+    resumable state (regression: dangling ckpt_latest symlink)."""
+    from padertorch_tpu.train.hooks import ValidationHook, CKPT_EXT
+
+    ckpt_dir = tmp_path / 'checkpoints'
+    ckpt_dir.mkdir()
+    hook = ValidationHook((1, 'epoch'), iterator=[], metric='loss',
+                          max_checkpoints=1)
+    # ckpt_10 is best; ckpt_20 is the current latest (worse score);
+    # ckpt_30 is being written right now
+    for name in ('ckpt_10', 'ckpt_20'):
+        (ckpt_dir / f'{name}{CKPT_EXT}').write_bytes(b'x')
+    (ckpt_dir / f'ckpt_latest{CKPT_EXT}').symlink_to(
+        f'ckpt_20{CKPT_EXT}')
+    hook.ckpt_ranking = [(f'ckpt_10{CKPT_EXT}', 0.1),
+                         (f'ckpt_20{CKPT_EXT}', 0.9)]
+    hook._rank_checkpoint(ckpt_dir, f'ckpt_30{CKPT_EXT}', 0.5)
+    # latest's target survives; it stays in the ranking for later pruning
+    assert (ckpt_dir / f'ckpt_20{CKPT_EXT}').exists()
+    names = [name for name, _ in hook.ckpt_ranking]
+    assert f'ckpt_20{CKPT_EXT}' in names
+    assert f'ckpt_10{CKPT_EXT}' in names  # the best one
+
+
+def test_load_checkpoint_falls_back_on_dangling_latest(tmp_path):
+    import jax.numpy as jnp
+    import padertorch_tpu as pt
+    from padertorch_tpu import nn
+    from padertorch_tpu.train.trainer import Trainer
+
+    class M(pt.Model):
+        def __init__(self):
+            self.lin = nn.Linear(2, 1)
+
+        def forward(self, b):
+            return self.lin(b['x'])
+
+        def review(self, b, o):
+            return {'loss': jnp.mean(o ** 2)}
+
+    trainer = Trainer(model=M(), storage_dir=tmp_path,
+                      optimizer=pt.Adam(gradient_clipping=1e10))
+    trainer.iteration, trainer.epoch = 7, 1
+    trainer.save_checkpoint()
+    ckpt_dir = trainer.checkpoint_dir
+    # simulate the crash window: latest points at a deleted file and a
+    # partial write lingers
+    latest = ckpt_dir / 'ckpt_latest.ptt'
+    latest.unlink()
+    latest.symlink_to('ckpt_999.ptt')
+    (ckpt_dir / 'ckpt_1000.ptt.tmp123').write_bytes(b'partial')
+    trainer.iteration = 0
+    trainer.load_checkpoint()
+    assert trainer.iteration == 7
+    assert not list(ckpt_dir.glob('*.tmp*'))
