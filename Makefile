@@ -4,8 +4,11 @@
 test:
 	python -m pytest tests/ -x -q
 
-test-all:
-	python -m pytest -q
+test-all:  ## incl. the slow end-to-end recipe smokes + package doctests
+	python -m pytest -q -m ""
+
+test-slow:  ## just the four opt-in recipe smokes
+	python -m pytest tests/ -q -m slow
 
 bench:
 	python bench.py
@@ -24,4 +27,4 @@ smoke: ## run every recipe end-to-end on synthetic data
 	python -m padertorch_tpu.contrib.examples.sound_recognition.audio_tagging.train --storage_root /tmp/smoke --synthetic --epochs 1
 	python -m padertorch_tpu.contrib.examples.source_localization.distance_estimator.train --storage_root /tmp/smoke --synthetic --epochs 1
 
-.PHONY: test test-all bench dryrun smoke
+.PHONY: test test-all test-slow bench dryrun smoke

@@ -92,7 +92,6 @@ def test_mask_estimator_train_then_evaluate(tmp_path):
         assert set(means[condition]) == {'stoi', 'si_sdr', 'sdr'}, means
 
 
-@pytest.mark.slow
 def test_distance_estimator_train_then_evaluate(tmp_path):
     _run(f'{PKG}.source_localization.distance_estimator.train',
          '--storage_root', str(tmp_path), '--synthetic', '--epochs', '1',

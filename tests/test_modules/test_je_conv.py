@@ -97,7 +97,12 @@ def test_resnet50_plan():
     assert len(net.residual_skip_convs) == 5
     x = jnp.asarray(np.random.RandomState(0).randn(1, 3, 64, 64),
                     'float32')
-    y, _ = net(x)
+    # jit the forward: 50 eager conv dispatches on CPU cost ~1 min
+    from padertorch_tpu.module import partition, combine
+    params, static = partition(net)
+    import jax
+    y, _ = jax.jit(
+        lambda p, x: combine(p, static)(x))(params, x)
     assert y.shape == (1, 10, 1, 1)
 
 

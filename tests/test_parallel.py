@@ -68,12 +68,12 @@ def test_data_parallel_pallas_lstm_step(tmp_path):
 
     mesh = make_mesh()
     dp = DataParallel(mesh)
-    b, t, f, k = 8, 20, 65, 2
+    b, t, f, k = 8, 10, 33, 2
 
     def run(sharding):
         ptrandom.seed(0)
         model = PermutationInvariantTrainingModel(
-            F=f, recurrent_layers=2, units=32, K=k)
+            F=f, recurrent_layers=1, units=32, K=k)
         model.blstm.backend = 'pallas'
         if sharding is not None:
             model = replicate(model, mesh)
