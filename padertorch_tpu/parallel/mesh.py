@@ -115,14 +115,51 @@ class DataParallel:
 
     ``Trainer(..., sharding=DataParallel(mesh))`` shards every example it
     transfers; attribute access passes through to the sharding.
+
+    ``zero=True`` additionally shards the *optimizer state* over the
+    data axis (ZeRO-1): each device stores only its slice of the Adam
+    moments, XLA's GSPMD turns the gradient all-reduce into a
+    reduce-scatter + sharded update + parameter all-gather over ICI.
+    Cuts optimizer memory by the mesh size (for Adam: 2/3 of the
+    model-state total beyond the params themselves).
     """
 
-    def __init__(self, mesh: Mesh = None, axis='data'):
+    def __init__(self, mesh: Mesh = None, axis='data', zero=False):
         self.mesh = mesh if mesh is not None else make_mesh((axis,))
         self.axis = axis
+        self.zero = zero
 
     def shard(self, example):
         return shard_batch(example, self.mesh, self.axis)
 
     def replicate(self, tree):
         return replicate(tree, self.mesh)
+
+    # -- ZeRO-1 optimizer-state sharding --------------------------------
+    def opt_state_sharding(self, leaf):
+        """Sharding for one optimizer-state leaf: dim 0 over the data
+        axis when divisible, replicated otherwise (scalars, counts)."""
+        n = self.mesh.shape[self.axis]
+        if getattr(leaf, 'ndim', 0) >= 1 and leaf.shape[0] % n == 0:
+            spec = P(self.axis, *([None] * (leaf.ndim - 1)))
+            return NamedSharding(self.mesh, spec)
+        return replicated_sharding(self.mesh)
+
+    def shard_opt_state(self, tree):
+        """Place an optimizer-state pytree ZeRO-sharded on the mesh."""
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, self.opt_state_sharding(x))
+            if isinstance(x, (jax.Array, np.ndarray)) else x,
+            tree,
+        )
+
+    def constrain_opt_state(self, tree):
+        """In-jit sharding constraint pinning the ZeRO layout on the
+        *updated* optimizer state (otherwise GSPMD may replicate it on
+        the way out and the memory saving evaporates)."""
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, self.opt_state_sharding(x))
+            if isinstance(x, jax.Array) else x,
+            tree,
+        )

@@ -168,6 +168,15 @@ class Trainer(Configurable):
             params, _ = partition(model)
             optimizer.set_parameters(params)
         self.optimizer = optimizer
+        if getattr(sharding, 'zero', False):
+            # ZeRO-1: optimizer state sharded over the data axis
+            if isinstance(self.optimizer, dict):
+                for opti in self.optimizer.values():
+                    opti.opt_state = sharding.shard_opt_state(
+                        opti.opt_state)
+            else:
+                self.optimizer.opt_state = sharding.shard_opt_state(
+                    self.optimizer.opt_state)
 
         self.storage_dir = Path(storage_dir).expanduser().resolve()
         assert checkpoint_format in ('ptt', 'orbax'), \
@@ -284,6 +293,9 @@ class Trainer(Configurable):
                 params, static, example, key, loss_weights)
             new_params, new_states, norms = self._opt_step(
                 params, grads, opt_states)
+            if getattr(self.sharding, 'zero', False):
+                # keep the updated moments ZeRO-sharded on the way out
+                new_states = self.sharding.constrain_opt_state(new_states)
             return (new_params, new_static, new_states, loss, model_out,
                     review, norms)
         return train_step

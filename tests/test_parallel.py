@@ -206,3 +206,52 @@ def test_shard_host_local_batch_single_process_equals_shard_batch():
     np.testing.assert_array_equal(np.asarray(a['x']), np.asarray(b['x']))
     assert a['x'].sharding == b['x'].sharding
     assert float(b['meta']) == 3.0
+
+
+def test_zero_sharded_optimizer_state_matches_replicated(tmp_path):
+    """ZeRO-1 (optimizer state sharded over the data axis) computes the
+    same training trajectory as plain replicated data parallelism, and
+    the moments actually live sharded."""
+    from padertorch_tpu.train.trainer import Trainer
+    from tests.test_train.test_trainer import MnistModel
+
+    mesh = make_mesh()
+
+    def run(zero):
+        ptrandom.seed(0)
+        model = replicate(MnistModel(), mesh)
+        dp = DataParallel(mesh, zero=zero)
+        trainer = Trainer(
+            model=model, storage_dir=tmp_path / f'z{zero}',
+            optimizer=pt.Adam(lr=1e-2), sharding=dp)
+        trainer.iteration = 0
+        rng = np.random.RandomState(0)
+        step = trainer._get_fn('train', trainer._make_train_step)
+        params, static = partition(trainer.model)
+        opt_states = trainer._opt_states
+        losses = []
+        for i in range(3):
+            batch = trainer._example_to_device({
+                'image': rng.rand(16, 28, 28).astype('float32'),
+                'digit': rng.randint(0, 10, 16).astype('int32'),
+            })
+            out = step(params, static, opt_states, batch,
+                       jax.random.PRNGKey(i), None)
+            params, static, opt_states = out[0], out[1], out[2]
+            losses.append(float(np.asarray(out[3])))
+        return losses, jax.device_get(
+            jax.tree_util.tree_leaves(params)[0]), opt_states
+
+    losses_zero, w_zero, opt_zero = run(True)
+    losses_repl, w_repl, _ = run(False)
+    np.testing.assert_allclose(losses_zero, losses_repl, rtol=1e-5)
+    np.testing.assert_allclose(w_zero, w_repl, rtol=1e-4, atol=1e-6)
+    # the large moment leaves must be sharded (not fully replicated)
+    n = len(jax.devices())
+    sharded_leaves = [
+        leaf for leaf in jax.tree_util.tree_leaves(opt_zero)
+        if hasattr(leaf, 'sharding') and leaf.ndim >= 1
+        and leaf.shape[0] % n == 0 and leaf.shape[0] >= n
+        and not leaf.sharding.is_fully_replicated
+    ]
+    assert sharded_leaves, 'no optimizer-state leaf is ZeRO-sharded'
