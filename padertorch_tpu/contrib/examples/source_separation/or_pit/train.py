@@ -81,8 +81,10 @@ def main():
         pass
 
     if args.synthetic or args.database is None:
-        train_ds = data.synthetic_database(num_examples=16)
-        dev_ds = data.synthetic_database(num_examples=8, seed=1)
+        train_ds = data.synthetic_database(
+            num_examples=max(16, 4 * args.batch_size))
+        dev_ds = data.synthetic_database(
+            num_examples=max(8, 2 * args.batch_size), seed=1)
         segment_length = 8000
     else:
         from padertorch_tpu.data.database import JsonDatabase

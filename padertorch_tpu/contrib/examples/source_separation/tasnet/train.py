@@ -127,8 +127,10 @@ def main():
         pass  # convnet variant has no RNNs
 
     if args.synthetic or args.database is None:
-        train_ds = data.synthetic_database(num_examples=32)
-        dev_ds = data.synthetic_database(num_examples=8, seed=1)
+        train_ds = data.synthetic_database(
+            num_examples=max(32, 4 * args.batch_size))
+        dev_ds = data.synthetic_database(
+            num_examples=max(8, 2 * args.batch_size), seed=1)
     else:
         from padertorch_tpu.data.database import JsonDatabase
         db = JsonDatabase(args.database)

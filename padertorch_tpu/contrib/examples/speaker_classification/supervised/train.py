@@ -44,7 +44,10 @@ def main():
         storage_dir = get_new_storage_dir('speaker_clf')
 
     if args.synthetic or args.database is None:
-        full = data.synthetic_database()
+        # enough speakers x utterances that the dev split yields the
+        # 2+ validation batches test_run needs at any batch size
+        full = data.synthetic_database(
+            per_speaker=max(12, (10 * args.batch_size) // 8))
         n = len(full)
         # stratified-ish split: every 5th example to dev
         train_ds = full[[i for i in range(n) if i % 5 != 0]]
