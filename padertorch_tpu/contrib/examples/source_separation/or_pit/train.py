@@ -48,6 +48,8 @@ def main():
     parser.add_argument('--epochs', type=int, default=100)
     parser.add_argument('--batch_size', type=int, default=4)
     parser.add_argument('--segment_length', type=int, default=32000)
+    parser.add_argument('--small', action='store_true',
+                        help='tiny separator for smoke runs')
     parser.add_argument('--rnn_backend', default='pallas',
                         choices=['scan', 'pallas'])
     args = parser.parse_args()
@@ -60,9 +62,16 @@ def main():
         storage_dir = get_new_storage_dir('or_pit')
 
     ptrandom.seed(0)
-    config = get_trainer_config(storage_dir, {
-        'stop_trigger': (args.epochs, 'epoch'),
-    })
+    updates = {'stop_trigger': (args.epochs, 'epoch')}
+    if args.small:
+        updates['model'] = {'separator': {
+            'encoder': {'feature_size': 32},
+            'separator': {
+                'input_size': 16, 'rnn_size': 8,
+                'window_length': 10, 'hop_size': 5, 'num_blocks': 2,
+            },
+        }}
+    config = get_trainer_config(storage_dir, updates)
     dump_config({'trainer': config}, storage_dir / 'config.json')
     from padertorch_tpu.contrib.examples._makefile import \
         write_recipe_makefile
