@@ -86,8 +86,18 @@ def main():
         assert not named, f'no named configs in this recipe: {named}'
         updates = nested_merge(updates, cli_updates)
     if args.resume:
+        assert rest == [] and args.epochs == 100 and args.units == 600 \
+            and args.layers == 3, (
+                '--resume restores the stored config verbatim; config '
+                'overrides (--epochs/--units/--layers/with k=v) are not '
+                'applicable — edit config.json instead. '
+                f'Got: epochs={args.epochs} units={args.units} '
+                f'layers={args.layers} rest={rest}')
         from padertorch_tpu.io import load_config
         config = load_config(storage_dir / 'config.json')['trainer']
+        # the dir may have been moved/copied: the CLI path wins over the
+        # absolute storage_dir stored inside config.json
+        config['storage_dir'] = str(storage_dir)
     else:
         config = get_trainer_config(storage_dir, updates)
         dump_config({'trainer': config}, storage_dir / 'config.json')

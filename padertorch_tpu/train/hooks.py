@@ -538,7 +538,10 @@ class ValidationHook(SummaryHook):
             # writes this round's checkpoint and repoints the symlink,
             # deleting it would leave ckpt_latest dangling if the
             # process dies in between (crash-resume would find nothing)
-            latest = ckpt_dir / f'ckpt_latest{CKPT_EXT}'
+            # derive the extension from the checkpoint being written
+            # (orbax trainers use .orbax, not CKPT_EXT)
+            ext = Path(ckpt_name).suffix or CKPT_EXT
+            latest = ckpt_dir / f'ckpt_latest{ext}'
             latest_target = latest.resolve().name \
                 if latest.is_symlink() else None
             kept = []

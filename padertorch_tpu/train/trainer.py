@@ -168,15 +168,6 @@ class Trainer(Configurable):
             params, _ = partition(model)
             optimizer.set_parameters(params)
         self.optimizer = optimizer
-        if getattr(sharding, 'zero', False):
-            # ZeRO-1: optimizer state sharded over the data axis
-            if isinstance(self.optimizer, dict):
-                for opti in self.optimizer.values():
-                    opti.opt_state = sharding.shard_opt_state(
-                        opti.opt_state)
-            else:
-                self.optimizer.opt_state = sharding.shard_opt_state(
-                    self.optimizer.opt_state)
 
         self.storage_dir = Path(storage_dir).expanduser().resolve()
         assert checkpoint_format in ('ptt', 'orbax'), \
@@ -194,6 +185,10 @@ class Trainer(Configurable):
         self.seed = seed
         self.jit = jit
         self.sharding = sharding
+        if getattr(sharding, 'zero', False):
+            # ZeRO-1: optimizer state sharded over the data axis
+            self._set_opt_states(
+                sharding.shard_opt_state(self._opt_states))
 
         self.hooks = [
             SummaryHook(summary_trigger),
@@ -315,7 +310,12 @@ class Trainer(Configurable):
 
     def _make_apply_step(self):
         def apply_step(params, opt_states, grads):
-            return self._opt_step(params, grads, opt_states)
+            new_params, new_states, norms = self._opt_step(
+                params, grads, opt_states)
+            if getattr(self.sharding, 'zero', False):
+                # keep the updated moments ZeRO-sharded on the way out
+                new_states = self.sharding.constrain_opt_state(new_states)
+            return new_params, new_states, norms
         return apply_step
 
     _DONATE = {
@@ -487,9 +487,16 @@ class Trainer(Configurable):
             hooks.append(pbh)
         if track_emissions:
             # reference: EmissionsTrackerHook (codecarbon); here the
-            # dependency-free wall-clock x TDP estimate
+            # dependency-free wall-clock x TDP estimate.  Registered in
+            # self.hooks (not just this call's list) so its consumed-
+            # energy state checkpoints and restores with the trainer.
             from padertorch_tpu.train.hooks import EnergyEstimateHook
-            hooks.append(EnergyEstimateHook(self._summary_trigger))
+            if not any(isinstance(h, EnergyEstimateHook)
+                       for h in self.hooks):
+                energy_hook = EnergyEstimateHook(self._summary_trigger)
+                energy_hook.set_last(self.iteration, self.epoch)
+                self.hooks.append(energy_hook)
+                hooks.append(energy_hook)
         hooks = sorted(hooks, key=lambda h: h.priority, reverse=True)
 
         assert self.virtual_minibatch_size >= 1, self.virtual_minibatch_size
@@ -873,10 +880,15 @@ class Trainer(Configurable):
     def load_checkpoint(self, map_location=None):
         del map_location
         # clean up partial writes of an interrupted save (tmp+rename
-        # means a *.tmp* file is by definition incomplete)
+        # means a *.tmp* path is by definition incomplete); orbax tmp
+        # writes are DIRECTORIES
+        import shutil
         for orphan in self.checkpoint_dir.glob('*.tmp*'):
             print(f'Removing incomplete checkpoint write {orphan}')
-            orphan.unlink(missing_ok=True)
+            if orphan.is_dir():
+                shutil.rmtree(orphan, ignore_errors=True)
+            else:
+                orphan.unlink(missing_ok=True)
         checkpoint_path = (self.checkpoint_dir
                            / f'ckpt_latest{self.ckpt_ext}')
         if not checkpoint_path.exists():

@@ -255,3 +255,34 @@ def test_zero_sharded_optimizer_state_matches_replicated(tmp_path):
         and not leaf.sharding.is_fully_replicated
     ]
     assert sharded_leaves, 'no optimizer-state leaf is ZeRO-sharded'
+
+
+def test_zero_sharding_survives_virtual_minibatch(tmp_path):
+    """The accumulation apply step must also pin the ZeRO layout."""
+    from padertorch_tpu.train.trainer import Trainer
+    from tests.test_train.test_trainer import MnistModel
+
+    mesh = make_mesh()
+    ptrandom.seed(0)
+    model = replicate(MnistModel(), mesh)
+    dp = DataParallel(mesh, zero=True)
+    trainer = Trainer(
+        model=model, storage_dir=tmp_path,
+        optimizer=pt.Adam(lr=1e-2), sharding=dp,
+        virtual_minibatch_size=2, stop_trigger=(1, 'epoch'))
+    rng = np.random.RandomState(0)
+    data = [
+        {'image': rng.rand(8, 28, 28).astype('float32'),
+         'digit': rng.randint(0, 10, 8).astype('int32')}
+        for _ in range(4)
+    ]
+    trainer.train(data)
+    n = len(jax.devices())
+    opt_leaves = jax.tree_util.tree_leaves(trainer._opt_states)
+    sharded = [
+        leaf for leaf in opt_leaves
+        if hasattr(leaf, 'sharding') and leaf.ndim >= 1
+        and leaf.shape[0] % n == 0 and leaf.shape[0] >= n
+        and not leaf.sharding.is_fully_replicated
+    ]
+    assert sharded, 'ZeRO layout lost through the accumulation path'

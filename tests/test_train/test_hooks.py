@@ -309,3 +309,52 @@ def test_load_checkpoint_falls_back_on_dangling_latest(tmp_path):
     trainer.load_checkpoint()
     assert trainer.iteration == 7
     assert not list(ckpt_dir.glob('*.tmp*'))
+
+
+def test_load_checkpoint_cleans_orbax_tmp_directory(tmp_path):
+    """Orbax tmp writes are *directories*; the orphan cleanup must not
+    crash on them (Path.unlink raises IsADirectoryError)."""
+    import jax.numpy as jnp
+    import padertorch_tpu as pt
+    from padertorch_tpu import nn
+    from padertorch_tpu.train.trainer import Trainer
+
+    class M(pt.Model):
+        def __init__(self):
+            self.lin = nn.Linear(2, 1)
+
+        def forward(self, b):
+            return self.lin(b['x'])
+
+        def review(self, b, o):
+            return {'loss': jnp.mean(o ** 2)}
+
+    trainer = Trainer(model=M(), storage_dir=tmp_path,
+                      optimizer=pt.Adam(gradient_clipping=1e10),
+                      checkpoint_format='orbax')
+    trainer.iteration, trainer.epoch = 3, 0
+    trainer.save_checkpoint()
+    orphan = trainer.checkpoint_dir / 'ckpt_9.orbax.tmp777'
+    orphan.mkdir()
+    (orphan / 'partial').write_bytes(b'x')
+    trainer.iteration = 0
+    trainer.load_checkpoint()
+    assert trainer.iteration == 3
+    assert not orphan.exists()
+
+
+def test_ranking_protects_latest_for_orbax_ext(tmp_path):
+    """The latest-target protection must follow the checkpoint
+    extension in use (orbax uses .orbax, not .ptt)."""
+    from padertorch_tpu.train.hooks import ValidationHook
+
+    ckpt_dir = tmp_path / 'checkpoints'
+    ckpt_dir.mkdir()
+    hook = ValidationHook((1, 'epoch'), iterator=[], metric='loss',
+                          max_checkpoints=1)
+    for name in ('ckpt_10', 'ckpt_20'):
+        (ckpt_dir / f'{name}.orbax').mkdir()
+    (ckpt_dir / 'ckpt_latest.orbax').symlink_to('ckpt_20.orbax')
+    hook.ckpt_ranking = [('ckpt_10.orbax', 0.1), ('ckpt_20.orbax', 0.9)]
+    hook._rank_checkpoint(ckpt_dir, 'ckpt_30.orbax', 0.5)
+    assert (ckpt_dir / 'ckpt_20.orbax').exists()
