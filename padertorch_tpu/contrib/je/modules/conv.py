@@ -17,7 +17,8 @@ from padertorch_tpu.utils.misc import to_list
 from padertorch_tpu.modules.normalization import Normalization
 
 __all__ = ['Conv1d', 'Conv2d', 'ConvTranspose1d', 'ConvTranspose2d',
-           'CNN1d', 'CNN2d', 'Pool1d', 'Pool2d']
+           'CNN1d', 'CNN2d', 'Pool1d', 'Pool2d', 'Unpool1d', 'Unpool2d',
+           'compute_transpose_out_size']
 
 
 def compute_pad_size(kernel_size, dilation, stride, pad_type):
@@ -38,6 +39,81 @@ def compute_conv_out_size(in_size, kernel_size, dilation, stride,
     front, end = compute_pad_size(kernel_size, dilation, stride, pad_type)
     return (in_size + front + end - dilation * (kernel_size - 1) - 1) \
         // stride + 1
+
+
+def compute_transpose_out_size(in_size, kernel_size, dilation, stride,
+                               pad_type):
+    """Length after a transpose op (unpool/transpose conv).
+
+    Reference parity: ``je/modules/conv_utils.py:322`` —
+    ``_compute_transpose_out_size``: upsample to ``(in-1)*stride + 1``
+    plus the kernel extent, minus the padding that the forward op
+    would have introduced (end pad reduced by ``stride - 1`` because
+    the final window only has to start, not fit, within the signal).
+    """
+    out = 1 + (np.asarray(in_size) - 1) * stride \
+        + dilation * (kernel_size - 1)
+    front, end = compute_pad_size(kernel_size, dilation, stride, pad_type)
+    end = max(end - stride + 1, 0)
+    return out - front - end
+
+
+def _max_pool_indices_1d(x, k, s):
+    """Max pool (B, C, T) returning values + flat argmax time indices.
+
+    XLA-friendly formulation: gather the (W, k) window view with static
+    integer index arrays (one strided gather, no dynamic shapes), then
+    reduce over the window axis — maps onto vectorized VPU max/argmax
+    instead of a serial loop.
+    """
+    t = x.shape[-1]
+    w = (t - k) // s + 1
+    starts = np.arange(w) * s
+    win_idx = starts[:, None] + np.arange(k)[None, :]     # (W, k)
+    windows = x[..., win_idx]                             # (B, C, W, k)
+    y = jnp.max(windows, axis=-1)
+    offsets = jnp.argmax(windows, axis=-1)                # (B, C, W)
+    indices = jnp.asarray(starts)[None, None, :] + offsets
+    return y, indices
+
+
+def _max_pool_indices_2d(x, k, s):
+    """Max pool (B, C, F, T) returning values + flat indices into F*T
+    (torch ``MaxPool2d(return_indices=True)`` convention)."""
+    kf, kt = k
+    sf, st = s
+    f, t = x.shape[-2:]
+    wf = (f - kf) // sf + 1
+    wt = (t - kt) // st + 1
+    f_idx = np.arange(wf)[:, None] * sf + np.arange(kf)[None, :]
+    t_idx = np.arange(wt)[:, None] * st + np.arange(kt)[None, :]
+    windows = x[..., f_idx, :][..., t_idx]       # (B, C, Wf, kf, Wt, kt)
+    windows = jnp.moveaxis(windows, -3, -2)      # (B, C, Wf, Wt, kf, kt)
+    flat = windows.reshape(*windows.shape[:-2], kf * kt)
+    y = jnp.max(flat, axis=-1)
+    off = jnp.argmax(flat, axis=-1)              # (B, C, Wf, Wt)
+    of, ot = off // kt, off % kt
+    f_pos = jnp.asarray(f_idx)[None, None, :, None, :]   # broadcast Wf,kf
+    t_pos = jnp.asarray(t_idx)[None, None, None, :, :]
+    f_abs = jnp.take_along_axis(
+        jnp.broadcast_to(f_pos, (*of.shape, kf)), of[..., None], -1
+    )[..., 0]
+    t_abs = jnp.take_along_axis(
+        jnp.broadcast_to(t_pos, (*ot.shape, kt)), ot[..., None], -1
+    )[..., 0]
+    return y, f_abs * t + t_abs
+
+
+def _scatter_unpool(values, indices, flat_size):
+    """Scatter pooled values back to their argmax positions (inverse of
+    max pool). values/indices: (B, C, *W) with flat indices."""
+    b, c = values.shape[:2]
+    v = values.reshape(b, c, -1)
+    i = indices.reshape(b, c, -1)
+    out = jnp.zeros((b, c, flat_size), values.dtype)
+    bi = jnp.arange(b)[:, None, None]
+    ci = jnp.arange(c)[None, :, None]
+    return out.at[bi, ci, i].set(v)
 
 
 class _ConvBase(Module):
@@ -162,36 +238,53 @@ class ConvTranspose2d(_ConvBase):
 class _Pool(Module):
     n = 1
 
-    def __init__(self, pool_type='max', pool_size=2, pool_stride=None):
+    def __init__(self, pool_type='max', pool_size=2, pool_stride=None,
+                 pad_type=None):
         self.pool_type = pool_type
         self.pool_size = pool_size
         self.pool_stride = pool_size if pool_stride is None \
             else pool_stride
+        self.pad_type = pad_type
 
-    def forward(self, x, seq_len=None):
+    def forward(self, x, seq_len=None, return_indices=False):
         if self.pool_type is None or self.pool_size in (1, None):
-            return x, seq_len
+            return (x, seq_len, None) if return_indices else (x, seq_len)
         k = to_list(self.pool_size, self.n)
         s = to_list(self.pool_stride, self.n)
-        window = (1, 1) + tuple(k)
-        strides = (1, 1) + tuple(s)
-        if self.pool_type == 'max':
-            y = jax.lax.reduce_window(
-                x, -jnp.inf, jax.lax.max, window[:x.ndim],
-                strides[:x.ndim], 'VALID')
-        elif self.pool_type == 'avg':
-            y = jax.lax.reduce_window(
-                x, 0.0, jax.lax.add, window[:x.ndim], strides[:x.ndim],
-                'VALID') / np.prod(k)
+        pad_types = to_list(self.pad_type, self.n)
+        pads = [compute_pad_size(ki, 1, si, pi)
+                for ki, si, pi in zip(k, s, pad_types)]
+        if any(sum(p) for p in pads):
+            fill = -jnp.inf if self.pool_type == 'max' else 0.0
+            x = jnp.pad(x, [(0, 0), (0, 0)] + [tuple(p) for p in pads],
+                        constant_values=fill)
+        indices = None
+        if return_indices and self.pool_type == 'max':
+            if self.n == 1:
+                y, indices = _max_pool_indices_1d(x, k[0], s[0])
+            else:
+                y, indices = _max_pool_indices_2d(x, k, s)
         else:
-            raise ValueError(self.pool_type)
+            window = (1, 1) + tuple(k)
+            strides = (1, 1) + tuple(s)
+            if self.pool_type == 'max':
+                y = jax.lax.reduce_window(
+                    x, -jnp.inf, jax.lax.max, window[:x.ndim],
+                    strides[:x.ndim], 'VALID')
+            elif self.pool_type == 'avg':
+                y = jax.lax.reduce_window(
+                    x, 0.0, jax.lax.add, window[:x.ndim],
+                    strides[:x.ndim], 'VALID') / np.prod(k)
+            else:
+                raise ValueError(self.pool_type)
         if seq_len is not None:
             seq_len = np.asarray(seq_len) if not hasattr(
                 seq_len, 'dtype') else seq_len
-            seq_len = (seq_len - k[-1]) // s[-1] + 1
+            front, end = pads[-1]
+            seq_len = (seq_len + front + end - k[-1]) // s[-1] + 1
             seq_len = jnp.maximum(seq_len, 1) if hasattr(
                 seq_len, 'dtype') else np.maximum(seq_len, 1)
-        return y, seq_len
+        return (y, seq_len, indices) if return_indices else (y, seq_len)
 
 
 class Pool1d(_Pool):
@@ -199,6 +292,59 @@ class Pool1d(_Pool):
 
 
 class Pool2d(_Pool):
+    n = 2
+
+
+class _Unpool(Module):
+    """Inverse of max pooling (scatter by indices) or nearest upsample.
+
+    Reference parity: ``je/modules/conv_utils.py:142`` (``Unpool1d``)
+    and ``:221`` (``Unpool2d``) — with ``indices`` the pooled values
+    are scattered back to their argmax positions and the pool padding
+    is trimmed off; without, the input is repeated ``stride`` times
+    per axis (nearest-neighbour upsampling). Sequence lengths follow
+    ``_compute_transpose_out_size`` (``conv_utils.py:322``).
+    """
+    n = 1
+
+    def __init__(self, pool_size, stride=None, pad_type=None):
+        self.pool_size = pool_size
+        self.stride = pool_size if stride is None else stride
+        self.pad_type = pad_type
+
+    def forward(self, x, seq_len=None, indices=None):
+        k = to_list(self.pool_size, self.n)
+        if all(np.asarray(k) < 2):
+            return x, seq_len
+        s = to_list(self.stride, self.n)
+        pad_types = to_list(self.pad_type, self.n)
+        if indices is None:
+            for axis, si in zip(range(-self.n, 0), s):
+                x = jnp.repeat(x, si, axis=axis)
+        else:
+            full = [
+                (n_in - 1) * si + ki
+                for n_in, si, ki in zip(x.shape[2:], s, k)
+            ]
+            y = _scatter_unpool(x, indices, int(np.prod(full)))
+            x = y.reshape(*x.shape[:2], *full)
+            slices = [slice(None), slice(None)]
+            for ki, si, pi in zip(k, s, pad_types):
+                front, end = compute_pad_size(ki, 1, si, pi)
+                end = max(end - si + 1, 0)
+                slices.append(slice(front, x.shape[len(slices)] - end))
+            x = x[tuple(slices)]
+        if seq_len is not None:
+            seq_len = compute_transpose_out_size(
+                seq_len, k[-1], 1, s[-1], pad_types[-1])
+        return x, seq_len
+
+
+class Unpool1d(_Unpool):
+    n = 1
+
+
+class Unpool2d(_Unpool):
     n = 2
 
 
