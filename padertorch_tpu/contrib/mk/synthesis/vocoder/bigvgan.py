@@ -1,0 +1,358 @@
+"""BigVGAN neural vocoder, TPU-native.
+
+Reference parity:
+``padertorch/contrib/mk/synthesis/vocoder/nvidia_bigvgan/bigvgan.py``
+(AMPBlock1 :31, AMPBlock2 :150, BigVGAN generator :244) and the
+``Synthesis``-API wrapper ``mk/synthesis/vocoder/bigvgan.py:16``
+(``Vocoder``).
+
+The reference runs NVIDIA's torch/CUDA implementation and downloads
+checkpoints from the HuggingFace hub.  Here the **generator graph is
+implemented in JAX**: the whole mel→waveform synthesis is one feed-
+forward conv stack (transpose-conv upsampling + anti-aliased-snake
+residual blocks) — fully parallel over time, so a single XLA program
+with every conv on the MXU; no autoregression, no CUDA kernel.  The
+anti-aliased activation reuses :mod:`.bigvgan_activation` (the repo's
+jnp composition of the reference's fused CUDA up-snake-down kernel).
+
+Checkpoint import: :func:`load_bigvgan_generator` converts an NVIDIA
+``bigvgan_generator.pt`` + ``config.json`` pair (torch used only for
+deserialization — no network access; weight-norm pairs are merged).
+"""
+import json
+from pathlib import Path
+import typing as tp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from padertorch_tpu import nn
+from padertorch_tpu.base import Module
+from padertorch_tpu.contrib.mk.synthesis.base import Synthesis
+from padertorch_tpu.contrib.mk.synthesis.vocoder.bigvgan_activation import (
+    Snake, SnakeBeta, Activation1d,
+)
+
+__all__ = ['AMPBlock1', 'AMPBlock2', 'BigVGANGenerator',
+           'BigVGANVocoder', 'load_bigvgan_generator']
+
+
+def _get_padding(kernel_size, dilation=1):
+    """Same-padding for odd kernels (ref ``nvidia_bigvgan/utils.py``)."""
+    return (kernel_size * dilation - dilation) // 2
+
+
+def _make_activation(activation, channels, snake_logscale):
+    if activation == 'snake':
+        return Snake(channels, alpha_logscale=snake_logscale)
+    if activation == 'snakebeta':
+        return SnakeBeta(channels, alpha_logscale=snake_logscale)
+    raise ValueError(
+        f"activation must be 'snake' or 'snakebeta', got {activation!r}")
+
+
+class AMPBlock1(Module):
+    """Anti-aliased multi-periodicity residual block, variant 1.
+
+    Per dilation: act → dilated conv → act → dilation-1 conv, residual
+    add (ref ``nvidia_bigvgan/bigvgan.py:31``).  Activations are the
+    alias-free up-snake-down composition.
+    """
+
+    def __init__(self, channels, kernel_size=3, dilation=(1, 3, 5),
+                 activation='snakebeta', snake_logscale=True):
+        self.convs1 = [
+            nn.Conv1d(channels, channels, kernel_size, dilation=d,
+                      padding=_get_padding(kernel_size, d))
+            for d in dilation
+        ]
+        self.convs2 = [
+            nn.Conv1d(channels, channels, kernel_size, dilation=1,
+                      padding=_get_padding(kernel_size, 1))
+            for _ in dilation
+        ]
+        self.activations = [
+            Activation1d(
+                _make_activation(activation, channels, snake_logscale))
+            for _ in range(2 * len(dilation))
+        ]
+
+    def forward(self, x):
+        acts1 = self.activations[::2]
+        acts2 = self.activations[1::2]
+        for c1, c2, a1, a2 in zip(self.convs1, self.convs2, acts1, acts2):
+            xt = c2(a2(c1(a1(x))))
+            x = xt + x
+        return x
+
+
+class AMPBlock2(Module):
+    """AMP residual block, variant 2: one conv per dilation
+    (ref ``nvidia_bigvgan/bigvgan.py:150``)."""
+
+    def __init__(self, channels, kernel_size=3, dilation=(1, 3, 5),
+                 activation='snakebeta', snake_logscale=True):
+        self.convs = [
+            nn.Conv1d(channels, channels, kernel_size, dilation=d,
+                      padding=_get_padding(kernel_size, d))
+            for d in dilation
+        ]
+        self.activations = [
+            Activation1d(
+                _make_activation(activation, channels, snake_logscale))
+            for _ in dilation
+        ]
+
+    def forward(self, x):
+        for c, a in zip(self.convs, self.activations):
+            x = c(a(x)) + x
+        return x
+
+
+class BigVGANGenerator(Module):
+    """BigVGAN generator: log-mel → waveform in one conv stack.
+
+    Reference parity: ``nvidia_bigvgan/bigvgan.py:244`` — pre-conv,
+    transpose-conv upsampling stages, per-stage bank of AMP blocks
+    (averaged), anti-aliased post activation, post-conv, tanh/clamp.
+    Defaults follow NVIDIA's ``bigvgan_v2_24khz_100band_256x`` config.
+
+    >>> from padertorch_tpu import random as ptrandom
+    >>> ptrandom.seed(0)
+    >>> g = BigVGANGenerator(
+    ...     num_mels=8, upsample_initial_channel=16,
+    ...     upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+    ...     resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),))
+    >>> import jax.numpy as jnp
+    >>> g(jnp.zeros((1, 8, 10))).shape
+    (1, 1, 80)
+    """
+
+    def __init__(
+            self,
+            num_mels: int = 100,
+            upsample_rates: tp.Sequence[int] = (4, 4, 2, 2, 2, 2),
+            upsample_kernel_sizes: tp.Sequence[int] = (8, 8, 4, 4, 4, 4),
+            upsample_initial_channel: int = 1536,
+            resblock: str = '1',
+            resblock_kernel_sizes: tp.Sequence[int] = (3, 7, 11),
+            resblock_dilation_sizes: tp.Sequence[tp.Sequence[int]] = (
+                (1, 3, 5), (1, 3, 5), (1, 3, 5)),
+            activation: str = 'snakebeta',
+            snake_logscale: bool = True,
+            use_bias_at_final: bool = True,
+            use_tanh_at_final: bool = True,
+    ):
+        assert len(upsample_rates) == len(upsample_kernel_sizes)
+        self.num_mels = num_mels
+        self.num_kernels = len(resblock_kernel_sizes)
+        self.num_upsamples = len(upsample_rates)
+        self.upsample_factor = int(np.prod(upsample_rates))
+        self.use_tanh_at_final = use_tanh_at_final
+
+        self.conv_pre = nn.Conv1d(
+            num_mels, upsample_initial_channel, 7, padding=3)
+
+        resblock_cls = {'1': AMPBlock1, '2': AMPBlock2}[str(resblock)]
+
+        self.ups = []
+        for i, (u, k) in enumerate(
+                zip(upsample_rates, upsample_kernel_sizes)):
+            self.ups.append([nn.ConvTranspose1d(
+                upsample_initial_channel // (2 ** i),
+                upsample_initial_channel // (2 ** (i + 1)),
+                k, stride=u, padding=(k - u) // 2)])
+
+        self.resblocks = []
+        for i in range(self.num_upsamples):
+            ch = upsample_initial_channel // (2 ** (i + 1))
+            for k, d in zip(resblock_kernel_sizes,
+                            resblock_dilation_sizes):
+                self.resblocks.append(resblock_cls(
+                    ch, k, tuple(d), activation=activation,
+                    snake_logscale=snake_logscale))
+
+        self.activation_post = Activation1d(
+            _make_activation(activation, ch, snake_logscale))
+        self.conv_post = nn.Conv1d(
+            ch, 1, 7, padding=3, bias=use_bias_at_final)
+
+    def forward(self, x):
+        """x: (B, num_mels, T') log-mel → (B, 1, T' * upsample_factor)."""
+        x = self.conv_pre(x)
+        for i in range(self.num_upsamples):
+            for up in self.ups[i]:
+                x = up(x)
+            xs = 0.0
+            for j in range(self.num_kernels):
+                xs = xs + self.resblocks[i * self.num_kernels + j](x)
+            x = xs / self.num_kernels
+        x = self.activation_post(x)
+        x = self.conv_post(x)
+        if self.use_tanh_at_final:
+            return jnp.tanh(x)
+        return jnp.clip(x, -1.0, 1.0)
+
+    def inference(self, c):
+        """c: (B, M, T') or (M, T') log-mel → (B, T)/(T,) waveform."""
+        squeeze = c.ndim == 2
+        if squeeze:
+            c = c[None]
+        y = self.forward(c)[:, 0]
+        return y[0] if squeeze else y
+
+
+def _merge_weight_norm(sd):
+    """Collapse torch ``weight_g``/``weight_v`` pairs into plain
+    weights (published inference checkpoints usually store them)."""
+    merged = {}
+    for k in list(sd):
+        if k.endswith('weight_v'):
+            base = k[:-len('_v')]
+            v = sd[k]
+            g = sd[base + '_g']
+            norm = np.sqrt((v ** 2).sum(
+                axis=tuple(range(1, v.ndim)), keepdims=True))
+            merged[base] = g * v / norm
+        elif k.endswith('weight_g'):
+            continue
+        else:
+            merged[k] = sd[k]
+    return merged
+
+
+def _set_conv(conv, sd, prefix, transpose=False):
+    w = np.asarray(sd[f'{prefix}.weight'])
+    if transpose:  # torch ConvTranspose1d stores (in, out, k); ours OIK
+        w = np.transpose(w, (1, 0, 2))
+    conv.weight = jnp.asarray(w)
+    if f'{prefix}.bias' in sd:
+        conv.bias = jnp.asarray(np.asarray(sd[f'{prefix}.bias']))
+
+
+def _set_snake(act_module, sd, prefix):
+    act_module.alpha = jnp.asarray(np.asarray(sd[f'{prefix}.alpha']))
+    if f'{prefix}.beta' in sd:
+        act_module.beta = jnp.asarray(np.asarray(sd[f'{prefix}.beta']))
+
+
+def load_bigvgan_generator(model_dir, config=None):
+    """Build a :class:`BigVGANGenerator` from a local NVIDIA BigVGAN
+    checkpoint directory (``config.json`` + ``bigvgan_generator.pt``
+    holding ``{'generator': state_dict}`` — the layout
+    ``BigVGAN._save_pretrained`` writes, ref
+    ``nvidia_bigvgan/bigvgan.py:404``), or from an explicit ``.pt``
+    file plus a ``config`` dict.
+    """
+    import torch
+    model_dir = Path(model_dir)
+    if model_dir.is_dir():
+        ckpt_file = model_dir / 'bigvgan_generator.pt'
+        if config is None:
+            config = json.loads((model_dir / 'config.json').read_text())
+    else:
+        ckpt_file = model_dir
+        assert config is not None, 'config required with a bare .pt file'
+    ckpt = torch.load(ckpt_file, map_location='cpu', weights_only=False)
+    sd = ckpt.get('generator', ckpt)
+    sd = _merge_weight_norm(
+        {k: v.numpy() for k, v in sd.items()})
+
+    gen = BigVGANGenerator(
+        num_mels=config['num_mels'],
+        upsample_rates=tuple(config['upsample_rates']),
+        upsample_kernel_sizes=tuple(config['upsample_kernel_sizes']),
+        upsample_initial_channel=config['upsample_initial_channel'],
+        resblock=str(config['resblock']),
+        resblock_kernel_sizes=tuple(config['resblock_kernel_sizes']),
+        resblock_dilation_sizes=tuple(
+            tuple(d) for d in config['resblock_dilation_sizes']),
+        activation=config['activation'],
+        snake_logscale=config['snake_logscale'],
+        use_bias_at_final=config.get('use_bias_at_final', True),
+        use_tanh_at_final=config.get('use_tanh_at_final', True),
+    )
+
+    _set_conv(gen.conv_pre, sd, 'conv_pre')
+    for i, stage in enumerate(gen.ups):
+        for j, up in enumerate(stage):
+            _set_conv(up, sd, f'ups.{i}.{j}', transpose=True)
+    for n, block in enumerate(gen.resblocks):
+        if isinstance(block, AMPBlock1):
+            for j, conv in enumerate(block.convs1):
+                _set_conv(conv, sd, f'resblocks.{n}.convs1.{j}')
+            for j, conv in enumerate(block.convs2):
+                _set_conv(conv, sd, f'resblocks.{n}.convs2.{j}')
+        else:
+            for j, conv in enumerate(block.convs):
+                _set_conv(conv, sd, f'resblocks.{n}.convs.{j}')
+        for m, act in enumerate(block.activations):
+            _set_snake(act.activation, sd,
+                       f'resblocks.{n}.activations.{m}.act')
+    _set_snake(gen.activation_post.activation, sd, 'activation_post.act')
+    _set_conv(gen.conv_post, sd, 'conv_post')
+    return gen
+
+
+class BigVGANVocoder(Synthesis):
+    """Mel → waveform synthesis with a (possibly imported) BigVGAN
+    generator.
+
+    Reference parity: ``mk/synthesis/vocoder/bigvgan.py:16``
+    (``Vocoder``) — 2-dim or 3-dim mel input with configurable
+    batch/sequence axes, per-utterance sequence-length masking — minus
+    the HuggingFace *download* (zero-egress environment: pass a local
+    checkpoint directory instead) and minus the per-utterance python
+    loop: batched utterances synthesize as ONE jitted XLA call; padded
+    frames are masked after synthesis.
+    """
+
+    def __init__(self, generator=None, checkpoint_dir=None,
+                 batch_axis: int = 0, sequence_axis: int = -1,
+                 sampling_rate: int = 24000,
+                 postprocessing: tp.Optional[tp.Callable] = None):
+        if generator is None:
+            if checkpoint_dir is None:
+                generator = BigVGANGenerator()
+            else:
+                generator = load_bigvgan_generator(checkpoint_dir)
+                cfg_file = Path(checkpoint_dir) / 'config.json'
+                if cfg_file.exists():
+                    cfg = json.loads(cfg_file.read_text())
+                    sampling_rate = cfg.get('sampling_rate',
+                                            sampling_rate)
+        self.generator = generator
+        self.batch_axis = batch_axis
+        self.sequence_axis = sequence_axis
+        self.sampling_rate = sampling_rate
+        self.postprocessing = postprocessing
+
+    def forward(self, mel_spec, sequence_lengths=None):
+        """mel_spec: 2-dim (M, T)/(T, M) by ``sequence_axis``, or 3-dim
+        with ``batch_axis``/``sequence_axis``; returns (T,) or (B, T)."""
+        mel_spec = jnp.asarray(mel_spec, jnp.float32)
+        ndim = mel_spec.ndim
+        seq_ax = self.sequence_axis % ndim
+        if ndim == 2:
+            c = jnp.moveaxis(mel_spec, seq_ax, -1)[None]   # (1, M, T)
+        elif ndim == 3:
+            batch_ax = self.batch_axis % ndim
+            assert batch_ax != seq_ax, (batch_ax, seq_ax)
+            feat_ax = ({0, 1, 2} - {batch_ax, seq_ax}).pop()
+            c = jnp.transpose(mel_spec, (batch_ax, feat_ax, seq_ax))
+        else:
+            raise TypeError(
+                'Expected 2- or 3-dim. spectrogram but got '
+                f'{ndim}-dim. input with shape {mel_spec.shape}')
+        y = self.generator.inference(c)                    # (B, T)
+        if sequence_lengths is not None:
+            f = self.generator.upsample_factor
+            mask = (jnp.arange(y.shape[-1])[None, :]
+                    < f * jnp.asarray(sequence_lengths)[:, None])
+            y = y * mask
+        if ndim == 2:
+            y = y[0]
+        if self.postprocessing is not None:
+            y = self.postprocessing(y)
+        return y

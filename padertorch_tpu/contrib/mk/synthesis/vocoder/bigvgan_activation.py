@@ -80,45 +80,67 @@ class SnakeBeta(Module):
 
 
 class UpSample1d(Module):
+    """Sinc-interpolating upsample, matching the reference's phase and
+    replicate-padding exactly (``alias_free_activation/torch/
+    resample.py``: replicate-pad, ``ratio * conv_transpose1d(stride=
+    ratio)``, crop ``pad_left/pad_right``)."""
+
     def __init__(self, ratio=2, kernel_size=None):
         self.ratio = ratio
         self.kernel_size = kernel_size or int(6 * ratio // 2) * 2
         self.stride = ratio
         self.pad = self.kernel_size // ratio - 1
+        self.pad_left = self.pad * self.stride \
+            + (self.kernel_size - self.stride) // 2
+        self.pad_right = self.pad * self.stride \
+            + (self.kernel_size - self.stride + 1) // 2
         filt = _kaiser_sinc_filter1d(
             0.5 / ratio, 0.6 / ratio, self.kernel_size) * ratio
         self.register_buffer('filter', jnp.asarray(filt))
 
     def forward(self, x):  # (B, C, T) -> (B, C, T*ratio)
         b, c, t = x.shape
-        kernel = self.filter.reshape(1, 1, -1)
         k = self.kernel_size
+        x = jnp.pad(x, ((0, 0), (0, 0), (self.pad, self.pad)),
+                    mode='edge')
+        # conv_transpose1d == fractionally-strided conv with the
+        # flipped kernel and full padding (k-1 each side)
+        kernel = jnp.flip(self.filter).reshape(1, 1, -1)
         y = lax.conv_general_dilated(
-            x.reshape(b * c, 1, t), kernel,
+            x.reshape(b * c, 1, -1), kernel,
             window_strides=(1,),
-            padding=((k // 2, k - k // 2),),
+            padding=((k - 1, k - 1),),
             lhs_dilation=(self.ratio,),
             dimension_numbers=('NCH', 'OIH', 'NCH'))
         y = y.reshape(b, c, -1)
-        return y[..., :t * self.ratio]
+        return y[..., self.pad_left:y.shape[-1] - self.pad_right]
 
 
 class DownSample1d(Module):
+    """Anti-aliasing low-pass + decimate, matching the reference's
+    replicate padding (``LowPassFilter1d``: pad ``(k//2 - even,
+    k//2)``, strided conv)."""
+
     def __init__(self, ratio=2, kernel_size=None):
         self.ratio = ratio
         self.kernel_size = kernel_size or int(6 * ratio // 2) * 2
         filt = _kaiser_sinc_filter1d(
             0.5 / ratio, 0.6 / ratio, self.kernel_size)
         self.register_buffer('filter', jnp.asarray(filt))
-        self.pad = (self.kernel_size - ratio) // 2
+        even = self.kernel_size % 2 == 0
+        self.pad_left = self.kernel_size // 2 - int(even)
+        self.pad_right = self.kernel_size // 2
 
     def forward(self, x):  # (B, C, T) -> (B, C, T//ratio)
         b, c, t = x.shape
+        x = jnp.pad(
+            x, ((0, 0), (0, 0), (self.pad_left, self.pad_right)),
+            mode='edge')
         kernel = self.filter.reshape(1, 1, -1)
         y = lax.conv_general_dilated(
-            x.reshape(b * c, 1, t), kernel,
+            x.reshape(b * c, 1, -1), kernel,
             window_strides=(self.ratio,),
-            padding=((self.pad, self.pad),),
+            padding=((0, 0),),
             dimension_numbers=('NCH', 'OIH', 'NCH'))
         return y.reshape(b, c, -1)
 

@@ -1,0 +1,303 @@
+"""BigVGAN generator: structure, checkpoint import and numerics vs a
+torch oracle replicating NVIDIA's implementation (state-dict naming of
+``bigvgan_generator.pt`` checkpoints; math of
+``nvidia_bigvgan/bigvgan.py`` + ``alias_free_activation/torch``)."""
+import json
+import math
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+import jax.numpy as jnp  # noqa: E402
+
+from padertorch_tpu import random as ptrandom  # noqa: E402
+from padertorch_tpu.contrib.mk.synthesis.vocoder.bigvgan import (  # noqa: E402
+    AMPBlock1, AMPBlock2, BigVGANGenerator, BigVGANVocoder,
+    load_bigvgan_generator,
+)
+from padertorch_tpu.contrib.mk.synthesis.vocoder.bigvgan_activation import (  # noqa: E402
+    UpSample1d, DownSample1d, Activation1d, Snake, SnakeBeta,
+)
+
+
+# ---- torch oracle -----------------------------------------------------
+
+def _torch_kaiser_sinc(cutoff, half_width, kernel_size):
+    even = kernel_size % 2 == 0
+    half_size = kernel_size // 2
+    delta_f = 4 * half_width
+    a = 2.285 * (half_size - 1) * math.pi * delta_f + 7.95
+    if a > 50.0:
+        beta = 0.1102 * (a - 8.7)
+    elif a >= 21.0:
+        beta = 0.5842 * (a - 21) ** 0.4 + 0.07886 * (a - 21.0)
+    else:
+        beta = 0.0
+    window = torch.kaiser_window(kernel_size, beta=beta, periodic=False)
+    if even:
+        time = torch.arange(-half_size, half_size) + 0.5
+    else:
+        time = torch.arange(kernel_size) - half_size
+    f = 2 * cutoff * window * torch.sinc(2 * cutoff * time)
+    return (f / f.sum()).view(1, 1, kernel_size).float()
+
+
+class _TorchUp(torch.nn.Module):
+    def __init__(self, ratio=2, kernel_size=12):
+        super().__init__()
+        self.ratio = ratio
+        self.k = kernel_size
+        self.pad = kernel_size // ratio - 1
+        self.pad_left = self.pad * ratio + (kernel_size - ratio) // 2
+        self.pad_right = self.pad * ratio + (kernel_size - ratio + 1) // 2
+        self.register_buffer('filter', _torch_kaiser_sinc(
+            0.5 / ratio, 0.6 / ratio, kernel_size))
+
+    def forward(self, x):
+        c = x.shape[1]
+        x = torch.nn.functional.pad(
+            x, (self.pad, self.pad), mode='replicate')
+        y = self.ratio * torch.nn.functional.conv_transpose1d(
+            x, self.filter.expand(c, -1, -1), stride=self.ratio, groups=c)
+        return y[..., self.pad_left:-self.pad_right]
+
+
+class _TorchDown(torch.nn.Module):
+    def __init__(self, ratio=2, kernel_size=12):
+        super().__init__()
+        self.ratio = ratio
+        even = kernel_size % 2 == 0
+        self.pad_left = kernel_size // 2 - int(even)
+        self.pad_right = kernel_size // 2
+        self.register_buffer('filter', _torch_kaiser_sinc(
+            0.5 / ratio, 0.6 / ratio, kernel_size))
+
+    def forward(self, x):
+        c = x.shape[1]
+        x = torch.nn.functional.pad(
+            x, (self.pad_left, self.pad_right), mode='replicate')
+        return torch.nn.functional.conv1d(
+            x, self.filter.expand(c, -1, -1), stride=self.ratio, groups=c)
+
+
+class _TorchSnakeBeta(torch.nn.Module):
+    def __init__(self, channels, alpha_logscale=True):
+        super().__init__()
+        self.logscale = alpha_logscale
+        init = torch.zeros(channels) if alpha_logscale \
+            else torch.ones(channels)
+        self.alpha = torch.nn.Parameter(init.clone())
+        self.beta = torch.nn.Parameter(init.clone())
+
+    def forward(self, x):
+        a = self.alpha.exp() if self.logscale else self.alpha
+        b = self.beta.exp() if self.logscale else self.beta
+        a, b = a[None, :, None], b[None, :, None]
+        return x + torch.sin(a * x) ** 2 / (b + 1e-9)
+
+
+class _TorchAct(torch.nn.Module):
+    def __init__(self, activation):
+        super().__init__()
+        self.act = activation
+        self.upsample = _TorchUp()
+        self.downsample = _TorchDown()
+
+    def forward(self, x):
+        return self.downsample(self.act(self.upsample(x)))
+
+
+class _TorchAMP1(torch.nn.Module):
+    def __init__(self, channels, kernel_size=3, dilation=(1, 3)):
+        super().__init__()
+
+        def conv(d):
+            return torch.nn.Conv1d(
+                channels, channels, kernel_size, dilation=d,
+                padding=(kernel_size * d - d) // 2)
+
+        self.convs1 = torch.nn.ModuleList([conv(d) for d in dilation])
+        self.convs2 = torch.nn.ModuleList([conv(1) for _ in dilation])
+        self.activations = torch.nn.ModuleList([
+            _TorchAct(_TorchSnakeBeta(channels))
+            for _ in range(2 * len(dilation))
+        ])
+
+    def forward(self, x):
+        a1s, a2s = self.activations[::2], self.activations[1::2]
+        for c1, c2, a1, a2 in zip(self.convs1, self.convs2, a1s, a2s):
+            x = c2(a2(c1(a1(x)))) + x
+        return x
+
+
+class _TorchBigVGAN(torch.nn.Module):
+    """Tiny BigVGAN with NVIDIA's state-dict names."""
+
+    def __init__(self, mels=6, up_rates=(4, 2), up_ks=(8, 4), ch0=16,
+                 rb_ks=(3, 5), rb_ds=((1, 3), (1, 3))):
+        super().__init__()
+        self.num_kernels = len(rb_ks)
+        self.num_upsamples = len(up_rates)
+        self.conv_pre = torch.nn.Conv1d(mels, ch0, 7, padding=3)
+        self.ups = torch.nn.ModuleList()
+        for i, (u, k) in enumerate(zip(up_rates, up_ks)):
+            self.ups.append(torch.nn.ModuleList([
+                torch.nn.ConvTranspose1d(
+                    ch0 // (2 ** i), ch0 // (2 ** (i + 1)), k, u,
+                    padding=(k - u) // 2)
+            ]))
+        self.resblocks = torch.nn.ModuleList()
+        for i in range(self.num_upsamples):
+            ch = ch0 // (2 ** (i + 1))
+            for k, d in zip(rb_ks, rb_ds):
+                self.resblocks.append(_TorchAMP1(ch, k, d))
+        self.activation_post = _TorchAct(_TorchSnakeBeta(ch))
+        self.conv_post = torch.nn.Conv1d(ch, 1, 7, padding=3)
+
+    def forward(self, x):
+        x = self.conv_pre(x)
+        for i in range(self.num_upsamples):
+            for up in self.ups[i]:
+                x = up(x)
+            xs = None
+            for j in range(self.num_kernels):
+                r = self.resblocks[i * self.num_kernels + j](x)
+                xs = r if xs is None else xs + r
+            x = xs / self.num_kernels
+        x = self.conv_post(self.activation_post(x))
+        return torch.tanh(x)
+
+
+_TINY_CONFIG = dict(
+    num_mels=6, upsample_rates=[4, 2], upsample_kernel_sizes=[8, 4],
+    upsample_initial_channel=16, resblock='1',
+    resblock_kernel_sizes=[3, 5],
+    resblock_dilation_sizes=[[1, 3], [1, 3]],
+    activation='snakebeta', snake_logscale=True,
+    use_bias_at_final=True, use_tanh_at_final=True,
+    sampling_rate=16000,
+)
+
+
+# ---- tests ------------------------------------------------------------
+
+def test_upsample_downsample_match_torch():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 3, 40)).astype(np.float32)
+    for ratio in (2,):
+        up = UpSample1d(ratio)
+        tup = _TorchUp(ratio)
+        np.testing.assert_allclose(
+            np.asarray(up(x)), tup(torch.as_tensor(x)).numpy(),
+            atol=1e-5)
+        down = DownSample1d(ratio)
+        tdown = _TorchDown(ratio)
+        np.testing.assert_allclose(
+            np.asarray(down(x)), tdown(torch.as_tensor(x)).numpy(),
+            atol=1e-5)
+
+
+def test_activation1d_matches_torch():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 4, 30)).astype(np.float32)
+    ptrandom.seed(0)
+    act = Activation1d(SnakeBeta(4))
+    tact = _TorchAct(_TorchSnakeBeta(4))
+    np.testing.assert_allclose(
+        np.asarray(act(x)),
+        tact(torch.as_tensor(x)).detach().numpy(), atol=1e-5)
+
+
+def test_generator_shapes_and_structure():
+    ptrandom.seed(0)
+    g = BigVGANGenerator(
+        num_mels=6, upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 3), (1, 3)))
+    assert g.upsample_factor == 8
+    assert len(g.resblocks) == 4  # 2 stages x 2 kernels
+    y = g(jnp.zeros((2, 6, 12)))
+    assert y.shape == (2, 1, 96)
+    assert float(jnp.abs(y).max()) <= 1.0  # tanh bounded
+
+
+def test_generator_ampblock2_and_clamp():
+    ptrandom.seed(0)
+    g = BigVGANGenerator(
+        num_mels=4, upsample_rates=(2,), upsample_kernel_sizes=(4,),
+        upsample_initial_channel=8, resblock='2',
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 2),),
+        use_tanh_at_final=False)
+    assert isinstance(g.resblocks[0], AMPBlock2)
+    y = g(jnp.ones((1, 4, 7)))
+    assert y.shape == (1, 1, 14)
+    assert float(jnp.abs(y).max()) <= 1.0  # clamp bounded
+
+
+def test_checkpoint_import_matches_torch(tmp_path):
+    torch.manual_seed(0)
+    tmodel = _TorchBigVGAN().eval()
+    torch.save({'generator': tmodel.state_dict()},
+               tmp_path / 'bigvgan_generator.pt')
+    (tmp_path / 'config.json').write_text(json.dumps(_TINY_CONFIG))
+
+    gen = load_bigvgan_generator(tmp_path)
+    rng = np.random.default_rng(2)
+    mel = rng.normal(size=(1, 6, 20)).astype(np.float32)
+    with torch.inference_mode():
+        want = tmodel(torch.as_tensor(mel)).numpy()
+    got = np.asarray(gen(mel))
+    assert got.shape == want.shape == (1, 1, 160)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_checkpoint_import_with_weight_norm(tmp_path):
+    torch.manual_seed(1)
+    tmodel = _TorchBigVGAN().eval()
+    sd = tmodel.state_dict()
+    # simulate a training checkpoint: split conv_pre into g/v pairs
+    w = sd.pop('conv_pre.weight')
+    norm = w.norm(dim=(1, 2), keepdim=True)
+    sd['conv_pre.weight_g'] = norm
+    sd['conv_pre.weight_v'] = w
+    torch.save({'generator': sd}, tmp_path / 'bigvgan_generator.pt')
+    (tmp_path / 'config.json').write_text(json.dumps(_TINY_CONFIG))
+    gen = load_bigvgan_generator(tmp_path)
+    mel = np.zeros((1, 6, 8), np.float32)
+    with torch.inference_mode():
+        want = tmodel(torch.as_tensor(mel)).numpy()
+    np.testing.assert_allclose(np.asarray(gen(mel)), want, atol=1e-4)
+
+
+def test_vocoder_synthesis_api(tmp_path):
+    torch.manual_seed(2)
+    tmodel = _TorchBigVGAN().eval()
+    torch.save({'generator': tmodel.state_dict()},
+               tmp_path / 'bigvgan_generator.pt')
+    (tmp_path / 'config.json').write_text(json.dumps(_TINY_CONFIG))
+
+    voc = BigVGANVocoder(checkpoint_dir=tmp_path)
+    assert voc.sampling_rate == 16000
+    # 2-dim input (T, M) with sequence_axis=0 convention -> (T_wav,)
+    voc2 = BigVGANVocoder(generator=voc.generator, sequence_axis=0)
+    mel = np.zeros((10, 6), np.float32)
+    y = voc2(mel)
+    assert y.shape == (80,)
+    # batched (B, M, T) + sequence-length masking
+    mel_b = np.random.default_rng(3).normal(
+        size=(2, 6, 10)).astype(np.float32)
+    y = voc(mel_b, sequence_lengths=[10, 5])
+    assert y.shape == (2, 80)
+    np.testing.assert_array_equal(np.asarray(y)[1, 40:], 0)
+
+
+def test_vocoder_random_init_smoke():
+    ptrandom.seed(0)
+    voc = BigVGANVocoder(generator=BigVGANGenerator(
+        num_mels=4, upsample_rates=(2, 2), upsample_kernel_sizes=(4, 4),
+        upsample_initial_channel=8, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1,),)))
+    y = voc(np.zeros((2, 4, 6), np.float32))
+    assert y.shape == (2, 24)
