@@ -1,21 +1,38 @@
 """Self-supervised speech representation extractors (wav2vec2 family).
 
 Reference parity: ``padertorch/contrib/mk/modules/features/ssl`` — the
-reference ports fairseq/HF wav2vec2/WavLM/HuBERT checkpoints to torch;
-here wav2vec2 uses HuggingFace's **Flax** port (runs on TPU inside the
-training graph), while WavLM/HuBERT (no Flax port exists upstream) are
+reference ports fairseq/HF wav2vec2/WavLM/HuBERT checkpoints to torch.
+Here wav2vec2 is a **self-contained JAX graph**
+(:mod:`padertorch_tpu.contrib.mk.modules.features.wav2vec2`: conv
+feature encoder + transformer encoder, HF-checkpoint importer, ALiBi/
+RoPE/KERPLE/Longformer attention variants) that jits into the training
+step; a HuggingFace **Flax** delegate remains available as
+``backend='flax'``.  WavLM/HuBERT (no Flax port exists upstream) are
 host-side torch-CPU extractors meant for the data pipeline — the usual
 deployment for *frozen* SSL frontends, and it keeps the TPU graph free
 of per-layer host callbacks.
 
-Weights download requires network access; in offline environments
-construct with ``pretrained=False`` (random init, same architecture) or
-pass a local ``model_path``.
+Pretrained weights require a local checkpoint (or network access); in
+offline environments construct with ``pretrained=False`` (random init,
+same architecture) or pass a local ``model_path``.
+
+>>> from padertorch_tpu import random as ptrandom
+>>> ptrandom.seed(0)
+>>> w2v = Wav2Vec2(pretrained=False, tiny=True)
+>>> import jax.numpy as jnp
+>>> x, seq_len = w2v(jnp.zeros((2, 800)), sequence_lengths=[800, 700])
+>>> x.shape
+(2, 79, 16)
+>>> [int(n) for n in seq_len]
+[79, 69]
 """
 import numpy as np
 import jax.numpy as jnp
 
 from padertorch_tpu.base import Module
+from padertorch_tpu.contrib.mk.modules.features.wav2vec2 import (
+    Wav2Vec2Model, load_hf_wav2vec2,
+)
 
 __all__ = ['Wav2Vec2', 'WavLM', 'HuBERT', 'SAMPLING_RATE',
            'PR_BASE_LAYER', 'PR_LARGE_LAYER', 'SID_BASE_LAYER',
@@ -36,37 +53,92 @@ def tuple_to_int(sequence) -> list:
     return list(map(lambda t: t[0], sequence))
 
 
-class Wav2Vec2(Module):
-    """Frozen (or finetunable) wav2vec2 feature extractor (Flax, on-TPU).
+_TINY_W2V2 = dict(
+    conv_dim=(8, 8), conv_kernel=(10, 3), conv_stride=(5, 2),
+    d_model=16, num_layers=2, num_heads=2, d_ff=32)
 
-    forward: (B, T) raw audio at 16 kHz -> (B, frames, hidden) features
-    of ``layer`` (-1 = last; None = list of all hidden states).
+
+class Wav2Vec2(Module):
+    """Frozen (or finetunable) wav2vec2 feature extractor, on-TPU.
+
+    Reference parity: ``ssl/wav2vec2/_wav2vec2.py:33`` (``Wav2Vec2``).
+    forward: (B, T) raw audio at 16 kHz -> ``(features, seq_len)`` with
+    features (B, frames, hidden) of ``layer`` (-1 = last; ``None`` =
+    list of per-transformer-layer hidden states; int ``l`` in
+    [1, num_layers] = output of layer ``l``).
+
+    ``backend='native'`` (default) uses the in-repo JAX graph
+    (:class:`...features.wav2vec2.Wav2Vec2Model`) — jittable,
+    finetunable, HF-checkpoint-importable.  ``backend='flax'`` wraps
+    HuggingFace's FlaxWav2Vec2Model instead.  ``tiny=True`` builds a
+    small random-init config for tests/docs.
     """
 
     def __init__(self, model_path='facebook/wav2vec2-base',
                  pretrained=True, trainable=False, layer=-1,
-                 dtype='float32'):
-        try:
-            from transformers import FlaxWav2Vec2Model, Wav2Vec2Config
-        except ImportError as e:  # pragma: no cover
-            raise ImportError(
-                'transformers with Flax support is required for '
-                'Wav2Vec2 features.') from e
-        if pretrained:
-            hf_model = FlaxWav2Vec2Model.from_pretrained(
-                model_path, dtype=jnp.dtype(dtype))
-        else:
-            config = Wav2Vec2Config()
-            hf_model = FlaxWav2Vec2Model(config, dtype=jnp.dtype(dtype))
-        self._module = hf_model.module
-        self.hidden_size = hf_model.config.hidden_size
+                 backend='native', tiny=False, dtype='float32',
+                 attention_type='default', **config_overrides):
         self.layer = layer
-        if trainable:
-            self.params = hf_model.params
+        self.backend = backend
+        if backend == 'native':
+            if pretrained:
+                model = load_hf_wav2vec2(model_path, layer=layer)
+            else:
+                cfg = dict(_TINY_W2V2) if tiny else {}
+                cfg.update(config_overrides)
+                model = Wav2Vec2Model(
+                    **cfg, layer=layer,
+                    attention_type=attention_type).eval()
+            if trainable:
+                self.model = model
+            else:
+                self.register_buffer('model', model)
+            self.hidden_size = model.hidden_size
+            self.downsample_factor = model.downsample_factor
+            self.window_size = model.window_size
+            self.num_layers = model.num_layers
+        elif backend == 'flax':
+            try:
+                from transformers import (
+                    FlaxWav2Vec2Model, Wav2Vec2Config)
+            except ImportError as e:  # pragma: no cover
+                raise ImportError(
+                    'transformers with Flax support is required for '
+                    'backend="flax".') from e
+            if pretrained:
+                hf_model = FlaxWav2Vec2Model.from_pretrained(
+                    model_path, dtype=jnp.dtype(dtype))
+            else:
+                config = Wav2Vec2Config()
+                hf_model = FlaxWav2Vec2Model(
+                    config, dtype=jnp.dtype(dtype))
+            self._module = hf_model.module
+            self.hidden_size = hf_model.config.hidden_size
+            if trainable:
+                self.params = hf_model.params
+            else:
+                self.register_buffer('params', hf_model.params)
         else:
-            self.register_buffer('params', hf_model.params)
+            raise ValueError(f'Unknown backend: {backend}')
 
-    def forward(self, audio, sequence_lengths=None):
+    @property
+    def frame_rate(self):
+        return SAMPLING_RATE // self.downsample_factor
+
+    def add_padding(self, sequence_lengths, *, signal=None,
+                    fading='half'):
+        return self.model.add_padding(
+            sequence_lengths, signal=signal, fading=fading)
+
+    def compute_output_lengths(self, input_lengths):
+        return self.model.compute_output_lengths(input_lengths)
+
+    def forward(self, audio, sequence_lengths=None,
+                return_latents=False):
+        if self.backend == 'native':
+            return self.model(
+                audio, sequence_lengths=sequence_lengths,
+                return_latents=return_latents)
         attention_mask = None
         if sequence_lengths is not None:
             idx = jnp.arange(audio.shape[-1])[None, :]

@@ -93,8 +93,14 @@ class MultiheadAttention(Module):
             x.reshape(b, t, self.num_heads, self.d_head), (0, 2, 1, 3))
 
     def forward(self, query, key=None, value=None, key_padding_lens=None,
-                causal=False):
-        """query (B, Tq, D); key/value default to query (self-attention)."""
+                causal=False, attn_bias=None):
+        """query (B, Tq, D); key/value default to query (self-attention).
+
+        ``attn_bias``: additive logits bias broadcastable to
+        (B, H, Tq, Tk) — the hook the reference's attention variants
+        (ALiBi/KERPLE/Longformer, ``mk/.../ssl/wav2vec2/components.py``)
+        plug into.
+        """
         if key is None:
             key = query
         if value is None:
@@ -109,6 +115,8 @@ class MultiheadAttention(Module):
         logits = jnp.einsum(
             'bhqd,bhkd->bhqk', q, k,
             preferred_element_type=jnp.float32) * scale
+        if attn_bias is not None:
+            logits = logits + attn_bias
         if key_padding_lens is not None:
             lens = jnp.asarray(key_padding_lens)
             pad = jnp.arange(k.shape[2])[None, :] >= lens[:, None]

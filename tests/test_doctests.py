@@ -18,9 +18,7 @@ PKG_ROOT = Path(padertorch_tpu.__file__).parent
 
 # modules whose import or doctests need resources this environment
 # doesn't have (network weights, real databases, matplotlib display)
-SKIP = {
-    'padertorch_tpu.contrib.mk.modules.features.ssl',  # HF weights
-}
+SKIP = set()
 
 
 def _modules_with_doctests():
