@@ -420,13 +420,19 @@ class _CNN(Module):
         for src, dsts in enumerate(self.residual_connections):
             for dst in dsts:
                 assert src < dst <= num_layers, (src, dst)
-                cum_stride = 1
+                # per-axis cumulative stride (strides may be tuples,
+                # e.g. (2, 1) for freq-only downsampling)
+                cum = np.ones(self.n, dtype=int)
                 for j in range(src, dst):
-                    cum_stride *= strides[j] * pool_strides[j]
-                if channels[src] != channels[dst] or cum_stride != 1:
+                    cum = cum * np.asarray(to_list(strides[j], self.n))
+                    cum = cum * np.asarray(
+                        to_list(pool_strides[j], self.n))
+                if channels[src] != channels[dst] or (cum != 1).any():
+                    stride = (int(cum[0]) if self.n == 1
+                              else tuple(int(c) for c in cum))
                     skip_convs[f'{src}->{dst}'] = self.conv_cls(
                         channels[src], channels[dst], 1,
-                        stride=cum_stride, activation_fn='identity')
+                        stride=stride, activation_fn='identity')
         self.residual_skip_convs = skip_convs
         self.out_channels = out_channels[-1]
 

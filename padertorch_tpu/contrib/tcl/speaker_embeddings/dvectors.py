@@ -12,7 +12,8 @@ from padertorch_tpu.base import Model, Module
 from padertorch_tpu import nn
 from padertorch_tpu.ops.losses.classification import softmax_cross_entropy
 
-__all__ = ['BasicBlock', 'ResNet18', 'ResNet34', 'DVectorModel']
+__all__ = ['BasicBlock', 'ResNet18', 'ResNet34', 'FrameResNet34',
+           'DVectorModel']
 
 
 class _BatchNorm2d(Module):
@@ -106,6 +107,87 @@ class ResNet18(_ResNet):
 
 class ResNet34(_ResNet):
     layers_spec = (3, 4, 6, 3)
+
+
+class FrameResNet34(Module):
+    """Speaker-embedding ResNet34 that also returns frame-level
+    embeddings (the teacher of the teacher-student pipeline).
+
+    Reference parity: ``tcl/speaker_embeddings/dvectors.py:18``
+    (``ResNet34``) — je-CNN2d trunk, output conv with stride (2, 1),
+    mean over the reduced frequency axis, masked time-average pooling
+    for the d-vector, affine-free batch norm on the d-vector.
+
+    forward: log-fbank (B, T, F) + seq_len → ``(dvectors (B, E),
+    embeddings (B, E, T'))``.
+
+    >>> from padertorch_tpu import random as ptrandom
+    >>> ptrandom.seed(0)
+    >>> m = FrameResNet34(channels=(4, 8, 8, 8), dvec_dim=8).eval()
+    >>> d, e = m(jnp.zeros((1, 64, 40)), [64])
+    >>> d.shape, e.shape
+    ((1, 8), (1, 8, 16))
+    """
+
+    def __init__(self, in_channels=1, channels=(64, 128, 256, 256),
+                 dvec_dim=256, activation_fn='relu', norm='batch',
+                 pre_activation=True, encoder_context=3):
+        from padertorch_tpu.contrib.je.modules.conv import CNN2d, Conv2d
+        out_channels = (3 * 2 * [channels[0]] + 4 * 2 * [channels[1]]
+                        + 6 * 2 * [channels[2]] + 3 * 2 * [channels[3]])
+        stride = (3 * 2 * [(1, 1)] + [(2, 2)] + (4 * 2 - 1) * [(1, 1)]
+                  + 6 * 2 * [(1, 1)] + [(2, 1)]
+                  + (3 * 2 - 1) * [(1, 1)])
+        residual_connections = 32 * [None]
+        for i in range(0, 32, 2):
+            residual_connections[i] = i + 2
+        self.input_convolution = Conv2d(
+            in_channels, channels[0], kernel_size=encoder_context,
+            stride=2, bias=False, norm=norm)
+        self.resnet = CNN2d(
+            in_channels=channels[0], out_channels=out_channels,
+            kernel_size=32 * [3], stride=stride, pool_type=None,
+            pool_size=1, residual_connections=residual_connections,
+            activation_fn=activation_fn, pre_activation=pre_activation,
+            norm=norm)
+        self.output_convolution = Conv2d(
+            channels[-1], dvec_dim, kernel_size=3, stride=(2, 1),
+            bias=False, activation_fn='relu', norm=norm,
+            pre_activation=True)
+        self.embedding_dim = dvec_dim
+        # affine-free batch norm on d-vectors (running stats)
+        self.register_buffer('bn_mean', jnp.zeros((dvec_dim,)))
+        self.register_buffer('bn_var', jnp.ones((dvec_dim,)))
+        self.bn_momentum = 0.9
+        self.reduction = 4  # time downsampling (input 2 x stage 2)
+
+    def forward(self, x, seq_len=None):
+        x = jnp.swapaxes(x, 1, 2)[:, None]  # (B, T, F) -> (B, 1, F, T)
+        x, seq_len = self.input_convolution(x, seq_len)
+        x, seq_len = self.resnet(x, seq_len)
+        x, seq_len = self.output_convolution(x, seq_len)
+        embeddings = jnp.mean(x, axis=-2)  # (B, E, T')
+        if seq_len is not None:
+            lens = jnp.asarray(seq_len)
+            mask = (jnp.arange(embeddings.shape[-1])[None, :]
+                    < lens[:, None]).astype(embeddings.dtype)
+            dvectors = ((embeddings * mask[:, None]).sum(-1)
+                        / jnp.maximum(lens[:, None], 1))
+        else:
+            dvectors = jnp.mean(embeddings, axis=-1)
+        if self.training:
+            mean = jnp.mean(dvectors, axis=0)
+            var = jnp.var(dvectors, axis=0)
+            self.bn_mean = (self.bn_momentum * self.bn_mean
+                            + (1 - self.bn_momentum)
+                            * jax.lax.stop_gradient(mean))
+            self.bn_var = (self.bn_momentum * self.bn_var
+                           + (1 - self.bn_momentum)
+                           * jax.lax.stop_gradient(var))
+        else:
+            mean, var = self.bn_mean, self.bn_var
+        dvectors = (dvectors - mean) * jax.lax.rsqrt(var + 1e-5)
+        return dvectors, embeddings
 
 
 class DVectorModel(Model):
