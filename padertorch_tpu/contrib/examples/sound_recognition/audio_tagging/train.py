@@ -155,6 +155,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--storage_root', default=None)
     parser.add_argument('--synthetic', action='store_true')
+    parser.add_argument(
+        '--database', default=None,
+        help='JsonDatabase path: train on real data via data.py '
+             '(AudioSet-style splits balanced_train/validate/eval)')
+    parser.add_argument('--training_set', default='balanced_train')
     parser.add_argument('--epochs', type=int, default=20)
     parser.add_argument('--batch_size', type=int, default=8)
     args = parser.parse_args()
@@ -167,8 +172,27 @@ def main():
         storage_dir = get_new_storage_dir('audio_tagging')
 
     ptrandom.seed(0)
+    num_events = NUM_EVENTS
+    real_data = None
+    if args.database is not None and not args.synthetic:
+        from . import data as real
+        train, dev, _test = real.get_datasets(
+            args.database,
+            audio_reader={'target_sample_rate': 16000},
+            stft=dict(spk_data.STFT_PARAMS),
+            batch_size=args.batch_size,
+            storage_dir=storage_dir,
+            num_workers=2,
+            training_set=args.training_set,
+        )
+        # label count comes from the encoder persisted by get_datasets
+        import json as _json
+        num_events = len(_json.loads(
+            (Path(storage_dir) / 'eventss.json').read_text()))
+        real_data = (train, dev)
+
     config = Trainer.get_config({
-        'model': {'factory': WALNet},
+        'model': {'factory': WALNet, 'num_events': num_events},
         'optimizer': {'factory': pt.Adam, 'gradient_clipping': 10.0,
                       'lr': 3e-4},
         'storage_dir': str(storage_dir),
@@ -186,14 +210,23 @@ def main():
         else '')
     trainer = Trainer.from_config(config)
 
-    train_ds = synthetic_database(num_examples=48)
-    dev_ds = synthetic_database(num_examples=2 * args.batch_size, seed=1)
-    train = prepare(train_ds, args.batch_size)
-    dev = prepare(dev_ds, args.batch_size, shuffle=False)
-    trainer.test_run(prepare(train_ds, args.batch_size, shuffle=False),
-                     dev)
-    trainer.register_validation_hook(dev, metric='mAP', maximize=True)
-    trainer.train(train.prefetch(2, 4))
+    if real_data is not None:
+        train, dev = real_data
+        trainer.test_run(train, dev)
+        trainer.register_validation_hook(dev, metric='mAP',
+                                         maximize=True)
+        trainer.train(train)
+    else:
+        train_ds = synthetic_database(num_examples=48)
+        dev_ds = synthetic_database(
+            num_examples=2 * args.batch_size, seed=1)
+        train = prepare(train_ds, args.batch_size)
+        dev = prepare(dev_ds, args.batch_size, shuffle=False)
+        trainer.test_run(
+            prepare(train_ds, args.batch_size, shuffle=False), dev)
+        trainer.register_validation_hook(dev, metric='mAP',
+                                         maximize=True)
+        trainer.train(train.prefetch(2, 4))
     print(f'Finished. storage_dir={storage_dir}')
 
 
