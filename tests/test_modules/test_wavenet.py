@@ -120,3 +120,23 @@ def test_parallel_chunked_infer_matches_shapes():
                     key=jax.random.PRNGKey(0), parallel=True)
     assert seq.shape == par.shape == (b, t)
     assert float(jnp.max(jnp.abs(par))) <= 1.0
+
+
+def test_infer_parallel_greedy_matches_sequential():
+    # greedy (sample=False) chunked synthesis is deterministic and the
+    # chunks see identical conditioning + zero warm-up context in both
+    # modes, so the gather-based parallel reassembly must match the
+    # sequential chunk loop exactly
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    net = small_wavenet()
+    features = jnp.asarray(
+        np.random.RandomState(1).randn(1, 8, 40), 'float32')
+    seq = net.infer(features, chunk_length=64, chunk_overlap=16,
+                    key=jax.random.PRNGKey(0), sample=False)
+    par = net.infer(features, chunk_length=64, chunk_overlap=16,
+                    key=jax.random.PRNGKey(0), sample=False,
+                    parallel=True)
+    np.testing.assert_allclose(np.asarray(seq), np.asarray(par),
+                               atol=1e-6)
