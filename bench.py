@@ -1,4 +1,5 @@
-"""Benchmarks for all three BASELINE.json metrics on one TPU chip.
+"""Benchmarks for the BASELINE.json metrics plus the TPU showcases,
+on one TPU chip.
 
 Prints one JSON line per metric, the flagship LAST:
   1. ``stft_logmel_mframes_per_sec_per_chip`` — fused STFT -> power ->
@@ -7,7 +8,12 @@ Prints one JSON line per metric, the flagship LAST:
   2. ``numerics_parity_max_abs_diff`` — repo JAX numerics vs a torch
      re-execution of the reference math (PIT BLSTM loss on a recorded
      batch with identical weights, STFT, SI-SDR); BASELINE demands 1e-4.
-  3. ``pit_blstm_train_utterances_per_sec_per_chip`` — the flagship:
+  3. ``wavenet_ar_synthesis_ksamples_per_sec`` — persistent-VMEM
+     Pallas AR sampler, sequential vs batch-parallel chunked
+     (doc/performance.md's 23x/95x real-time claims, re-measured).
+  4. ``dprnn_tasnet_train_step_ms`` — DPRNN-TasNet fused train step,
+     scan vs Pallas LSTM backend (doc's 57.8 -> 48.2 ms claim).
+  5. ``pit_blstm_train_utterances_per_sec_per_chip`` — the flagship:
      fully fused jitted train step (forward + PIT losses + backward +
      global-norm clip + Adam) of the PIT BLSTM separator
      (reference ``contrib/examples/source_separation/pit/model.py``),
@@ -40,6 +46,13 @@ REFERENCE_UTT_PER_SEC = 20.0
 # (the reference computes features on CPU workers in practice; this is
 # the generous on-GPU estimate).
 REFERENCE_LOGMEL_MFRAMES = 5.0
+# nv-wavenet's persistent CUDA engine typically reports low-single-digit
+# x real time for this vocoder size on data-center GPUs; 3x real time at
+# 16 kHz = 48 ksamples/s (estimate, documented in doc/performance.md).
+REFERENCE_WAVENET_KSAMPLES = 48.0
+# Estimated torch DPRNN-TasNet train step (B=4, 2 s segments, 6 blocks)
+# on V100: ~250 ms (cuDNN chunked LSTMs + SI-SDR loss; estimate).
+REFERENCE_DPRNN_STEP_MS = 250.0
 
 B, T, F, K = 16, 500, 257, 2
 
@@ -149,6 +162,133 @@ def bench_parity():
     }), flush=True)
 
 
+def bench_wavenet():
+    """AR synthesis throughput of the full-size vocoder (16 layers,
+    R=64, A=256): sequential chunked sampling vs batch-parallel chunked
+    sampling (``WaveNet.infer(..., parallel=True)``) — the numbers
+    behind doc/performance.md's 23x/95x real-time claims."""
+    import jax
+    import jax.numpy as jnp
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.modules.wavenet import WaveNet
+
+    ptrandom.seed(0)
+    net = WaveNet(
+        n_cond_channels=80, upsamp_window=400, upsamp_stride=160,
+        n_layers=16, max_dilation=128, n_residual_channels=64,
+        n_out_channels=256).eval()
+    seconds = 10.0
+    sr = 16000
+    frames = int(seconds * sr) // 160
+    rng = np.random.RandomState(0)
+    cond = jnp.asarray(rng.randn(1, 80, frames).astype('float32'))
+
+    results = {}
+    for name, kwargs in [
+            ('sequential', dict(chunk_length=40000, chunk_overlap=0)),
+            ('parallel', dict(chunk_length=1000, chunk_overlap=200,
+                              parallel=True)),
+    ]:
+        try:
+            # jit the WHOLE chunked synthesis: gather-based chunking
+            # (modules/wavenet) makes it one compact XLA program — no
+            # per-chunk host dispatches
+            fn = jax.jit(lambda c, k, kw=kwargs: net.infer(
+                c, key=k, **kw))
+            out = fn(cond, jax.random.PRNGKey(0))  # compile + warmup
+            jax.block_until_ready(out)
+            n_samples = int(np.prod(out.shape))
+            reps = 3
+            t0 = time.perf_counter()
+            for i in range(reps):
+                out = fn(cond, jax.random.PRNGKey(i))
+            jax.block_until_ready(out)
+            elapsed = time.perf_counter() - t0
+            results[name] = n_samples * reps / elapsed / 1e3
+        except Exception as e:  # pragma: no cover
+            _log(f'wavenet {name} path failed: {e!r}')
+            results[name] = 0.0
+    best = max(results.values())
+    print(json.dumps({
+        'metric': 'wavenet_ar_synthesis_ksamples_per_sec',
+        'value': round(best, 1),
+        'unit': (f'ksamples/s (16L/R64/A256 vocoder, 10 s utt; '
+                 f'sequential={results["sequential"]:.1f} '
+                 f'[{results["sequential"] / 16:.1f}x realtime], '
+                 f'parallel-chunked={results["parallel"]:.1f} '
+                 f'[{results["parallel"] / 16:.1f}x realtime]; '
+                 f'baseline = est. 3x-realtime nv_wavenet CUDA)'),
+        'vs_baseline': round(best / REFERENCE_WAVENET_KSAMPLES, 2),
+    }), flush=True)
+
+
+def bench_dprnn():
+    """DPRNN-TasNet fused train step (B=4, 2 s segments at 8 kHz,
+    6 blocks), scan vs Pallas LSTM backend — the numbers behind
+    doc/performance.md's 57.8 -> 48.2 ms claim."""
+    import tempfile
+    import jax
+    import jax.numpy as jnp
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.module import partition
+    from padertorch_tpu.modules.recurrent import set_rnn_backend
+    from padertorch_tpu.train.trainer import Trainer
+    from padertorch_tpu.contrib.examples.source_separation.tasnet \
+        .train import get_trainer_config
+
+    b, samples = 4, 16000
+    rng = np.random.RandomState(0)
+    batch = {
+        'y': jnp.asarray(rng.randn(b, samples).astype('float32')),
+        's': jnp.asarray(rng.randn(b, 2, samples).astype('float32')),
+        'num_samples': jnp.asarray([samples] * b, 'int32'),
+    }
+
+    results = {}
+    for backend in ('scan', 'pallas'):
+        try:
+            ptrandom.seed(0)
+            with tempfile.TemporaryDirectory() as tmp:
+                trainer = Trainer.from_config(
+                    get_trainer_config(tmp, variant='dprnn'))
+                set_rnn_backend(trainer.model, backend)
+                trainer.iteration = 0
+                params, static = partition(trainer.model)
+                opt_states = trainer._opt_states
+                loss_weights = trainer._loss_weight_arrays()
+                step = trainer._get_fn(
+                    'train', trainer._make_train_step)
+                key = jax.random.PRNGKey(0)
+                out = step(params, static, opt_states, batch, key,
+                           loss_weights)
+                params, static, opt_states = out[0], out[1], out[2]
+                jax.block_until_ready(out[3])
+                n_steps = 20
+                t0 = time.perf_counter()
+                for i in range(n_steps):
+                    out = step(params, static, opt_states, batch,
+                               jax.random.fold_in(key, i), loss_weights)
+                    params, static, opt_states = out[0], out[1], out[2]
+                jax.block_until_ready(out[3])
+                results[backend] = (
+                    (time.perf_counter() - t0) / n_steps * 1e3)
+        except Exception as e:  # pragma: no cover
+            _log(f'dprnn {backend} backend failed: {e!r}')
+            results[backend] = float('inf')
+    best = min(results.values())
+    audio_seconds = b * samples / 8000
+    print(json.dumps({
+        'metric': 'dprnn_tasnet_train_step_ms',
+        'value': round(best, 1),
+        'unit': (f'ms/step (B=4, 2 s @ 8 kHz, DPRNN 6 blocks; '
+                 f'scan={results["scan"]:.1f}, '
+                 f'pallas={results["pallas"]:.1f}; '
+                 f'{audio_seconds / (best / 1e3):.0f}x realtime '
+                 f'training; baseline = est. 250 ms torch/V100)'),
+        'vs_baseline': round(REFERENCE_DPRNN_STEP_MS / best, 2),
+    }), flush=True)
+
+
 def bench_pit():
     import jax
     import jax.numpy as jnp
@@ -251,6 +391,10 @@ def main():
     bench_logmel()
     _log('numerics parity vs torch...')
     bench_parity()
+    _log('wavenet AR synthesis bench...')
+    bench_wavenet()
+    _log('dprnn-tasnet train step bench...')
+    bench_dprnn()
     _log('flagship PIT BLSTM train bench...')
     bench_pit()
 

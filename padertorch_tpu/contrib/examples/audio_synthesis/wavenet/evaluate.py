@@ -29,16 +29,31 @@ from . import data
 from .model import WaveNetVocoder
 
 
+_SYNTH_JIT_CACHE = {}
+
+
+def _jitted_infer(model, chunk_length, chunk_overlap, parallel):
+    """One compiled XLA program per synthesis configuration: the
+    gather-based chunking (modules/wavenet) makes the whole chunked
+    synthesis jittable — no per-chunk host dispatches (12x end-to-end
+    on a remote-relay TPU backend, doc/performance.md)."""
+    import jax
+    key = (id(model), chunk_length, chunk_overlap, parallel)
+    if key not in _SYNTH_JIT_CACHE:
+        _SYNTH_JIT_CACHE[key] = jax.jit(lambda c: model.wavenet.infer(
+            c, chunk_length=chunk_length, chunk_overlap=chunk_overlap,
+            parallel=parallel))
+    return _SYNTH_JIT_CACHE[key]
+
+
 def synthesize_example(model, example, chunk_length, chunk_overlap,
                        parallel=False):
     """AR synthesis for one example; returns (example_id, metrics, audio)."""
     features = np.asarray(example['features'])[None]  # (1, M, frames)
     target = np.asarray(example['audio_data'])
 
-    estimate = np.asarray(model.wavenet.infer(
-        features, chunk_length=chunk_length, chunk_overlap=chunk_overlap,
-        parallel=parallel,
-    ))[0]
+    estimate = np.asarray(_jitted_infer(
+        model, chunk_length, chunk_overlap, parallel)(features))[0]
     # synthesis also reconstructs padded samples; they must be fewer than
     # one frame shift (the maximum pad width)
     n_extra = estimate.shape[-1] - target.shape[-1]
