@@ -16,3 +16,7 @@ from padertorch_tpu.parallel.spmd import (
     shard_map_value_and_grad,
     pmean_trees,
 )
+from padertorch_tpu.parallel.pipeline import (
+    pipeline_apply,
+    pipeline_value_and_grad,
+)

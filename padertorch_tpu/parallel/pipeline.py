@@ -1,0 +1,160 @@
+"""Pipeline parallelism (GPipe-style) over a ``pipe`` mesh axis.
+
+No reference counterpart — the reference scales by data parallelism
+and MPI fan-out only (SURVEY.md section 2.4); this is the TPU-native
+extension for models whose layer stack exceeds one chip's HBM: shard a
+stack of identical blocks over the ``pipe`` axis of a
+:class:`jax.sharding.Mesh`, stream microbatches through the stages,
+and hand activations to the next stage with ``lax.ppermute`` over ICI.
+
+Design (idiomatic JAX, compiler-friendly):
+
+- The stage loop is ONE ``lax.scan`` over ``num_micro + S - 1`` ticks
+  (the GPipe schedule): every tick each stage applies its block to its
+  current activation and ppermutes the result one hop down the ring.
+  No data-dependent python control flow — the bubble is expressed with
+  masks, so the whole schedule jits into a single XLA program.
+- Autodiff "just works": ``ppermute``/``psum`` have transpose rules,
+  so ``jax.grad`` through the scan yields the standard 1F1B-equivalent
+  backward ppermutes in reverse — no hand-written backward schedule.
+- Numerics: pipeline outputs/losses/grads are **bit-equal** to running
+  the same stacked blocks sequentially on one device (tested).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+__all__ = ['pipeline_apply', 'pipeline_value_and_grad']
+
+
+def _ring(num_stages):
+    return [(i, (i + 1) % num_stages) for i in range(num_stages)]
+
+
+def _pipeline_forward(block_fn, local_params, xs, *, axis, num_stages):
+    """Per-shard GPipe forward: xs (M, mb, ...) microbatches ->
+    outputs (M, mb, ...) of the full S-stage chain, replicated."""
+    s = jax.lax.axis_index(axis)
+    m_total = xs.shape[0]
+    ticks = m_total + num_stages - 1
+
+    def tick(carry, t):
+        state, outputs = carry
+        # stage 0 ingests microbatch t (zeros during the drain phase)
+        inp = jax.lax.dynamic_index_in_dim(
+            xs, jnp.clip(t, 0, m_total - 1), axis=0, keepdims=False)
+        inp = jnp.where(t < m_total, inp, jnp.zeros_like(inp))
+        x_in = jnp.where(s == 0, inp, state)
+        y = block_fn(local_params, x_in)
+        # the last stage emits microbatch m = t - (S - 1)
+        m = t - (num_stages - 1)
+        upd = jax.lax.dynamic_update_index_in_dim(
+            outputs, y, jnp.clip(m, 0, m_total - 1), axis=0)
+        outputs = jnp.where(
+            (s == num_stages - 1) & (m >= 0), upd, outputs)
+        state = jax.lax.ppermute(y, axis, _ring(num_stages))
+        return (state, outputs), None
+
+    init = (jnp.zeros_like(xs[0]), jnp.zeros_like(xs))
+    (_, outputs), _ = jax.lax.scan(
+        tick, init, jnp.arange(ticks))
+    # replicate the last stage's outputs to every stage (out_specs P())
+    outputs = jnp.where(s == num_stages - 1, outputs,
+                        jnp.zeros_like(outputs))
+    return jax.lax.psum(outputs, axis)
+
+
+def _split_micro(x, num_micro):
+    b = x.shape[0]
+    assert b % num_micro == 0, (b, num_micro)
+    return x.reshape(num_micro, b // num_micro, *x.shape[1:])
+
+
+def pipeline_apply(block_fn, stacked_params, x, *, mesh: Mesh,
+                   axis: str = 'pipe', num_microbatches: int = None):
+    """Apply S chained identical blocks, pipelined over ``axis``.
+
+    Args:
+        block_fn: ``block_fn(params_one_stage, x_mb) -> y_mb`` with
+            ``y_mb.shape == x_mb.shape`` (chained stages).
+        stacked_params: pytree whose leaves have leading axis S
+            (= ``mesh.shape[axis]``); stage ``i`` uses slice ``i``.
+        x: (B, ...) batch; split into ``num_microbatches`` microbatches
+            (default: S, the classic GPipe choice).
+        mesh: mesh containing ``axis``.
+
+    Returns:
+        (B, ...) output of the full chain, replicated over ``axis``.
+    """
+    num_stages = mesh.shape[axis]
+    num_micro = num_microbatches or num_stages
+
+    def per_shard(params, xs):
+        local = jax.tree_util.tree_map(lambda p: p[0], params)
+        return _pipeline_forward(
+            block_fn, local, xs, axis=axis, num_stages=num_stages)
+
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(axis), P()), out_specs=P(),
+        check_rep=False,
+    )
+    ys = fn(stacked_params, _split_micro(x, num_micro))
+    return ys.reshape(x.shape[0], *ys.shape[2:])
+
+
+def pipeline_value_and_grad(block_fn, loss_fn, *, mesh: Mesh,
+                            axis: str = 'pipe',
+                            num_microbatches: int = None):
+    """Pipelined ``value_and_grad`` over a stacked-block model.
+
+    Args:
+        block_fn: per-stage forward (see :func:`pipeline_apply`).
+        loss_fn: ``loss_fn(y, targets) -> scalar`` on the full chain's
+            output (microbatch losses are averaged).
+
+    Returns:
+        ``fn(stacked_params, x, targets) -> (loss, grads)`` — grads
+        have the stacked (S, ...) layout, each stage's slice held on
+        its own device (sharded over ``axis``); loss is replicated.
+        Bit-equal to the sequential (single-device) computation.
+    """
+    num_stages = mesh.shape[axis]
+    num_micro = num_microbatches or num_stages
+
+    def per_shard(params, xs, ts):
+        def local_loss(local):
+            ys = _pipeline_forward(
+                block_fn, local, xs, axis=axis, num_stages=num_stages)
+            losses = jax.vmap(loss_fn)(ys, ts)  # one loss per microbatch
+            return jnp.mean(losses)
+
+        local = jax.tree_util.tree_map(lambda p: p[0], params)
+        loss, grads = jax.value_and_grad(local_loss)(local)
+        # Under ``check_rep=False`` shard_map transposes ``psum`` to
+        # ``psum`` (it cannot prove the cotangent is replicated), so
+        # the single psum on the loss path — the output broadcast in
+        # ``_pipeline_forward`` — multiplies every cotangent by S.
+        # The cotangent IS replicated here (identical loss on every
+        # stage), so undo the factor.  Pinned by the grad-equality
+        # test in tests/test_parallel_pipeline.py.
+        grads = jax.tree_util.tree_map(
+            lambda g: (g / num_stages)[None], grads)
+        return loss, grads
+
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(axis), P(), P()),
+        out_specs=(P(), P(axis)),
+        check_rep=False,
+    )
+
+    @functools.wraps(fn)
+    def wrapped(stacked_params, x, targets):
+        return fn(stacked_params, _split_micro(x, num_micro),
+                  _split_micro(targets, num_micro))
+
+    return wrapped
