@@ -20,3 +20,12 @@ from padertorch_tpu.parallel.pipeline import (
     pipeline_apply,
     pipeline_value_and_grad,
 )
+from padertorch_tpu.parallel.sequence import (
+    ring_self_attention,
+    sequence_parallel_attention,
+)
+from padertorch_tpu.parallel.expert import (
+    switch_router,
+    expert_parallel_ffn,
+    init_moe_params,
+)

@@ -1,0 +1,110 @@
+"""Sequence parallelism: ring attention over a ``seq`` mesh axis.
+
+No reference counterpart (the reference's long-sequence story is chunking
+and segmenting on one device, SURVEY.md section 2.4 "Long sequences");
+this is the TPU-native extension for sequences whose activations
+exceed one chip's HBM: shard the *time* axis over a mesh axis, keep
+queries local, and rotate key/value blocks around the ring with
+``lax.ppermute`` while accumulating attention with the online-softmax
+(flash-attention) recurrence — memory per chip stays O(T/n), the
+K/V transfers ride ICI, and XLA overlaps the ppermute with the local
+block matmul.
+
+Numerics: exact attention (not an approximation) — outputs match the
+full softmax(QK^T)V computed on one device to float tolerance
+(tested), including causal masking with global positions.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+__all__ = ['ring_self_attention', 'sequence_parallel_attention']
+
+
+def _ring(n):
+    return [(i, (i + 1) % n) for i in range(n)]
+
+
+def ring_self_attention(q, k, v, *, axis, num_shards, causal=False,
+                        scale=None):
+    """Per-shard ring attention body (call inside ``shard_map``).
+
+    Args:
+        q, k, v: (B, H, T_local, D) — the local sequence block of each
+            array, sharded over ``axis``.
+        axis: mesh axis name carrying the sequence shards.
+        num_shards: static number of sequence shards.
+        causal: apply causal masking with *global* positions.
+
+    Returns:
+        (B, H, T_local, D) attention output for the local queries.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jax.lax.axis_index(axis)
+    t_local = q.shape[2]
+    neg = jnp.finfo(jnp.float32).min
+
+    q_pos = s * t_local + jnp.arange(t_local)          # global q rows
+
+    def step(carry, i):
+        k_blk, v_blk, m, l, acc = carry
+        # the block we hold at ring step i originated on shard s - i
+        blk = (s - i) % num_shards
+        logits = jnp.einsum(
+            'bhqd,bhkd->bhqk', q, k_blk,
+            preferred_element_type=jnp.float32) * scale
+        if causal:
+            k_pos = blk * t_local + jnp.arange(t_local)
+            mask = k_pos[None, :] > q_pos[:, None]
+            logits = jnp.where(mask[None, None], neg, logits)
+        m_blk = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_blk)
+        # guard fully-masked blocks (exp(neg - neg) would be 1)
+        p = jnp.exp(logits - m_new)
+        p = jnp.where(logits <= neg / 2, 0.0, p)
+        correction = jnp.exp(m - m_new)
+        correction = jnp.where(m <= neg / 2, 0.0, correction)
+        l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * correction + jnp.einsum(
+            'bhqk,bhkd->bhqd', p.astype(v_blk.dtype), v_blk,
+            preferred_element_type=jnp.float32)
+        k_next = jax.lax.ppermute(k_blk, axis, _ring(num_shards))
+        v_next = jax.lax.ppermute(v_blk, axis, _ring(num_shards))
+        return (k_next, v_next, m_new, l_new, acc_new), None
+
+    b, h, t, d = q.shape
+    m0 = jnp.full((b, h, t, 1), neg, jnp.float32)
+    l0 = jnp.zeros((b, h, t, 1), jnp.float32)
+    acc0 = jnp.zeros((b, h, t, d), jnp.float32)
+    (_, _, _, l, acc), _ = jax.lax.scan(
+        step, (k, v, m0, l0, acc0), jnp.arange(num_shards))
+    return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+
+
+def sequence_parallel_attention(q, k, v, *, mesh: Mesh,
+                                axis: str = 'seq', causal=False,
+                                scale=None):
+    """Exact attention with the sequence axis sharded over ``axis``.
+
+    Args:
+        q, k, v: (B, H, T, D) full arrays; T must divide by the mesh
+            axis size.  They are sharded on T, attention runs as a
+            K/V ring, and the (B, H, T, D) output comes back sharded
+            the same way (replicate/reshard is the caller's choice).
+    """
+    n = mesh.shape[axis]
+
+    def body(q_l, k_l, v_l):
+        return ring_self_attention(
+            q_l, k_l, v_l, axis=axis, num_shards=n, causal=causal,
+            scale=scale)
+
+    spec = P(None, None, axis, None)
+    return shard_map(
+        body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_rep=False,
+    )(q, k, v)

@@ -1,0 +1,84 @@
+"""Ring attention (sequence parallelism) must equal exact full
+attention computed on one device, incl. causal masks and gradients."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from padertorch_tpu.parallel.sequence import sequence_parallel_attention
+
+N = 4  # sequence shards
+
+
+def _mesh():
+    devices = jax.devices()
+    if len(devices) < N:
+        pytest.skip(f'needs >= {N} devices')
+    return Mesh(np.asarray(devices[:N]), ('seq',))
+
+
+def _exact(q, k, v, causal=False):
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    logits = jnp.einsum('bhqd,bhkd->bhqk', q, k) * scale
+    if causal:
+        t = q.shape[2]
+        mask = jnp.arange(t)[None, :] > jnp.arange(t)[:, None]
+        logits = jnp.where(mask[None, None],
+                           jnp.finfo(jnp.float32).min, logits)
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum('bhqk,bhkd->bhqd', w, v)
+
+
+def _qkv(seed=0, b=2, h=2, t=16, d=8):
+    rng = np.random.default_rng(seed)
+    return tuple(
+        jnp.asarray(rng.normal(size=(b, h, t, d)).astype('float32'))
+        for _ in range(3))
+
+
+def test_ring_attention_matches_exact():
+    mesh = _mesh()
+    q, k, v = _qkv()
+    want = _exact(q, k, v)
+    got = sequence_parallel_attention(q, k, v, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ring_attention_causal_matches_exact():
+    mesh = _mesh()
+    q, k, v = _qkv(seed=1)
+    want = _exact(q, k, v, causal=True)
+    got = sequence_parallel_attention(q, k, v, mesh=mesh, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ring_attention_gradients_match():
+    mesh = _mesh()
+    q, k, v = _qkv(seed=2)
+
+    def ring_loss(q, k, v):
+        return jnp.sum(sequence_parallel_attention(
+            q, k, v, mesh=mesh, causal=True) ** 2)
+
+    def exact_loss(q, k, v):
+        return jnp.sum(_exact(q, k, v, causal=True) ** 2)
+
+    got = jax.grad(ring_loss, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(exact_loss, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_ring_attention_jit_and_long_sequence():
+    mesh = _mesh()
+    q, k, v = _qkv(seed=3, t=64)
+    fn = jax.jit(lambda q, k, v: sequence_parallel_attention(
+        q, k, v, mesh=mesh))
+    np.testing.assert_allclose(
+        np.asarray(fn(q, k, v)), np.asarray(_exact(q, k, v)),
+        rtol=1e-5, atol=1e-6)
