@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-__all__ = ['pipeline_apply', 'pipeline_value_and_grad']
+__all__ = ['pipeline_apply', 'pipeline_value_and_grad',
+           'PipelinedBlocks']
 
 
 def _ring(num_stages):
@@ -158,3 +159,55 @@ def pipeline_value_and_grad(block_fn, loss_fn, *, mesh: Mesh,
                   _split_micro(targets, num_micro))
 
     return wrapped
+
+
+class PipelinedBlocks:
+    """Stack S identical :class:`~padertorch_tpu.module.Module` blocks
+    and run them pipelined over a ``pipe`` mesh axis (or sequentially
+    when no mesh is given — same numerics, tested).
+
+    The blocks must share one architecture (identical pytree
+    structure); their parameters are stacked on a leading S axis, and
+    each pipeline stage holds one slice.
+
+    >>> # doctest-free usage sketch:
+    >>> # blocks = [TransformerEncoderLayer(...) for _ in range(8)]
+    >>> # trunk = PipelinedBlocks(blocks, mesh=mesh)
+    >>> # y = trunk(x)    # (B, T, D) -> (B, T, D)
+    """
+
+    def __init__(self, blocks, mesh: Mesh = None, axis: str = 'pipe',
+                 num_microbatches: int = None):
+        from padertorch_tpu.module import partition
+        assert len(blocks) >= 1
+        parts = [partition(b) for b in blocks]
+        params_list = [p for p, _ in parts]
+        self._static = parts[0][1]
+        treedef = jax.tree_util.tree_structure(params_list[0])
+        for p, _ in parts[1:]:
+            assert jax.tree_util.tree_structure(p) == treedef, \
+                'pipelined blocks must share one architecture'
+        self.stacked_params = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *params_list)
+        self.num_stages = len(blocks)
+        self.mesh = mesh
+        self.axis = axis
+        self.num_microbatches = num_microbatches
+        if mesh is not None:
+            assert mesh.shape[axis] == len(blocks), (
+                mesh.shape, len(blocks))
+
+    def _block_fn(self, params_one, x):
+        from padertorch_tpu.module import combine
+        return combine(params_one, self._static)(x)
+
+    def __call__(self, x):
+        if self.mesh is None:
+            # sequential fallback (single device / debugging)
+            def body(h, params_i):
+                return self._block_fn(params_i, h), None
+            y, _ = jax.lax.scan(body, x, self.stacked_params)
+            return y
+        return pipeline_apply(
+            self._block_fn, self.stacked_params, x, mesh=self.mesh,
+            axis=self.axis, num_microbatches=self.num_microbatches)

@@ -113,3 +113,33 @@ def test_pipeline_training_reduces_loss():
         params = jax.tree_util.tree_map(
             lambda p, g: p - 0.1 * g, params, grads)
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_pipelined_blocks_module_wrapper():
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu import nn
+    from padertorch_tpu.base import Module
+    from padertorch_tpu.parallel.pipeline import PipelinedBlocks
+
+    class Block(Module):
+        def __init__(self, d):
+            self.lin = nn.Linear(d, d)
+
+        def forward(self, x):
+            return x + jnp.tanh(self.lin(x))
+
+    ptrandom.seed(0)
+    blocks = [Block(8) for _ in range(S)]
+    x = jnp.asarray(
+        np.random.default_rng(8).normal(size=(8, 8)).astype('float32'))
+    want = x
+    for b in blocks:
+        want = b(want)
+
+    seq = PipelinedBlocks(blocks)          # no mesh: sequential scan
+    np.testing.assert_allclose(np.asarray(seq(x)), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    mesh = _mesh()
+    piped = PipelinedBlocks(blocks, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(piped(x)), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
