@@ -86,6 +86,18 @@ class MultiheadAttention(Module):
         self.out_proj = nn.Linear(d_model, d_model)
         self.dropout = nn.Dropout(dropout) if dropout else None
         self.rope = RoPE(self.d_head) if use_rope else None
+        # sequence parallelism: set via set_sequence_mesh() to compute
+        # self-attention as a K/V ring over a 'seq' mesh axis
+        self.seq_mesh = None
+        self.seq_axis = 'seq'
+
+    def set_sequence_mesh(self, mesh, axis='seq'):
+        """Enable ring-attention sequence parallelism: self-attention
+        runs with the time axis sharded over ``axis`` of ``mesh``
+        (``parallel/sequence.py``); exact numerics (tested)."""
+        self.seq_mesh = mesh
+        self.seq_axis = axis
+        return self
 
     def _split(self, x):
         b, t, _ = x.shape
@@ -111,6 +123,17 @@ class MultiheadAttention(Module):
         if self.rope is not None:
             q = self.rope(q)
             k = self.rope(k)
+        if (self.seq_mesh is not None and key_padding_lens is None
+                and attn_bias is None and key is query
+                and (self.dropout is None or not self.training)):
+            from padertorch_tpu.parallel.sequence import (
+                sequence_parallel_attention)
+            out = sequence_parallel_attention(
+                q, k, v, mesh=self.seq_mesh, axis=self.seq_axis,
+                causal=causal)
+            b, h, t, d = out.shape
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, h * d)
+            return self.out_proj(out)
         scale = 1.0 / math.sqrt(self.d_head)
         logits = jnp.einsum(
             'bhqd,bhkd->bhqk', q, k,

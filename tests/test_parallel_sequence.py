@@ -82,3 +82,31 @@ def test_ring_attention_jit_and_long_sequence():
     np.testing.assert_allclose(
         np.asarray(fn(q, k, v)), np.asarray(_exact(q, k, v)),
         rtol=1e-5, atol=1e-6)
+
+
+def test_mk_attention_sequence_parallel_equals_dense():
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        MultiheadAttention, TransformerEncoder)
+    mesh = _mesh()
+    ptrandom.seed(0)
+    mha = MultiheadAttention(16, 4, use_rope=True).eval()
+    x = jnp.asarray(np.random.default_rng(9).normal(
+        size=(2, 16, 16)).astype('float32'))
+    want = mha(x)
+    mha.set_sequence_mesh(mesh)
+    got = mha(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    # whole encoder with every layer sequence-parallel
+    ptrandom.seed(1)
+    enc = TransformerEncoder(
+        d_model=16, num_layers=2, num_heads=4, input_size=8).eval()
+    xin = jnp.asarray(np.random.default_rng(10).normal(
+        size=(2, 16, 8)).astype('float32'))
+    want = enc(xin)
+    for layer in enc.layers:
+        layer.self_attn.set_sequence_mesh(mesh)
+    got = enc(xin)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
