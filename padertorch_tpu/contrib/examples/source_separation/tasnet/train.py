@@ -84,6 +84,9 @@ def main():
         help='LSTM time-loop backend; the Pallas fused cell-scan '
              'kernel is ~1.2x faster for DPRNN training on TPU')
     parser.add_argument('--segment_length', type=int, default=32000)
+    parser.add_argument('--num_examples', type=int, default=None,
+                        help='synthetic training-set size '
+                             '(default: max(32, 4*batch_size))')
     parser.add_argument('--small', action='store_true',
                         help='tiny model for smoke tests')
     args = parser.parse_args()
@@ -127,8 +130,8 @@ def main():
         pass  # convnet variant has no RNNs
 
     if args.synthetic or args.database is None:
-        train_ds = data.synthetic_database(
-            num_examples=max(32, 4 * args.batch_size))
+        n_train = args.num_examples or max(32, 4 * args.batch_size)
+        train_ds = data.synthetic_database(num_examples=n_train)
         dev_ds = data.synthetic_database(
             num_examples=max(8, 2 * args.batch_size), seed=1)
     else:
