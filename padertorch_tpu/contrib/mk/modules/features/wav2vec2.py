@@ -385,7 +385,9 @@ class Wav2Vec2Model(Module):
         ref ``_wav2vec2.py:352``."""
         if input_lengths is None:
             return None
-        out = np.asarray(input_lengths)
+        # jnp for traced lengths (inside jit), numpy for host lists
+        xp = jnp if isinstance(input_lengths, jax.Array) else np
+        out = xp.asarray(input_lengths)
         for k, s in zip(self.feature_extractor.conv_kernel,
                         self.feature_extractor.conv_stride):
             out = (out - k) // s + 1
@@ -439,7 +441,8 @@ class Wav2Vec2Model(Module):
         out_seq_len = self.compute_output_lengths(sequence_lengths)
         z = self.feature_extractor(audio)
         if out_seq_len is not None:
-            out_seq_len = np.minimum(out_seq_len, z.shape[1])
+            xp = jnp if isinstance(out_seq_len, jax.Array) else np
+            out_seq_len = xp.minimum(out_seq_len, z.shape[1])
         if return_latents:
             return z, out_seq_len
         h = self.feature_projection(z)

@@ -189,9 +189,9 @@ class TeacherStudentEmbeddings(Model):
         (B, K, E) + frame-level teacher embeddings (B, K, E, T')."""
         feats = jnp.asarray(example['features_teacher'])
         b, k, t, f = feats.shape
-        lens = np.asarray(example['num_frames_teacher'])
+        lens = jnp.asarray(example['num_frames_teacher'])
         if lens.ndim < 2:
-            lens = np.repeat(lens[:, None], k, axis=1)
+            lens = jnp.repeat(lens[:, None], k, axis=1)
         dvec, emb = self.teacher(
             feats.reshape(b * k, t, f), lens.reshape(-1))
         dvec = jax.lax.stop_gradient(dvec).reshape(b, k, -1)
@@ -291,7 +291,7 @@ class TeacherStudentEmbeddings(Model):
         teacher_dvecs, teacher_emb = self.get_teacher_embeddings(
             example)
 
-        lens = jnp.asarray(np.minimum(np.asarray(seq_lens), t))
+        lens = jnp.minimum(jnp.asarray(seq_lens), t)
         frame_mask = (jnp.arange(t)[None, :]
                       < lens[:, None]).astype(embeddings.dtype)
 

@@ -145,10 +145,22 @@ class _RNNBase(Module):
     def _cell_step(self, carry, gates_x, w_hh):
         raise NotImplementedError
 
+    # Pallas cell-scan guard: the kernel keeps a (rows, gates) block +
+    # residuals + weights resident in VMEM per grid step; beyond this
+    # rows*gates product Mosaic's scoped-vmem stack overflows (observed
+    # at rows=1600, gates=512 on v5e: 17.2 MB > 16 MB).  Fall back to
+    # the lax.scan path for such shapes (identical numerics, tested).
+    pallas_max_rows_x_gates = 600_000
+
+    def _pallas_shape_ok(self, rows, gates):
+        return rows * gates <= self.pallas_max_rows_x_gates
+
     def _scan_direction(self, x, mask, w_ih, w_hh, b, init_carry):
         """x: (B, T, D); mask: (B, T) or None. Returns (out (B, T, H), carry)."""
-        if self.backend == 'pallas' and hasattr(
-                self, '_pallas_direction'):
+        if (self.backend == 'pallas'
+                and hasattr(self, '_pallas_direction')
+                and self._pallas_shape_ok(x.shape[0],
+                                          w_hh.shape[-1])):
             return self._pallas_direction(
                 x, mask, w_ih, w_hh, b, init_carry)
         if self.compute_dtype is not None:
@@ -192,8 +204,10 @@ class _RNNBase(Module):
         w_ih2/w_hh2: (2, D, GH); the input projection uses a block einsum
         so each half of the batch hits its direction's weights.
         """
-        if self.backend == 'pallas' and hasattr(
-                self, '_pallas_two_directions'):
+        if (self.backend == 'pallas'
+                and hasattr(self, '_pallas_two_directions')
+                and self._pallas_shape_ok(x2.shape[0],
+                                          w_hh2.shape[-1])):
             return self._pallas_two_directions(
                 x2, mask2, w_ih2, w_hh2, b2, init, batch)
         b2b = x2.shape[0]
