@@ -35,7 +35,90 @@ from padertorch_tpu.contrib.mk.synthesis.vocoder.bigvgan_activation import (
 )
 
 __all__ = ['AMPBlock1', 'AMPBlock2', 'BigVGANGenerator',
-           'BigVGANVocoder', 'load_bigvgan_generator']
+           'BigVGANVocoder', 'load_bigvgan_generator',
+           'slaney_mel_filterbank', 'mel_spectrogram']
+
+
+def slaney_mel_filterbank(sr, n_fft, n_mels, fmin=0.0, fmax=None):
+    """librosa-compatible mel filterbank (htk=False, norm='slaney') —
+    the filters NVIDIA's ``meldataset.py`` conditions BigVGAN on.
+
+    Returns (n_mels, n_fft // 2 + 1) float32.
+    """
+    if fmax is None:
+        fmax = sr / 2.0
+
+    def hz_to_mel(f):
+        # slaney scale: linear below 1 kHz, log above
+        f = np.asarray(f, dtype=np.float64)
+        mel = f / (200.0 / 3)
+        log_region = f >= 1000.0
+        logstep = np.log(6.4) / 27.0
+        return np.where(
+            log_region,
+            15.0 + np.log(np.maximum(f, 1e-10) / 1000.0) / logstep,
+            mel)
+
+    def mel_to_hz(m):
+        m = np.asarray(m, dtype=np.float64)
+        f = m * (200.0 / 3)
+        logstep = np.log(6.4) / 27.0
+        return np.where(
+            m >= 15.0, 1000.0 * np.exp(logstep * (m - 15.0)), f)
+
+    n_bins = n_fft // 2 + 1
+    fft_freqs = np.linspace(0, sr / 2.0, n_bins)
+    mel_pts = mel_to_hz(
+        np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2))
+    fdiff = np.diff(mel_pts)
+    ramps = mel_pts[:, None] - fft_freqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    # slaney norm: each filter integrates to ~ constant energy
+    enorm = 2.0 / (mel_pts[2:n_mels + 2] - mel_pts[:n_mels])
+    return (weights * enorm[:, None]).astype(np.float32)
+
+
+def mel_spectrogram(y, n_fft, num_mels, sampling_rate, hop_size,
+                    win_size, fmin=0, fmax=None):
+    """NVIDIA-BigVGAN-compatible log-mel conditioning
+    (ref ``nvidia_bigvgan/meldataset.py:52``): reflect-pad by
+    ``(n_fft - hop) // 2``, Hann STFT without centering,
+    ``sqrt(|X|^2 + 1e-9)`` magnitude, slaney mel filterbank,
+    ``log(clamp(mel, 1e-5))``.
+
+    y: (B, T) or (T,) waveform in [-1, 1] → (B, M, frames)/(M, frames).
+    """
+    y = jnp.asarray(y, jnp.float32)
+    squeeze = y.ndim == 1
+    if squeeze:
+        y = y[None]
+    pad = (n_fft - hop_size) // 2
+    y = jnp.pad(y, ((0, 0), (pad, pad)), mode='reflect')
+    t = y.shape[-1]
+    frames = 1 + (t - n_fft) // hop_size
+    idx = (np.arange(frames) * hop_size)[:, None] + np.arange(n_fft)
+    framed = y[:, idx]                               # (B, F, n_fft)
+    window = jnp.asarray(np.hanning(win_size + 1)[:-1], jnp.float32)
+    if win_size < n_fft:                             # torch pads window
+        lpad = (n_fft - win_size) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_size - lpad))
+    framed = framed * window
+    k = np.arange(n_fft // 2 + 1)
+    angle = -2j * np.pi * np.outer(np.arange(n_fft), k) / n_fft
+    dft = np.exp(angle)
+    spec = jnp.einsum(
+        'bfn,nk->bfk', framed,
+        jnp.asarray(dft.real, jnp.float32)) ** 2 + jnp.einsum(
+        'bfn,nk->bfk', framed,
+        jnp.asarray(dft.imag, jnp.float32)) ** 2
+    mag = jnp.sqrt(spec + 1e-9)                      # (B, F, bins)
+    fbank = jnp.asarray(slaney_mel_filterbank(
+        sampling_rate, n_fft, num_mels, fmin, fmax))
+    mel = jnp.einsum('mk,bfk->bmf', fbank, mag)
+    out = jnp.log(jnp.clip(mel, 1e-5, None))
+    return out[0] if squeeze else out
 
 
 def _get_padding(kernel_size, dilation=1):

@@ -301,3 +301,60 @@ def test_vocoder_random_init_smoke():
         resblock_dilation_sizes=((1,),)))
     y = voc(np.zeros((2, 4, 6), np.float32))
     assert y.shape == (2, 24)
+
+
+def test_slaney_mel_filterbank_properties():
+    from padertorch_tpu.contrib.mk.synthesis.vocoder.bigvgan import (
+        slaney_mel_filterbank)
+    fb = slaney_mel_filterbank(16000, 512, 40)
+    assert fb.shape == (40, 257)
+    assert (fb >= 0).all()
+    # triangles overlap: every frequency bin inside the band covered
+    coverage = fb.sum(0)
+    assert (coverage[5:250] > 0).all()
+    # slaney norm: filter areas are ~equal after bandwidth scaling
+    areas = fb.sum(1)
+    assert areas.std() / areas.mean() < 0.35
+
+
+def test_mel_spectrogram_matches_torch_pipeline():
+    """Re-execute NVIDIA's meldataset math in torch (with the same
+    numpy filterbank, librosa being unavailable) and compare."""
+    from padertorch_tpu.contrib.mk.synthesis.vocoder.bigvgan import (
+        slaney_mel_filterbank, mel_spectrogram)
+    n_fft, hop, win, sr, mels = 256, 64, 256, 16000, 20
+    rng = np.random.default_rng(5)
+    y = np.clip(rng.normal(scale=0.2, size=(2, 4000)), -1, 1) \
+        .astype(np.float32)
+
+    yt = torch.as_tensor(y)
+    pad = (n_fft - hop) // 2
+    yt = torch.nn.functional.pad(
+        yt.unsqueeze(1), (pad, pad), mode='reflect').squeeze(1)
+    spec = torch.stft(
+        yt, n_fft, hop_length=hop, win_length=win,
+        window=torch.hann_window(win), center=False,
+        normalized=False, onesided=True, return_complex=True)
+    mag = torch.sqrt(
+        torch.view_as_real(spec).pow(2).sum(-1) + 1e-9)
+    fb = torch.from_numpy(slaney_mel_filterbank(sr, n_fft, mels))
+    want = torch.log(torch.clamp(fb @ mag, min=1e-5)).numpy()
+
+    got = np.asarray(mel_spectrogram(y, n_fft, mels, sr, hop, win))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_mel_spectrogram_feeds_vocoder():
+    from padertorch_tpu.contrib.mk.synthesis.vocoder.bigvgan import (
+        mel_spectrogram, BigVGANGenerator)
+    from padertorch_tpu import random as ptrandom
+    ptrandom.seed(0)
+    g = BigVGANGenerator(
+        num_mels=20, upsample_rates=(4, 4, 4), 
+        upsample_kernel_sizes=(8, 8, 8), upsample_initial_channel=16,
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1,),))
+    mel = mel_spectrogram(
+        np.zeros(4000, np.float32), 256, 20, 16000, 64, 256)
+    wav = g(np.asarray(mel)[None])
+    assert wav.shape == (1, 1, mel.shape[-1] * 64)
