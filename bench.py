@@ -276,6 +276,15 @@ def bench_dprnn():
             _log(f'dprnn {backend} backend failed: {e!r}')
             results[backend] = float('inf')
     best = min(results.values())
+    if not np.isfinite(best):  # keep the JSON-lines contract valid
+        print(json.dumps({
+            'metric': 'dprnn_tasnet_train_step_ms',
+            'value': 0.0,
+            'unit': 'ms/step (FAILED: both RNN backends errored, '
+                    'see bench stderr)',
+            'vs_baseline': 0.0,
+        }), flush=True)
+        return
     audio_seconds = b * samples / 8000
     print(json.dumps({
         'metric': 'dprnn_tasnet_train_step_ms',

@@ -29,21 +29,28 @@ from . import data
 from .model import WaveNetVocoder
 
 
-_SYNTH_JIT_CACHE = {}
+import weakref
+
+# weak-keyed so cached programs die with their model (no pinning);
+# NOTE: the jitted closure captures the model's weights at trace time —
+# reloading weights into the same model object requires a new object
+# (the evaluate script loads each model exactly once)
+_SYNTH_JIT_CACHE = weakref.WeakKeyDictionary()
 
 
 def _jitted_infer(model, chunk_length, chunk_overlap, parallel):
-    """One compiled XLA program per synthesis configuration: the
-    gather-based chunking (modules/wavenet) makes the whole chunked
+    """One compiled XLA program per (model, synthesis configuration):
+    the gather-based chunking (modules/wavenet) makes the whole chunked
     synthesis jittable — no per-chunk host dispatches (12x end-to-end
     on a remote-relay TPU backend, doc/performance.md)."""
     import jax
-    key = (id(model), chunk_length, chunk_overlap, parallel)
-    if key not in _SYNTH_JIT_CACHE:
-        _SYNTH_JIT_CACHE[key] = jax.jit(lambda c: model.wavenet.infer(
+    per_model = _SYNTH_JIT_CACHE.setdefault(model, {})
+    key = (chunk_length, chunk_overlap, parallel)
+    if key not in per_model:
+        per_model[key] = jax.jit(lambda c: model.wavenet.infer(
             c, chunk_length=chunk_length, chunk_overlap=chunk_overlap,
             parallel=parallel))
-    return _SYNTH_JIT_CACHE[key]
+    return per_model[key]
 
 
 def synthesize_example(model, example, chunk_length, chunk_overlap,

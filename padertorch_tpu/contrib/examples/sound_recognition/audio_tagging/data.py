@@ -79,12 +79,12 @@ def _superpose(example, other, min_overlap, max_length,
     t1, t2 = x1.shape[1], x2.shape[1]
     max_shift = int((1 - min_overlap) * min(t1, t2))
     shift = rng.randint(-max_shift, max_shift + 1)
-    total = max(t1, t2 + abs(shift))
+    o1 = max(-shift, 0)
+    o2 = max(shift, 0)
+    total = max(t1 + o1, t2 + o2)
     if max_length is not None:
         total = min(total, max_length)
     out = np.zeros((x1.shape[0], total) + x1.shape[2:], x1.dtype)
-    o1 = max(-shift, 0)
-    o2 = max(shift, 0)
     s1 = min(t1, total - o1)
     s2 = min(t2, total - o2)
     if s1 > 0:
@@ -100,10 +100,13 @@ def _superpose(example, other, min_overlap, max_length,
     }
 
 
-class _MixUpDataset:
+class _MixUpDataset(lazy.Dataset):
     """Buffered mixup: with probability ``1 - mixup_probs[0]`` an
     example is superposed with a random partner from a sliding buffer
-    (ref ``MixUpDataset``/``SampleMixupComponents``)."""
+    (ref ``MixUpDataset``/``SampleMixupComponents``).  A lazy
+    ``Dataset``: every epoch re-iterates the upstream pipeline, so
+    shuffling/scaling/mixup re-randomize per epoch and nothing is
+    materialized."""
 
     def __init__(self, dataset, mixup_probs, min_overlap, max_length,
                  buffer_size=64, seed=0):
@@ -113,9 +116,18 @@ class _MixUpDataset:
         self.max_length = max_length
         self.buffer_size = buffer_size
         self.seed = seed
+        self._epoch = 0
+
+    def __len__(self):
+        return len(self.dataset)
+
+    @property
+    def indexable(self):
+        return False
 
     def __iter__(self):
-        rng = np.random.RandomState(self.seed)
+        self._epoch += 1
+        rng = np.random.RandomState(self.seed + self._epoch)
         buffer = []
         n_components = np.arange(1, len(self.mixup_probs) + 1)
         for example in self.dataset:
@@ -129,13 +141,6 @@ class _MixUpDataset:
                 out = _superpose(out, partner, self.min_overlap,
                                  self.max_length, rng)
             yield out
-
-    def batch_dynamic_time_series_bucket(self, **kwargs):
-        return lazy.from_list(list(self)) \
-            .batch_dynamic_time_series_bucket(**kwargs)
-
-    def map(self, fn):
-        return lazy.from_list([fn(ex) for ex in self])
 
 
 def prepare_dataset(dataset, audio_reader, stft, event_encoder,

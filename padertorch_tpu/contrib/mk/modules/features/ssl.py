@@ -114,6 +114,13 @@ class Wav2Vec2(Module):
                     config, dtype=jnp.dtype(dtype))
             self._module = hf_model.module
             self.hidden_size = hf_model.config.hidden_size
+            # same length arithmetic as the native backend, derived
+            # from the HF config's conv stack
+            self._conv_kernel = tuple(hf_model.config.conv_kernel)
+            self._conv_stride = tuple(hf_model.config.conv_stride)
+            self.downsample_factor = int(
+                np.prod(hf_model.config.conv_stride))
+            self.num_layers = hf_model.config.num_hidden_layers
             if trainable:
                 self.params = hf_model.params
             else:
@@ -127,14 +134,25 @@ class Wav2Vec2(Module):
 
     def add_padding(self, sequence_lengths, *, signal=None,
                     fading='half'):
+        if self.backend != 'native':
+            raise NotImplementedError(
+                'add_padding requires backend="native"')
         return self.model.add_padding(
             sequence_lengths, signal=signal, fading=fading)
 
     def compute_output_lengths(self, input_lengths):
-        return self.model.compute_output_lengths(input_lengths)
+        if self.backend == 'native':
+            return self.model.compute_output_lengths(input_lengths)
+        if input_lengths is None:
+            return None
+        out = np.asarray(input_lengths)
+        for k, s in zip(self._conv_kernel, self._conv_stride):
+            out = (out - k) // s + 1
+        return out
 
     def forward(self, audio, sequence_lengths=None,
                 return_latents=False):
+        """Both backends return ``(features, out_seq_len)``."""
         if self.backend == 'native':
             return self.model(
                 audio, sequence_lengths=sequence_lengths,
@@ -150,10 +168,16 @@ class Wav2Vec2(Module):
             attention_mask=attention_mask, deterministic=True,
             output_hidden_states=self.layer != -1)
         if self.layer == -1:
-            return outputs.last_hidden_state
-        if self.layer is None:
-            return list(outputs.hidden_states)
-        return outputs.hidden_states[self.layer]
+            feats = outputs.last_hidden_state
+        elif self.layer is None:
+            feats = list(outputs.hidden_states)
+        else:
+            feats = outputs.hidden_states[self.layer]
+        out_seq_len = self.compute_output_lengths(sequence_lengths)
+        if out_seq_len is not None:
+            ref = feats[-1] if isinstance(feats, list) else feats
+            out_seq_len = np.minimum(out_seq_len, ref.shape[1])
+        return feats, out_seq_len
 
 
 class _TorchSSLExtractor:

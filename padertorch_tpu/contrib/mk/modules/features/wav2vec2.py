@@ -436,8 +436,13 @@ class Wav2Vec2Model(Module):
 
     def forward(self, audio, sequence_lengths=None,
                 return_latents=False):
-        if audio.ndim == 3:  # (B, C, T) -> (B*C, T)
-            audio = audio.reshape(-1, audio.shape[-1])
+        if audio.ndim == 3:
+            # (B, 1, T) -> (B, T); multi-channel input would desync the
+            # batch dim from sequence_lengths (the reference flattens
+            # (b c t) -> ((b c) t) with the same implicit c == 1)
+            assert audio.shape[1] == 1, (
+                f'expected (B, 1, T) or (B, T) audio, got {audio.shape}')
+            audio = audio[:, 0, :]
         out_seq_len = self.compute_output_lengths(sequence_lengths)
         z = self.feature_extractor(audio)
         if out_seq_len is not None:

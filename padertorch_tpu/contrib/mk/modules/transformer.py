@@ -123,17 +123,25 @@ class MultiheadAttention(Module):
         if self.rope is not None:
             q = self.rope(q)
             k = self.rope(k)
-        if (self.seq_mesh is not None and key_padding_lens is None
-                and attn_bias is None and key is query
-                and (self.dropout is None or not self.training)):
-            from padertorch_tpu.parallel.sequence import (
-                sequence_parallel_attention)
-            out = sequence_parallel_attention(
-                q, k, v, mesh=self.seq_mesh, axis=self.seq_axis,
-                causal=causal)
-            b, h, t, d = out.shape
-            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, h * d)
-            return self.out_proj(out)
+        if self.seq_mesh is not None and key is query:
+            if attn_bias is not None or (
+                    self.dropout is not None and self.training):
+                import warnings
+                warnings.warn(
+                    'set_sequence_mesh ignored: ring attention does '
+                    'not support attn_bias / attention dropout — '
+                    'falling back to dense O(T^2) attention.',
+                    stacklevel=2)
+            else:
+                from padertorch_tpu.parallel.sequence import (
+                    sequence_parallel_attention)
+                out = sequence_parallel_attention(
+                    q, k, v, mesh=self.seq_mesh, axis=self.seq_axis,
+                    causal=causal, key_padding_lens=key_padding_lens)
+                b, h, t, d = out.shape
+                out = jnp.transpose(
+                    out, (0, 2, 1, 3)).reshape(b, t, h * d)
+                return self.out_proj(out)
         scale = 1.0 / math.sqrt(self.d_head)
         logits = jnp.einsum(
             'bhqd,bhkd->bhqk', q, k,

@@ -82,8 +82,13 @@ class StudentdVectors(Module):
         self.embedding_dim = dvec_dim
         self.num_spk = num_spk
         self.pool_size = pool_size
+        # auxiliary AAM classification head over the d-vectors (the
+        # reference constructs it with in_features=channels[-1] — a
+        # latent dim its own embeddings never have; built here with the
+        # embedding dim so `model.aam(d_vectors, labels)` actually
+        # composes)
         self.aam = AngularPenaltySMLoss(
-            in_features=channels[-1], out_features=num_classes)
+            in_features=dvec_dim, out_features=num_classes)
         # time reduction: input conv stride 2 x resnet time stride 2
         time_strides = [2] + [s[1] for s in stride] + [1]
         self.reduction = int(np.prod(time_strides))

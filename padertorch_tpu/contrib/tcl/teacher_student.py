@@ -56,10 +56,17 @@ class TeacherStudentModel(Model):
     def __init__(self, student, teacher, temperature=2.0,
                  hard_label_weight=0.5, label_key='label'):
         self.student = student
-        self.register_buffer('teacher', teacher)
+        self.register_buffer('teacher', teacher.eval())
         self.temperature = temperature
         self.hard_label_weight = hard_label_weight
         self.label_key = label_key
+
+    def train(self, mode=True):
+        # keep the frozen teacher in eval mode (Module.train recurses
+        # into buffer-registered submodules)
+        super().train(mode)
+        self.teacher.eval()
+        return self
 
     def forward(self, inputs):
         student_logits = self.student(inputs)
@@ -153,6 +160,7 @@ class TeacherStudentEmbeddings(Model):
             teacher = FrameResNet34()
         self.student = student
         self.register_buffer('teacher', teacher.eval())
+        self._keep_teacher_frozen = True
         self.loss_masking = loss_masking
         self.silence_masking = silence_masking
         self.sampling_rate = sample_rate
@@ -166,6 +174,16 @@ class TeacherStudentEmbeddings(Model):
         self.framewise_loss_fn = framewise_loss_fn
         self.reduction = getattr(student, 'reduction', 4)
         self.target = teacher_embedding_key
+
+    def train(self, mode=True):
+        """The teacher stays in eval mode: ``Module.train`` recurses
+        into buffer-registered submodules too, which would flip the
+        frozen teacher to per-batch BN statistics (and mutate its
+        running stats) during distillation."""
+        super().train(mode)
+        if getattr(self, '_keep_teacher_frozen', False):
+            self.teacher.eval()
+        return self
 
     # -- losses (per-frame, operating on (..., E) vectors) -------------
     def loss_fn(self, x, y):

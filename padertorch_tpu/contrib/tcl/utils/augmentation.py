@@ -159,8 +159,12 @@ class AugmentationHelper:
                               snr=(0, 15), n_examples=1):
         if isinstance(n_examples, tuple):
             n_examples = rng.randint(*n_examples)
-        picked = self.augmentation_dataset[
-            augmentation_type].random_choice(n_examples, rng_state=rng)
+        ds = self.augmentation_dataset[augmentation_type]
+        picked = ds.random_choice(
+            n_examples, rng_state=rng,
+            # sample with replacement when the pool is smaller than
+            # the draw (tiny augmentation sets would otherwise raise)
+            replace=n_examples > len(ds))
         signals = [_load_audio(ex, self.augmentation_key)
                    for ex in picked]
         if n_examples > 1:

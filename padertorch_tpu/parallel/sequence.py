@@ -29,7 +29,7 @@ def _ring(n):
 
 
 def ring_self_attention(q, k, v, *, axis, num_shards, causal=False,
-                        scale=None):
+                        scale=None, key_padding_lens=None):
     """Per-shard ring attention body (call inside ``shard_map``).
 
     Args:
@@ -38,6 +38,10 @@ def ring_self_attention(q, k, v, *, axis, num_shards, causal=False,
         axis: mesh axis name carrying the sequence shards.
         num_shards: static number of sequence shards.
         causal: apply causal masking with *global* positions.
+        key_padding_lens: (B,) valid key lengths (global); padded keys
+            are excluded.  Queries past their sequence length output
+            zeros (the dense path gives uniform garbage there — both
+            are don't-care rows).
 
     Returns:
         (B, H, T_local, D) attention output for the local queries.
@@ -57,10 +61,14 @@ def ring_self_attention(q, k, v, *, axis, num_shards, causal=False,
         logits = jnp.einsum(
             'bhqd,bhkd->bhqk', q, k_blk,
             preferred_element_type=jnp.float32) * scale
+        k_pos = blk * t_local + jnp.arange(t_local)
         if causal:
-            k_pos = blk * t_local + jnp.arange(t_local)
             mask = k_pos[None, :] > q_pos[:, None]
             logits = jnp.where(mask[None, None], neg, logits)
+        if key_padding_lens is not None:
+            lens = jnp.asarray(key_padding_lens)
+            pad = k_pos[None, :] >= lens[:, None]      # (B, Tk)
+            logits = jnp.where(pad[:, None, None, :], neg, logits)
         m_blk = jnp.max(logits, axis=-1, keepdims=True)
         m_new = jnp.maximum(m, m_blk)
         # guard fully-masked blocks (exp(neg - neg) would be 1)
@@ -87,7 +95,7 @@ def ring_self_attention(q, k, v, *, axis, num_shards, causal=False,
 
 def sequence_parallel_attention(q, k, v, *, mesh: Mesh,
                                 axis: str = 'seq', causal=False,
-                                scale=None):
+                                scale=None, key_padding_lens=None):
     """Exact attention with the sequence axis sharded over ``axis``.
 
     Args:
@@ -95,16 +103,28 @@ def sequence_parallel_attention(q, k, v, *, mesh: Mesh,
             axis size.  They are sharded on T, attention runs as a
             K/V ring, and the (B, H, T, D) output comes back sharded
             the same way (replicate/reshard is the caller's choice).
+        key_padding_lens: optional (B,) valid lengths (replicated).
     """
     n = mesh.shape[axis]
+    spec = P(None, None, axis, None)
 
-    def body(q_l, k_l, v_l):
+    if key_padding_lens is None:
+        def body(q_l, k_l, v_l):
+            return ring_self_attention(
+                q_l, k_l, v_l, axis=axis, num_shards=n, causal=causal,
+                scale=scale)
+
+        return shard_map(
+            body, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=spec, check_rep=False,
+        )(q, k, v)
+
+    def body(q_l, k_l, v_l, lens):
         return ring_self_attention(
             q_l, k_l, v_l, axis=axis, num_shards=n, causal=causal,
-            scale=scale)
+            scale=scale, key_padding_lens=lens)
 
-    spec = P(None, None, axis, None)
     return shard_map(
-        body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_rep=False,
-    )(q, k, v)
+        body, mesh=mesh, in_specs=(spec, spec, spec, P()),
+        out_specs=spec, check_rep=False,
+    )(q, k, v, jnp.asarray(key_padding_lens))

@@ -131,3 +131,27 @@ def test_train_with_database_smoke(tmp_path):
     run = next((tmp_path / 'tagging').iterdir())
     assert (run / 'eventss.json').exists()
     assert any((run / 'checkpoints').glob('ckpt_*.ptt'))
+
+
+def test_mixup_dataset_is_lazy_and_rerandomizes():
+    rng = np.random.default_rng(6)
+    examples = [
+        {'dataset': '', 'example_id': f'e{i}',
+         'stft': rng.normal(size=(1, 8, 4)).astype(np.float32),
+         'seq_len': 8,
+         'events': (rng.uniform(size=3) > 0.5).astype(np.float32)}
+        for i in range(12)
+    ]
+    from padertorch_tpu.data import dataset as lazy
+    ds = tagging_data._MixUpDataset(
+        lazy.from_list(examples), mixup_probs=(0.3, 0.7),
+        min_overlap=0.5, max_length=None, buffer_size=8)
+    assert isinstance(ds, lazy.Dataset)
+    first = [ex['example_id'] for ex in ds]
+    second = [ex['example_id'] for ex in ds]
+    # mixup partners re-randomize between epochs
+    assert first != second or all('+' not in i for i in first + second)
+    # downstream bucketing + collate still works lazily
+    batches = list(ds.batch_dynamic_time_series_bucket(
+        batch_size=3, len_key='seq_len', max_padding_rate=0.9))
+    assert sum(len(b) for b in batches) >= 10

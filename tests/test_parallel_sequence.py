@@ -110,3 +110,46 @@ def test_mk_attention_sequence_parallel_equals_dense():
     got = enc(xin)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_ring_attention_key_padding_matches_exact():
+    mesh = _mesh()
+    q, k, v = _qkv(seed=6, t=16)
+    lens = jnp.asarray([10, 16])
+
+    # dense reference with key padding
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    logits = jnp.einsum('bhqd,bhkd->bhqk', q, k) * scale
+    pad = jnp.arange(16)[None, :] >= lens[:, None]
+    logits = jnp.where(pad[:, None, None, :],
+                       jnp.finfo(jnp.float32).min, logits)
+    want = jnp.einsum('bhqk,bhkd->bhqd',
+                      jax.nn.softmax(logits, -1), v)
+
+    got = sequence_parallel_attention(
+        q, k, v, mesh=mesh, key_padding_lens=lens)
+    # compare only valid query rows (padded-query outputs are
+    # don't-care: dense gives uniform-softmax garbage, ring gives 0)
+    for b, n in enumerate([10, 16]):
+        np.testing.assert_allclose(
+            np.asarray(got)[b, :, :n], np.asarray(want)[b, :, :n],
+            rtol=1e-5, atol=1e-6)
+
+
+def test_mk_attention_sequence_parallel_with_seq_len():
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        MultiheadAttention)
+    mesh = _mesh()
+    ptrandom.seed(2)
+    mha = MultiheadAttention(16, 4).eval()
+    x = jnp.asarray(np.random.default_rng(11).normal(
+        size=(2, 16, 16)).astype('float32'))
+    lens = [12, 16]
+    want = mha(x, key_padding_lens=lens)
+    mha.set_sequence_mesh(mesh)
+    got = mha(x, key_padding_lens=lens)
+    for b, n in enumerate(lens):
+        np.testing.assert_allclose(
+            np.asarray(got)[b, :n], np.asarray(want)[b, :n],
+            rtol=1e-4, atol=1e-5)
