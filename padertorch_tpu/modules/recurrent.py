@@ -395,24 +395,73 @@ class LSTM(_RNNBase):
         h = o * jnp.tanh(c)
         return (h, c), h
 
+    # MXU-tile alignment: when set (e.g. 128), the Pallas path pads the
+    # hidden dimension up to a multiple so the gate GEMMs and the
+    # kernel's lane dimension tile onto the 128-wide MXU/VPU.  Padded
+    # lanes carry EXACT zeros through time (zero weights -> i=f=o=0.5,
+    # g=0 -> c=h=0 fixed point), outputs/carries are sliced back, and
+    # gradients on the padding are identically zero — bit-equal
+    # semantics at H=600 with H=640 compute (tested; measured +MFU in
+    # doc/performance.md "MXU tiling").
+    pallas_pad_hidden_multiple = None
+
+    def _pad_target(self):
+        m = self.pallas_pad_hidden_multiple
+        h = self.hidden_size
+        if not m or h % m == 0:
+            return None
+        return -(-h // m) * m
+
+    @staticmethod
+    def _pad_gate_cols(w, h, hp):
+        """Per-gate zero-pad of a (..., 4H) -> (..., 4Hp) array."""
+        parts = jnp.split(w, 4, axis=-1)
+        pad = [(0, 0)] * (w.ndim - 1) + [(0, hp - h)]
+        return jnp.concatenate([jnp.pad(p, pad) for p in parts], -1)
+
     def _pallas_direction(self, x, mask, w_ih, w_hh, b, init_carry):
         from padertorch_tpu.ops.pallas.lstm import lstm_cell_scan
+        h = self.hidden_size
+        hp = self._pad_target()
+        h0, c0 = init_carry
+        if hp is not None:
+            w_ih = self._pad_gate_cols(w_ih, h, hp)
+            w_hh = self._pad_gate_cols(
+                jnp.pad(w_hh, ((0, hp - h), (0, 0))), h, hp)
+            if b is not None:
+                b = self._pad_gate_cols(b, h, hp)
+            h0 = jnp.pad(h0, ((0, 0), (0, hp - h)))
+            c0 = jnp.pad(c0, ((0, 0), (0, hp - h)))
         # produce gates directly in the kernel's (T, B, 4H) layout --
         # a post-hoc transpose costs a full HBM copy of the gates
         gates_x_t = self._pallas_gates_x(
             x, w_ih, b, einsum='btf,fg->tbg')
         mask_t = None if mask is None else jnp.swapaxes(mask, 0, 1)
-        h0, c0 = init_carry
         out_t, h_t, c_t = lstm_cell_scan(
             gates_x_t, w_hh.astype(jnp.float32), mask_t,
             h0.astype(jnp.float32), c0.astype(jnp.float32),
             self._pallas_interpret(), self.compute_dtype)
+        if hp is not None:
+            out_t = out_t[..., :h]
+            h_t = h_t[..., :h]
+            c_t = c_t[..., :h]
         return jnp.swapaxes(out_t, 0, 1), (h_t, c_t)
 
     def _pallas_two_directions(self, x2, mask2, w_ih2, w_hh2, b2, init,
                                batch):
         from padertorch_tpu.ops.pallas.lstm import lstm_cell_scan
         b2b = x2.shape[0]
+        h = self.hidden_size
+        hp = self._pad_target()
+        h0, c0 = init
+        if hp is not None:
+            w_ih2 = self._pad_gate_cols(w_ih2, h, hp)
+            w_hh2 = self._pad_gate_cols(
+                jnp.pad(w_hh2, ((0, 0), (0, hp - h), (0, 0))), h, hp)
+            if b2 is not None:
+                b2 = self._pad_gate_cols(b2, h, hp)
+            h0 = jnp.pad(h0, ((0, 0), (0, hp - h)))
+            c0 = jnp.pad(c0, ((0, 0), (0, hp - h)))
         x_pair = x2.reshape(2, b2b // 2, *x2.shape[1:])  # (2, B, T, D)
         bias = None if b2 is None else b2[None, :, None, :]
         # (T, 2, B, 4H) straight from the einsum: reshaping to the
@@ -422,11 +471,14 @@ class LSTM(_RNNBase):
             x_pair, w_ih2, bias, einsum='dbtf,dfg->tdbg')
         gates_x_t = gates_x.reshape(gates_x.shape[0], b2b, -1)
         mask_t = None if mask2 is None else jnp.swapaxes(mask2, 0, 1)
-        h0, c0 = init
         out_t, h_t, c_t = lstm_cell_scan(
             gates_x_t, w_hh2.astype(jnp.float32), mask_t,
             h0.astype(jnp.float32), c0.astype(jnp.float32),
             self._pallas_interpret(), self.compute_dtype)
+        if hp is not None:
+            out_t = out_t[..., :h]
+            h_t = h_t[..., :h]
+            c_t = c_t[..., :h]
         return jnp.swapaxes(out_t, 0, 1), (h_t, c_t)
 
 
