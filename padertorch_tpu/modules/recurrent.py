@@ -153,6 +153,10 @@ class _RNNBase(Module):
     pallas_max_rows_x_gates = 600_000
 
     def _pallas_shape_ok(self, rows, gates):
+        # account for hidden-padding: the kernel sees the padded width
+        hp = getattr(self, '_pad_target', lambda: None)()
+        if hp is not None:
+            gates = getattr(self, 'gates', 4) * hp
         return rows * gates <= self.pallas_max_rows_x_gates
 
     def _scan_direction(self, x, mask, w_ih, w_hh, b, init_carry):
@@ -401,12 +405,15 @@ class LSTM(_RNNBase):
     # lanes carry EXACT zeros through time (zero weights -> i=f=o=0.5,
     # g=0 -> c=h=0 fixed point), outputs/carries are sliced back, and
     # gradients on the padding are identically zero — bit-equal
-    # semantics at H=600 with H=640 compute (tested; measured +MFU in
-    # doc/performance.md "MXU tiling").
+    # semantics (tested).  Performance note: on the flagship this knob
+    # alone measured neutral (doc/performance.md "MXU tiling" follow-up
+    # — the H=640 win needs aligned *contraction* dims, i.e. a
+    # full-width model); it exists for shapes where the kernel's lane
+    # misalignment itself dominates.
     pallas_pad_hidden_multiple = None
 
     def _pad_target(self):
-        m = self.pallas_pad_hidden_multiple
+        m = getattr(self, 'pallas_pad_hidden_multiple', None)
         h = self.hidden_size
         if not m or h % m == 0:
             return None
@@ -419,19 +426,33 @@ class LSTM(_RNNBase):
         pad = [(0, 0)] * (w.ndim - 1) + [(0, hp - h)]
         return jnp.concatenate([jnp.pad(p, pad) for p in parts], -1)
 
+    def _pad_for_pallas(self, w_ih, w_hh, b, h0, c0):
+        """Pad weights/bias/carries to the tile-aligned hidden width
+        (no-op when no padding applies).  Returns (hp, ...padded)."""
+        hp = self._pad_target()
+        if hp is None:
+            return None, w_ih, w_hh, b, h0, c0
+        h = self.hidden_size
+        w_ih = self._pad_gate_cols(w_ih, h, hp)
+        row_pad = [(0, 0)] * (w_hh.ndim - 2) + [(0, hp - h), (0, 0)]
+        w_hh = self._pad_gate_cols(jnp.pad(w_hh, row_pad), h, hp)
+        if b is not None:
+            b = self._pad_gate_cols(b, h, hp)
+        h0 = jnp.pad(h0, ((0, 0), (0, hp - h)))
+        c0 = jnp.pad(c0, ((0, 0), (0, hp - h)))
+        return hp, w_ih, w_hh, b, h0, c0
+
+    def _slice_from_pallas(self, hp, out_t, h_t, c_t):
+        if hp is None:
+            return out_t, h_t, c_t
+        h = self.hidden_size
+        return out_t[..., :h], h_t[..., :h], c_t[..., :h]
+
     def _pallas_direction(self, x, mask, w_ih, w_hh, b, init_carry):
         from padertorch_tpu.ops.pallas.lstm import lstm_cell_scan
-        h = self.hidden_size
-        hp = self._pad_target()
         h0, c0 = init_carry
-        if hp is not None:
-            w_ih = self._pad_gate_cols(w_ih, h, hp)
-            w_hh = self._pad_gate_cols(
-                jnp.pad(w_hh, ((0, hp - h), (0, 0))), h, hp)
-            if b is not None:
-                b = self._pad_gate_cols(b, h, hp)
-            h0 = jnp.pad(h0, ((0, 0), (0, hp - h)))
-            c0 = jnp.pad(c0, ((0, 0), (0, hp - h)))
+        hp, w_ih, w_hh, b, h0, c0 = self._pad_for_pallas(
+            w_ih, w_hh, b, h0, c0)
         # produce gates directly in the kernel's (T, B, 4H) layout --
         # a post-hoc transpose costs a full HBM copy of the gates
         gates_x_t = self._pallas_gates_x(
@@ -441,27 +462,16 @@ class LSTM(_RNNBase):
             gates_x_t, w_hh.astype(jnp.float32), mask_t,
             h0.astype(jnp.float32), c0.astype(jnp.float32),
             self._pallas_interpret(), self.compute_dtype)
-        if hp is not None:
-            out_t = out_t[..., :h]
-            h_t = h_t[..., :h]
-            c_t = c_t[..., :h]
+        out_t, h_t, c_t = self._slice_from_pallas(hp, out_t, h_t, c_t)
         return jnp.swapaxes(out_t, 0, 1), (h_t, c_t)
 
     def _pallas_two_directions(self, x2, mask2, w_ih2, w_hh2, b2, init,
                                batch):
         from padertorch_tpu.ops.pallas.lstm import lstm_cell_scan
         b2b = x2.shape[0]
-        h = self.hidden_size
-        hp = self._pad_target()
         h0, c0 = init
-        if hp is not None:
-            w_ih2 = self._pad_gate_cols(w_ih2, h, hp)
-            w_hh2 = self._pad_gate_cols(
-                jnp.pad(w_hh2, ((0, 0), (0, hp - h), (0, 0))), h, hp)
-            if b2 is not None:
-                b2 = self._pad_gate_cols(b2, h, hp)
-            h0 = jnp.pad(h0, ((0, 0), (0, hp - h)))
-            c0 = jnp.pad(c0, ((0, 0), (0, hp - h)))
+        hp, w_ih2, w_hh2, b2, h0, c0 = self._pad_for_pallas(
+            w_ih2, w_hh2, b2, h0, c0)
         x_pair = x2.reshape(2, b2b // 2, *x2.shape[1:])  # (2, B, T, D)
         bias = None if b2 is None else b2[None, :, None, :]
         # (T, 2, B, 4H) straight from the einsum: reshaping to the
@@ -475,10 +485,7 @@ class LSTM(_RNNBase):
             gates_x_t, w_hh2.astype(jnp.float32), mask_t,
             h0.astype(jnp.float32), c0.astype(jnp.float32),
             self._pallas_interpret(), self.compute_dtype)
-        if hp is not None:
-            out_t = out_t[..., :h]
-            h_t = h_t[..., :h]
-            c_t = c_t[..., :h]
+        out_t, h_t, c_t = self._slice_from_pallas(hp, out_t, h_t, c_t)
         return jnp.swapaxes(out_t, 0, 1), (h_t, c_t)
 
 

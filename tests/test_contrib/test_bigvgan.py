@@ -359,20 +359,3 @@ def test_mel_spectrogram_feeds_vocoder():
     wav = g(np.asarray(mel)[None])
     assert wav.shape == (1, 1, mel.shape[-1] * 64)
 
-
-def test_bigvgan_generator_serves_via_stablehlo_export():
-    from padertorch_tpu.serve import export_model, load_exported
-    ptrandom.seed(0)
-    g = BigVGANGenerator(
-        num_mels=4, upsample_rates=(2, 2), upsample_kernel_sizes=(4, 4),
-        upsample_initial_channel=8, resblock_kernel_sizes=(3,),
-        resblock_dilation_sizes=((1,),)).eval()
-    mel = np.zeros((2, 4, 6), np.float32)
-    want = np.asarray(g(mel))
-    blob = export_model(g, mel, polymorphic_batch=True)
-    served = load_exported(blob)
-    np.testing.assert_allclose(
-        np.asarray(served(mel)), want, rtol=1e-5, atol=1e-6)
-    # polymorphic batch: a different batch size works on the same blob
-    mel3 = np.zeros((3, 4, 6), np.float32)
-    assert np.asarray(served(mel3)).shape == (3, 1, 24)

@@ -160,17 +160,3 @@ def test_hf_equivalence_base_style():
 def test_hf_equivalence_large_style():
     _hf_equivalence(stable=True, norm='layer')
 
-
-def test_wav2vec2_serves_via_stablehlo_export():
-    from padertorch_tpu.serve import export_model, load_exported
-    ptrandom.seed(0)
-    m = Wav2Vec2Model(**_tiny()).eval()
-    audio = np.zeros((2, 400), np.float32)
-    want = np.asarray(m(audio)[0])
-    blob = export_model(m, audio, polymorphic_batch=True)
-    served = load_exported(blob)
-    got = served(audio)[0]
-    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
-                               atol=1e-6)
-    assert np.asarray(served(np.zeros((5, 400), np.float32))[0]
-                      ).shape[0] == 5
