@@ -1,0 +1,239 @@
+"""Dataset balancing utilities.
+
+Reference parity: ``padertorch/contrib/je/data/utils.py`` —
+``DynamicExtendedTimeSeriesBucket`` (length-bucketed batching with
+label-diversity / per-dataset-quota / bucket-id admission criteria on
+top of the plain time-series buckets) and ``split_dataset`` (seeded
+cross-validation folds).
+
+The reference builds on lazy_dataset's bucket objects
+(``assess``/``_append``); here the same admission semantics are
+implemented as a self-contained streaming batcher over
+``padertorch_tpu.data.dataset.Dataset`` pipelines.
+"""
+import numpy as np
+
+from padertorch_tpu.data.dataset import Dataset, from_list
+from padertorch_tpu.utils.misc import to_list
+
+__all__ = [
+    'DynamicExtendedBucketDataset',
+    'batch_dynamic_extended_time_series_bucket',
+    'split_dataset',
+]
+
+
+class _ExtendedBucket:
+    """One open bucket; mirrors the reference's assess/append contract
+    (ref ``je/data/utils.py:54-92``)."""
+
+    def __init__(self, example, length, batch_size, max_padding_rate,
+                 min_label_diversity, label_key, multi_hot_encoded_labels,
+                 min_dataset_examples, bucket_id, birth):
+        self.batch_size = batch_size
+        self.max_padding_rate = max_padding_rate
+        self.min_label_diversity = min_label_diversity
+        self.label_key = label_key
+        self.multi_hot_encoded_labels = multi_hot_encoded_labels
+        self.bucket_id = bucket_id
+        self.birth = birth
+        self.lo = self.hi = length
+        self.data = []
+        self.example_ids = set()
+        self.label_classes = set()
+        if min_dataset_examples is not None:
+            self.missing_dataset_examples = dict(min_dataset_examples)
+        else:
+            self.missing_dataset_examples = None
+        self._append(example, length)
+
+    def _get_labels(self, example):
+        labels = example[self.label_key]
+        if self.multi_hot_encoded_labels:
+            labels = np.asarray(labels)
+            assert labels.ndim >= 1, labels.shape
+            if labels.ndim > 1:
+                assert labels.ndim == 2, labels.shape
+                labels = labels.sum(-1)
+            labels = np.argwhere(labels > 0).flatten()
+        if isinstance(labels, np.ndarray):
+            labels = labels.tolist()
+        return to_list(labels)
+
+    def assess(self, example, length):
+        if example.get('example_id') in self.example_ids:
+            return False
+        if self.bucket_id is not None and (
+                example[self.bucket_id] != self.data[0][self.bucket_id]):
+            return False
+        lo = min(self.lo, length)
+        hi = max(self.hi, length)
+        if lo < hi * (1 - self.max_padding_rate):
+            return False
+        free = self.batch_size - len(self.data)
+        if self.missing_dataset_examples is not None:
+            # '+' joins dataset names of mixtures (ref :66)
+            names = example['dataset'].split('+')
+            assert all(n in self.missing_dataset_examples for n in names), (
+                names, sorted(self.missing_dataset_examples))
+            if not (
+                free > sum(self.missing_dataset_examples.values())
+                or any(self.missing_dataset_examples[n] > 0 for n in names)
+            ):
+                return False
+        if self.label_key is not None:
+            labels = self._get_labels(example)
+            if not (
+                free > self.min_label_diversity - len(self.label_classes)
+                or any(lb not in self.label_classes for lb in labels)
+            ):
+                return False
+        return True
+
+    def _append(self, example, length):
+        self.data.append(example)
+        self.lo = min(self.lo, length)
+        self.hi = max(self.hi, length)
+        if 'example_id' in example:
+            self.example_ids.add(example['example_id'])
+        if self.missing_dataset_examples is not None:
+            for name in example['dataset'].split('+'):
+                if self.missing_dataset_examples[name] > 0:
+                    self.missing_dataset_examples[name] -= 1
+        if self.label_key is not None and self.label_key in example:
+            self.label_classes.update(self._get_labels(example))
+
+    @property
+    def full(self):
+        return len(self.data) >= self.batch_size
+
+
+class DynamicExtendedBucketDataset(Dataset):
+    """Streaming length-bucketed batching with admission criteria.
+
+    Extends the plain dynamic time-series bucketing
+    (``Dataset.batch_dynamic_time_series_bucket``) with the reference's
+    balancing criteria (ref ``je/data/utils.py:6``):
+
+    * ``min_label_diversity``/``label_key``: a bucket only admits an
+      example without a *new* label class once enough free slots remain
+      to still reach ``min_label_diversity`` distinct classes.
+    * ``min_dataset_examples``: per-origin-dataset quotas
+      (``example['dataset']``, ``'+'``-joined for mixtures).
+    * ``bucket_id``: examples only share a bucket when this key matches.
+    * duplicate ``example_id``s never share a bucket.
+    """
+
+    def __init__(self, source, batch_size, len_key, max_padding_rate,
+                 min_label_diversity=0, label_key=None,
+                 multi_hot_encoded_labels=True, min_dataset_examples=None,
+                 bucket_id=None, expiration=None, drop_incomplete=False,
+                 sort_key=None, reverse_sort=False):
+        self.source = source
+        self.batch_size = batch_size
+        if callable(len_key):
+            self.get_len = len_key
+        else:
+            self.get_len = lambda ex: ex[len_key]
+        self.max_padding_rate = max_padding_rate
+        self.min_label_diversity = min_label_diversity
+        if min_label_diversity > 0:
+            assert label_key is not None
+            assert min_label_diversity <= batch_size, (
+                min_label_diversity, batch_size)
+        self.label_key = label_key
+        self.multi_hot_encoded_labels = multi_hot_encoded_labels
+        self.min_dataset_examples = min_dataset_examples
+        if min_dataset_examples is not None:
+            assert sum(min_dataset_examples.values()) <= batch_size, (
+                min_dataset_examples, batch_size)
+        self.bucket_id = bucket_id
+        self.expiration = expiration
+        self.drop_incomplete = drop_incomplete
+        self.sort_key = sort_key
+        self.reverse_sort = reverse_sort
+
+    def __len__(self):
+        raise TypeError(
+            'DynamicExtendedBucketDataset has no len().')
+
+    @property
+    def indexable(self):
+        return False
+
+    def _sorted(self, batch):
+        if self.sort_key is not None:
+            key = self.sort_key if callable(self.sort_key) \
+                else (lambda ex: ex[self.sort_key])
+            return sorted(batch, key=key, reverse=self.reverse_sort)
+        return batch
+
+    def __iter__(self):
+        buckets = []
+        count = 0
+        for ex in self.source:
+            length = self.get_len(ex)
+            for bucket in buckets:
+                if bucket.assess(ex, length):
+                    bucket._append(ex, length)
+                    if bucket.full:
+                        yield self._sorted(bucket.data)
+                        buckets.remove(bucket)
+                    break
+            else:
+                buckets.append(_ExtendedBucket(
+                    ex, length, self.batch_size, self.max_padding_rate,
+                    self.min_label_diversity, self.label_key,
+                    self.multi_hot_encoded_labels,
+                    self.min_dataset_examples, self.bucket_id, count))
+            count += 1
+            if self.expiration is not None:
+                for bucket in list(buckets):
+                    if count - bucket.birth > self.expiration:
+                        if not self.drop_incomplete:
+                            yield self._sorted(bucket.data)
+                        buckets.remove(bucket)
+        for bucket in buckets:
+            if not self.drop_incomplete:
+                yield self._sorted(bucket.data)
+
+
+def batch_dynamic_extended_time_series_bucket(
+        dataset, batch_size, len_key, max_padding_rate, **kwargs):
+    """Functional entry point mirroring
+    ``Dataset.batch_dynamic_time_series_bucket`` for the extended
+    criteria; see :class:`DynamicExtendedBucketDataset`."""
+    return DynamicExtendedBucketDataset(
+        dataset, batch_size=batch_size, len_key=len_key,
+        max_padding_rate=max_padding_rate, **kwargs)
+
+
+def split_dataset(dataset, fold, nfolds=5, seed=0):
+    """Split a dataset into seeded train/validation cross-validation
+    folds (ref ``je/data/utils.py:96-123``; doctest values match).
+
+    >>> split_dataset(np.array([1, 2, 3, 4, 5]), 0, nfolds=2)
+    [array([2, 4, 5]), array([1, 3])]
+    >>> split_dataset(np.array([1, 2, 3, 4, 5]), 1, nfolds=2)
+    [array([1, 3]), array([2, 4, 5])]
+    """
+    indices = np.arange(len(dataset))
+    if seed is not None:
+        np.random.RandomState(seed).shuffle(indices)
+    folds = np.split(
+        indices,
+        np.linspace(0, len(dataset), nfolds + 1)[1:-1].astype(np.int64),
+    )
+    validation_indices = folds.pop(fold)
+    training_indices = np.concatenate(folds)
+
+    def select(idx):
+        idx = sorted(int(i) for i in idx)
+        if isinstance(dataset, Dataset):
+            examples = list(dataset)
+            return from_list([examples[i] for i in idx])
+        if isinstance(dataset, np.ndarray):
+            return dataset[idx]
+        return [dataset[i] for i in idx]
+
+    return [select(training_indices), select(validation_indices)]
