@@ -26,6 +26,8 @@ def main():
     parser.add_argument('--synthetic', action='store_true')
     parser.add_argument('--epochs', type=int, default=20)
     parser.add_argument('--batch_size', type=int, default=2)
+    parser.add_argument('--num_examples', type=int, default=None,
+                        help='size of the synthetic training set')
     parser.add_argument('--small', action='store_true')
     args = parser.parse_args()
 
@@ -68,7 +70,8 @@ def main():
 
     if args.synthetic or args.database is None:
         train_ds = data.synthetic_database(
-            num_examples=max(12, 4 * args.batch_size))
+            num_examples=args.num_examples
+            or max(12, 4 * args.batch_size))
         # at least 2 validation batches (test_run exercises two)
         dev_ds = data.synthetic_database(
             num_examples=2 * args.batch_size, seed=1)

@@ -63,11 +63,12 @@ class _Colorize:
             try:
                 import matplotlib.pyplot as plt
                 cmap = plt.get_cmap(color)
-            except ImportError:  # pragma: no cover
+            except ImportError:
                 from warnings import warn
                 warn('matplotlib is not installed; images are grayscale')
                 def cmap(x):  # noqa: E306
                     return x[..., None]
+            # cache the fallback too, so the warning fires once
             self.color_to_cmap[color] = cmap
         return np.moveaxis(cmap(image), -1, 0)
 
