@@ -17,7 +17,8 @@ from padertorch_tpu.utils.misc import to_list
 from padertorch_tpu.modules.normalization import Normalization
 
 __all__ = ['Conv1d', 'Conv2d', 'ConvTranspose1d', 'ConvTranspose2d',
-           'CNN1d', 'CNN2d', 'Pool1d', 'Pool2d', 'Unpool1d', 'Unpool2d',
+           'CNN1d', 'CNN2d', 'CNNTranspose1d', 'CNNTranspose2d',
+           'Pool1d', 'Pool2d', 'Unpool1d', 'Unpool2d',
            'compute_transpose_out_size']
 
 
@@ -189,6 +190,21 @@ class _ConvBase(Module):
         if not self.is_transpose:
             x = self._pad(x)
         y = self.conv(x)
+        if self.is_transpose:
+            # adjoint of padding is cropping: trim the pad the mirrored
+            # forward conv would have added (end reduced by stride - 1,
+            # matching compute_transpose_out_size)
+            slices = [slice(None), slice(None)]
+            crop = False
+            for axis, (k, d, s, p) in enumerate(zip(
+                    self.kernel_size, self.dilation, self.stride,
+                    self.pad_type)):
+                front, end = compute_pad_size(k, d, s, p)
+                end = max(end - s + 1, 0)
+                crop = crop or front or end
+                slices.append(slice(front, y.shape[2 + axis] - end))
+            if crop:
+                y = y[tuple(slices)]
         if self.gated:
             y, gate = jnp.split(y, 2, axis=1)
             y = y * jax.nn.sigmoid(gate)
@@ -211,9 +227,10 @@ class _ConvBase(Module):
         d = self.dilation[-1]
         s = self.stride[-1]
         p = self.pad_type[-1]
-        if self.is_transpose:
-            return seq_len * s + d * (k - 1) + 1 - s
         front, end = compute_pad_size(k, d, s, p)
+        if self.is_transpose:
+            return (seq_len - 1) * s + d * (k - 1) + 1 \
+                - front - max(end - s + 1, 0)
         return (seq_len + front + end - d * (k - 1) - 1) // s + 1
 
 
@@ -368,7 +385,8 @@ class _CNN(Module):
                  norm=None, activation_fn='relu', gated=False,
                  pool_type='max', pool_size=1, pool_stride=None,
                  output_activation_fn=None, residual_connections=None,
-                 pre_activation=False):
+                 pre_activation=False, return_pool_indices=False):
+        self.return_pool_indices = return_pool_indices
         out_channels = list(out_channels)
         num_layers = len(out_channels)
         kernel_sizes = to_list(kernel_size, num_layers)
@@ -438,6 +456,7 @@ class _CNN(Module):
 
     def forward(self, x, seq_len=None):
         saved = {}
+        pool_indices = []
         for i, (conv, pool) in enumerate(zip(self.convs, self.pools)):
             for src, res in saved.pop(i, []):
                 key = f'{src}->{i}'
@@ -448,7 +467,11 @@ class _CNN(Module):
             for dst in self.residual_connections[i]:
                 saved.setdefault(dst, []).append((i, x))
             x, seq_len = conv(x, seq_len)
-            x, seq_len = pool(x, seq_len)
+            if self.return_pool_indices:
+                x, seq_len, idx = pool(x, seq_len, return_indices=True)
+                pool_indices.append(idx)
+            else:
+                x, seq_len = pool(x, seq_len)
         # destinations == num_layers attach to the output
         for src, res in saved.pop(self.num_layers, []):
             key = f'{src}->{self.num_layers}'
@@ -456,6 +479,8 @@ class _CNN(Module):
                 res, _ = self.residual_skip_convs[key](res)
             if res.shape == x.shape:
                 x = x + res
+        if self.return_pool_indices:
+            return x, seq_len, pool_indices
         return x, seq_len
 
     def get_receptive_field(self):
@@ -476,16 +501,294 @@ class _CNN(Module):
         return receptive_field
 
 
+def _mirror_stack_config(config, transpose_cls, transpose_config=None):
+    """Mirror a CNN stack config into its transposed counterpart.
+
+    Reference parity: ``je/modules/conv.py:794`` (``get_transpose_config``)
+    — reverse the per-layer lists, swap in/out channels, and mirror
+    residual connections (``src -> dst`` becomes
+    ``num_layers - dst -> num_layers - src``).
+    """
+    if transpose_config is None:
+        transpose_config = {}
+    transpose_config['factory'] = transpose_cls
+    out_channels = list(config['out_channels'])
+    channels = [config['in_channels']] + out_channels
+    num_layers = len(out_channels)
+    transpose_config['in_channels'] = channels[-1]
+    transpose_config['out_channels'] = channels[:-1][::-1]
+    rc = config.get('residual_connections')
+    if rc is not None:
+        mirrored = {}
+        for src, dsts in enumerate(to_list(rc, num_layers)):
+            for dst in to_list(dsts):
+                if dst is not None:
+                    mirrored.setdefault(num_layers - dst, []).append(
+                        num_layers - src)
+        transpose_config['residual_connections'] = [
+            (sorted(mirrored[i]) if len(mirrored[i]) > 1
+             else mirrored[i][0]) if i in mirrored else None
+            for i in range(num_layers)
+        ]
+    for kw in ('kernel_size', 'pad_type', 'dilation', 'stride',
+               'pool_type', 'pool_size', 'pool_stride', 'norm'):
+        if kw in config:
+            transpose_config[kw] = (
+                config[kw][::-1] if isinstance(config[kw], list)
+                else config[kw])
+    for kw in ('activation_fn', 'pre_activation', 'dropout', 'gated'):
+        if kw in config:
+            transpose_config[kw] = config[kw]
+    return transpose_config
+
+
+class _CNNTranspose(Module):
+    """Mirror stack of ``_CNN``: per layer *unpool then transpose conv*.
+
+    Reference parity: ``je/modules/conv.py:643-791`` transpose branch —
+    pool indices arrive in the forward CNN's layer order and are
+    consumed reversed (ref ``:684``); ``target_shape`` triggers
+    per-layer end-trimming of the transpose conv's surplus samples
+    (ref ``:771-783``); residual connections follow the same
+    input-of-src to input-of-dst contract as ``_CNN``, with saved
+    signals nearest-upsampled across intermediate strides and
+    projected by 1x1 convs when channels differ.
+    """
+
+    conv_cls = None        # transpose conv layer class
+    plain_conv_cls = None  # 1x1 residual projections
+    unpool_cls = None
+
+    def __init__(self, in_channels, out_channels, kernel_size, *,
+                 dropout=0.0, pad_type='both', dilation=1, stride=1,
+                 norm=None, activation_fn='relu', gated=False,
+                 pool_type='max', pool_size=1, pool_stride=None,
+                 output_activation_fn=None, residual_connections=None,
+                 pre_activation=False):
+        out_channels = list(out_channels)
+        num_layers = len(out_channels)
+        kernel_sizes = to_list(kernel_size, num_layers)
+        dilations = to_list(dilation, num_layers)
+        strides = to_list(stride, num_layers)
+        pool_sizes = to_list(pool_size, num_layers)
+        pool_strides = to_list(
+            pool_size if pool_stride is None else pool_stride, num_layers)
+        self.pool_types = to_list(pool_type, num_layers)  # config mirror
+        dropouts = to_list(dropout, num_layers)
+        norms = to_list(norm, num_layers)
+        activations = to_list(activation_fn, num_layers)
+        if output_activation_fn is not None:
+            activations[-1] = output_activation_fn
+        self.pad_types = to_list(pad_type, num_layers)
+        rc = to_list(
+            residual_connections
+            if residual_connections is not None else [None] * num_layers,
+            num_layers)
+        self.residual_connections = [
+            [] if dst is None else [int(d) for d in to_list(dst)]
+            for dst in rc
+        ]
+        channels = [in_channels] + out_channels
+        self.convs = [
+            self.conv_cls(
+                channels[i], channels[i + 1], kernel_sizes[i],
+                dropout=dropouts[i], pad_type=self.pad_types[i],
+                dilation=dilations[i], stride=strides[i], norm=norms[i],
+                activation_fn=activations[i], gated=gated,
+                pre_activation=pre_activation)
+            for i in range(num_layers)
+        ]
+        self.unpools = [
+            self.unpool_cls(pool_size=pool_sizes[i],
+                            stride=pool_strides[i])
+            for i in range(num_layers)
+        ]
+        self.kernel_sizes = kernel_sizes
+        self.dilations = dilations
+        self.strides = strides
+        self.pool_sizes = pool_sizes
+        self.pool_strides = pool_strides
+        self.num_layers = num_layers
+        self.in_channels = in_channels
+        self.out_channels = out_channels[-1]
+        self._channels = channels
+        skip_convs = {}
+        for src, dsts in enumerate(self.residual_connections):
+            for dst in dsts:
+                assert src < dst <= num_layers, (src, dst)
+                if channels[src] != channels[dst]:
+                    skip_convs[f'{src}->{dst}'] = self.plain_conv_cls(
+                        channels[src], channels[dst], 1,
+                        activation_fn='identity')
+        self.residual_skip_convs = skip_convs
+
+    def _upsample_factor(self, src, dst):
+        """Per-axis cumulative nearest-upsample factor src -> dst."""
+        cum = np.ones(self.n, dtype=int)
+        for j in range(src, dst):
+            cum = cum * np.asarray(to_list(self.strides[j], self.n))
+            cum = cum * np.asarray(to_list(self.pool_strides[j], self.n))
+        return cum
+
+    def _attach_residuals(self, x, saved, layer):
+        for src, res in saved.pop(layer, []):
+            cum = self._upsample_factor(src, layer)
+            for axis, factor in zip(range(-self.n, 0), cum):
+                if factor > 1:
+                    res = jnp.repeat(res, int(factor), axis=axis)
+            key = f'{src}->{layer}'
+            if key in self.residual_skip_convs:
+                res, _ = self.residual_skip_convs[key](res)
+            # transpose convs emit kernel-extent surplus; trim to match
+            if all(r >= s for r, s in zip(res.shape, x.shape)):
+                res = res[tuple(slice(0, s) for s in x.shape)]
+            if res.shape == x.shape:
+                x = x + res
+        return x
+
+    def forward(self, x, seq_len=None, target_shape=None,
+                target_sequence_lengths=None, pool_indices=None):
+        """x: (B, C, [F,] T).
+
+        ``pool_indices``: the mirrored forward CNN's per-layer max-pool
+        indices (its own layer order — reversed here, ref ``:684``).
+        ``target_shape``: desired full output shape; each layer's
+        surplus is end-trimmed to the backward-computed shape plan.
+        """
+        out_shapes = None
+        if target_shape is not None:
+            out_shapes = self.get_shapes(target_shape=target_shape)[1:]
+        indices = (list(pool_indices)[::-1] if pool_indices is not None
+                   else [None] * self.num_layers)
+        saved = {}
+        for i, (unpool, conv) in enumerate(zip(self.unpools, self.convs)):
+            if any(np.asarray(to_list(self.pool_sizes[i], self.n)) > 1):
+                x, seq_len = unpool(x, seq_len, indices=indices[i])
+            x = self._attach_residuals(x, saved, i)
+            for dst in self.residual_connections[i]:
+                saved.setdefault(dst, []).append((i, x))
+            x, seq_len = conv(x, seq_len)
+            if out_shapes is not None:
+                surplus = np.asarray(x.shape[2:]) - np.asarray(
+                    out_shapes[i][2:])
+                assert (surplus >= 0).all(), (
+                    x.shape, out_shapes[i],
+                    'target larger than produced output — use padding')
+                if (surplus > 0).any():
+                    x = x[(slice(None), slice(None)) + tuple(
+                        slice(0, int(s)) for s in out_shapes[i][2:])]
+                if seq_len is not None:
+                    t = out_shapes[i][-1]
+                    seq_len = (jnp.minimum(seq_len, t)
+                               if hasattr(seq_len, 'dtype')
+                               else np.minimum(seq_len, t))
+        x = self._attach_residuals(x, saved, self.num_layers)
+        if target_sequence_lengths is not None:
+            seq_len = target_sequence_lengths
+        return x, seq_len
+
+    def get_shapes(self, input_shape=None, target_shape=None):
+        """Per-layer full output shapes.
+
+        With ``target_shape`` the plan is computed *backwards* (ref
+        ``:885``): inverting a transpose conv is the forward conv size
+        formula; inverting an unpool is the forward pool size formula.
+        Returns ``[input_shape, out_0, ..., out_{L-1}]`` with
+        ``out_{L-1} == target_shape``.
+        """
+        assert (input_shape is None) ^ (target_shape is None)
+        if target_shape is not None:
+            shapes = [tuple(target_shape)]
+            cur = np.asarray(target_shape[2:])
+            batch = target_shape[0]
+            for i in reversed(range(self.num_layers)):
+                k = np.asarray(to_list(self.kernel_sizes[i], self.n))
+                d = np.asarray(to_list(self.dilations[i], self.n))
+                s = np.asarray(to_list(self.strides[i], self.n))
+                front, endc = self._crop(i)
+                # invert transpose conv (pad-crop included); ceil-div:
+                # the smallest input whose output covers cur
+                cur = -(-(cur + front + endc - d * (k - 1) - 1) // s) + 1
+                pk = np.asarray(to_list(self.pool_sizes[i], self.n))
+                ps = np.asarray(to_list(self.pool_strides[i], self.n))
+                up = pk > 1
+                cur = np.where(up, -(-(cur - pk) // ps) + 1, cur)
+                shapes.append(
+                    (batch, self._channels[i]) + tuple(int(c) for c in cur))
+            return shapes[::-1]
+        shapes = [tuple(input_shape)]
+        cur = np.asarray(input_shape[2:])
+        batch = input_shape[0]
+        for i in range(self.num_layers):
+            pk = np.asarray(to_list(self.pool_sizes[i], self.n))
+            ps = np.asarray(to_list(self.pool_strides[i], self.n))
+            cur = np.where(pk > 1, (cur - 1) * ps + pk, cur)
+            k = np.asarray(to_list(self.kernel_sizes[i], self.n))
+            d = np.asarray(to_list(self.dilations[i], self.n))
+            s = np.asarray(to_list(self.strides[i], self.n))
+            front, endc = self._crop(i)
+            cur = (cur - 1) * s + d * (k - 1) + 1 - front - endc
+            shapes.append(
+                (batch, self._channels[i + 1]) + tuple(int(c) for c in cur))
+        return shapes
+
+    def _crop(self, i):
+        """Per-axis (front, end) pad-crop of layer ``i``'s transpose
+        conv, matching ``compute_transpose_out_size``."""
+        k = to_list(self.kernel_sizes[i], self.n)
+        d = to_list(self.dilations[i], self.n)
+        s = to_list(self.strides[i], self.n)
+        p = to_list(self.pad_types[i], self.n)
+        front, endc = [], []
+        for ki, di, si, pi in zip(k, d, s, p):
+            f, e = compute_pad_size(ki, di, si, pi)
+            front.append(f)
+            endc.append(max(e - si + 1, 0))
+        return np.asarray(front), np.asarray(endc)
+
+    @classmethod
+    def get_transpose_config(cls, config, transpose_config=None):
+        assert config['factory'] == cls, (config['factory'], cls)
+        forward_cls = CNN1d if cls is CNNTranspose1d else CNN2d
+        return _mirror_stack_config(config, forward_cls, transpose_config)
+
+
 class CNN1d(_CNN):
     n = 1
     conv_cls = Conv1d
     pool_cls = Pool1d
+
+    @classmethod
+    def get_transpose_config(cls, config, transpose_config=None):
+        assert config['factory'] == cls, (config['factory'], cls)
+        return _mirror_stack_config(config, CNNTranspose1d,
+                                    transpose_config)
 
 
 class CNN2d(_CNN):
     n = 2
     conv_cls = Conv2d
     pool_cls = Pool2d
+
+    @classmethod
+    def get_transpose_config(cls, config, transpose_config=None):
+        assert config['factory'] == cls, (config['factory'], cls)
+        return _mirror_stack_config(config, CNNTranspose2d,
+                                    transpose_config)
+
+
+class CNNTranspose1d(_CNNTranspose):
+    n = 1
+    conv_cls = ConvTranspose1d
+    plain_conv_cls = Conv1d
+    unpool_cls = Unpool1d
+
+
+class CNNTranspose2d(_CNNTranspose):
+    n = 2
+    conv_cls = ConvTranspose2d
+    plain_conv_cls = Conv2d
+    unpool_cls = Unpool2d
 
 
 def resnet50(in_channels, out_channels, out_pool_size=1,
