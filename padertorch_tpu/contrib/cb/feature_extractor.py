@@ -12,6 +12,9 @@ from padertorch_tpu.ops import STFT
 __all__ = [
     'FeatureExtractor', 'AbsSTFT', 'Log1pAbsSTFT', 'LogMel', 'Cepstrum',
     'KaldiSTFT', 'AbsKaldiSTFT',
+    'AbsIPDSTFT', 'AbsRealImagSTFT', 'Log1pCosSinAbsSTFT',
+    'ScaleIndependentCepstrum',
+    'sign', 'stft_to_cepstrum', 'cepstrum',
     'interchannel_phase_differences',
     'interchannel_phase_differences_op',
 ]
@@ -76,6 +79,122 @@ class Cepstrum(FeatureExtractor):
         if self.num_coefficients is not None:
             cep = cep[..., :self.num_coefficients]
         return cep
+
+
+def sign(signal, *, axis=-1, eps=1e-4, eps_style='where'):
+    """Unit (phase) normalization, safe at zero.
+
+    Reference parity: ``cb/feature_extractor.py:97`` — numpy's complex
+    ``np.sign`` uses only the real part's sign, so normalize by the
+    magnitude instead; ``eps_style`` guards the division.
+
+    >>> import numpy as np
+    >>> sign([1+1j, 0,  1e-4])
+    array([0.70710678+0.70710678j, 0.        +0.j        ,
+           1.        +0.j        ])
+    """
+    import numpy as np
+    signal = np.asarray(signal)
+    norm = np.abs(signal)
+    if eps_style == 'plus':
+        norm = norm + eps
+    elif eps_style == 'max':
+        norm = np.maximum(norm, eps)
+    elif eps_style == 'where':
+        norm = np.where(norm == 0, eps, norm)
+    else:
+        raise ValueError(eps_style)
+    return signal / norm
+
+
+def stft_to_cepstrum(stft_signal, norm='ortho', eps=None):
+    """Cepstrum from a one-sided STFT: ``dct_I(log |rdft|)``.
+
+    Reference parity: ``cb/feature_extractor.py:29`` — equivalent to
+    ``fft(log|fft(x)|)`` of the full spectrum, computed redundancy-free
+    on the rdft half via a type-I DCT.
+
+    >>> import numpy as np
+    >>> stft_to_cepstrum(np.fft.rfft([1, 2, 3, 4]))
+    array([2.53758691, 0.80471896, 0.45814537])
+    >>> stft_to_cepstrum(np.fft.rfft([1, 2, 3, 4, 5, 6, 7, 8]))
+    array([5.67812692, 1.21752299, 0.53177166, 0.33614941, 0.28670713])
+    >>> stft_to_cepstrum([1., 1, 1])
+    array([0., 0., 0.])
+    """
+    import numpy as np
+    from scipy.fftpack import dct
+    stft_signal = np.asarray(stft_signal)
+    assert stft_signal.shape[-1] % 2 == 1, stft_signal.shape
+    mag = np.abs(stft_signal)
+    if eps is None:
+        eps = np.finfo(
+            mag.dtype if mag.dtype.kind == 'f' else np.float64).tiny
+    if eps != 0:
+        mag = np.maximum(mag, eps)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        out = dct(np.log(mag), type=1)
+    if norm == 'ortho':
+        out = out / np.sqrt(2 * (mag.shape[-1] - 1))
+    elif norm is not None:
+        raise ValueError(norm)
+    return out
+
+
+def cepstrum(time_signal, size=1024, shift=256, *, window='blackman',
+             window_length=None, fading='full', pad=True):
+    """Host-side cepstrum of a time signal (numpy STFT -> DCT-I).
+
+    Reference parity: ``cb/feature_extractor.py:195``.
+    """
+    from padertorch_tpu.ops import HostSTFT
+    stft = HostSTFT(
+        size=size, shift=shift, window_length=window_length,
+        window=window, fading=fading, pad=pad,
+        complex_representation='complex')
+    return stft_to_cepstrum(stft(time_signal))
+
+
+class AbsIPDSTFT(FeatureExtractor):
+    """[|STFT|, cos IPD, sin IPD] of a multi-channel signal, stacked on
+    the feature axis. Reference: ``cb/feature_extractor.py:457``."""
+
+    def forward(self, signal):
+        import numpy as np
+        return jnp.asarray(interchannel_phase_differences(
+            np.asarray(self.stft(signal)), concatenate=True))
+
+
+class AbsRealImagSTFT(FeatureExtractor):
+    """[|STFT|, Re, Im] stacked on the feature axis.
+    Reference: ``cb/feature_extractor.py:527``."""
+
+    def forward(self, signal):
+        spec = self.stft(signal)
+        return jnp.concatenate(
+            [jnp.abs(spec), jnp.real(spec), jnp.imag(spec)], axis=-1)
+
+
+class Log1pCosSinAbsSTFT(FeatureExtractor):
+    """[log1p |STFT|, cos angle, sin angle] stacked on the feature axis.
+    Reference: ``cb/feature_extractor.py:495``."""
+
+    def forward(self, signal):
+        spec = self.stft(signal)
+        angle = jnp.angle(spec)
+        return jnp.concatenate(
+            [jnp.log1p(jnp.abs(spec)), jnp.cos(angle), jnp.sin(angle)],
+            axis=-1)
+
+
+class ScaleIndependentCepstrum(FeatureExtractor):
+    """DCT-I cepstrum without the scale-carrying 0th coefficient.
+    Reference: ``cb/feature_extractor.py:567``."""
+
+    def forward(self, signal):
+        import numpy as np
+        return jnp.asarray(
+            stft_to_cepstrum(np.asarray(self.stft(signal)))[..., 1:])
 
 
 class KaldiSTFT(FeatureExtractor):
