@@ -15,7 +15,61 @@ from padertorch_tpu import random as ptrandom
 __all__ = [
     'Scale', 'Shift', 'Mixup', 'Mask', 'AdditiveNoise', 'GaussianBlur2d',
     'Superpose', 'TruncatedExponential', 'Uniform', 'LogTruncatedNormal',
+    'TimeWarping',
 ]
+
+
+class TimeWarping(Module):
+    """Resample the sequence axis by a caller-provided warping function.
+
+    Reference parity: ``je/modules/augment.py:42`` — ``warping_fn(
+    seq_len) -> (time_indices (B, T), new_seq_len)``; every tensor is
+    linearly interpolated at the (fractional) source indices along the
+    sequence axis.  Train-time only; the index plan is computed on the
+    host (numpy), the gather runs on device.
+
+    >>> import numpy as np, jax.numpy as jnp
+    >>> x = jnp.cumsum(jnp.ones((3, 1, 4, 5)), -1) - 1
+    >>> factors = np.array([1, 2, 3])
+    >>> warping_fn = lambda seq_len: (
+    ...     np.minimum(np.arange(max(seq_len)) / factors[:, None],
+    ...                max(seq_len) - 1),
+    ...     np.minimum(factors * np.array(seq_len), max(seq_len)))
+    >>> warp = TimeWarping(warping_fn=warping_fn)
+    >>> y, seq_len = warp(x, seq_len=[3, 4, 5])
+    >>> np.asarray(y[1, 0, 0]).round(4).tolist()
+    [0.0, 0.5, 1.0, 1.5, 2.0]
+    >>> np.asarray(seq_len).astype(int).tolist()
+    [3, 5, 5]
+    """
+
+    def __init__(self, warping_fn, batch_axis=0, sequence_axis=-1):
+        self.warping_fn = warping_fn
+        self.batch_axis = batch_axis
+        self.sequence_axis = sequence_axis
+
+    def forward(self, *tensors, seq_len):
+        if not self.training:
+            return (*tensors, seq_len)
+        assert seq_len is not None
+        time_indices, seq_len = self.warping_fn(seq_len)
+        ceil = np.ceil(time_indices).astype(int)
+        floor = np.floor(time_indices).astype(int)
+        batch_indices = np.arange(len(ceil))[:, None]
+        ceil_w = jnp.asarray(1 - ceil + time_indices)
+        floor_w = jnp.asarray(
+            (1 - time_indices + floor) * (floor != ceil))
+        out = []
+        for tensor in tensors:
+            batch_axis = self.batch_axis % tensor.ndim
+            sequence_axis = self.sequence_axis % tensor.ndim
+            x = jnp.moveaxis(tensor, (batch_axis, sequence_axis), (0, 1))
+            cw = ceil_w.reshape(ceil_w.shape + (1,) * (x.ndim - 2))
+            fw = floor_w.reshape(floor_w.shape + (1,) * (x.ndim - 2))
+            y = x[batch_indices, ceil] * cw + x[batch_indices, floor] * fw
+            out.append(
+                jnp.moveaxis(y, (0, 1), (batch_axis, sequence_axis)))
+        return (*out, seq_len)
 
 
 class Uniform:

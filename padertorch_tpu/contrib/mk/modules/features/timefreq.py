@@ -12,7 +12,45 @@ from padertorch_tpu.base import Module
 from padertorch_tpu import random as ptrandom
 from padertorch_tpu.ops import _stft
 
-__all__ = ['STFT', 'MelTransform', 'MFCC', 'SpecAug']
+__all__ = ['STFT', 'MelTransform', 'MFCC', 'SpecAug', 'Logarithm']
+
+
+class Logarithm(Module):
+    """Logarithm with configurable base and eps clamp, plus inverse.
+
+    Reference parity: ``mk/modules/features/timefreq.py:37`` —
+    ``log_base`` in {None, 'e', 10, 2, False (disable), other float}.
+
+    >>> import jax.numpy as jnp
+    >>> log = Logarithm(log_base=10)
+    >>> float(log(jnp.asarray(100.)))
+    2.0
+    >>> round(float(log.inverse(log(jnp.asarray(3.)))), 5)
+    3.0
+    """
+
+    def __init__(self, log_base=10, eps=1e-5):
+        self.eps = eps
+        self.log_base = log_base
+        if log_base is None or log_base == 'e':
+            self._log = jnp.log
+            self._pow = jnp.exp
+        elif log_base is False:
+            self._log = self._pow = lambda x: x
+        elif float(log_base) in (10.0, 2.0) or float(log_base) > 0:
+            base = float(log_base)
+            self._log = lambda x: jnp.log(x) / np.log(base)
+            self._pow = lambda x: jnp.power(base, x)
+        else:
+            raise ValueError(f'log_base {log_base} is not supported')
+
+    def forward(self, x):
+        if self.log_base is False:
+            return x
+        return self._log(jnp.maximum(x, self.eps))
+
+    def inverse(self, x):
+        return self._pow(x)
 
 
 class STFT(Module):

@@ -19,7 +19,33 @@ from padertorch_tpu.module import Module
 from padertorch_tpu import nn
 from padertorch_tpu.modules.recurrent import LSTM, GRU
 
-__all__ = ['segment', 'overlap_add', 'DPRNN', 'DPRNNBlock']
+__all__ = ['segment', 'overlap_add', 'DPRNN', 'DPRNNBlock',
+           'apply_examplewise']
+
+
+def apply_examplewise(fn, x, sequence_lengths, time_axis=1):
+    """Apply ``fn`` per example, restricted to the valid time range.
+
+    Reference parity: ``modules/dual_path_rnn.py:258`` — for fns whose
+    output depends on the input's statistics (e.g. norms), masking is
+    not enough: each example is sliced to its true length, processed
+    with a singleton batch axis, and written back; padding stays zero.
+    Host-side utility (python loop, dynamic slices) — not for use
+    inside jit.
+    """
+    import jax.numpy as jnp
+    if sequence_lengths is None:
+        return fn(x)
+    assert time_axis != 0, 'The first axis must be the batch axis!'
+    assert len(sequence_lengths) == x.shape[0], (
+        len(sequence_lengths), x.shape)
+    time_axis = time_axis % x.ndim
+    out = jnp.zeros_like(x)
+    selector = (slice(None),) * (time_axis - 1)
+    for b, l in enumerate(sequence_lengths):
+        s = (b, *selector, slice(int(l)))
+        out = out.at[s].set(fn(x[s][None, ...])[0])
+    return out
 
 
 def segment(signal, hop_size, window_size, sequence_lengths=None):

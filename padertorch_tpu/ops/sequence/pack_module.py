@@ -10,7 +10,8 @@ import numpy as np
 import jax.numpy as jnp
 
 __all__ = ['pack_sequence', 'unpack_sequence', 'pad_sequence',
-           'unpad_sequence']
+           'unpad_sequence', 'pack_sequence_include_channel',
+           'unpack_sequence_include_channel_like']
 
 
 def pack_sequence(sequences):
@@ -53,3 +54,44 @@ def pad_sequence(sequences, batch_first=True, padding_value=0.0):
 
 
 unpad_sequence = unpack_sequence
+
+
+def pack_sequence_include_channel(list_of_arrays):
+    """Pack (C, T_i, ...) arrays by flattening channels into the batch.
+
+    Reference parity: ``ops/sequence/pack_module.py:37`` — there the
+    channels become extra PackedSequence rows; here they become extra
+    rows of the padded batch, so the result feeds the same
+    batch-of-sequences consumers (e.g. a batched RNN).
+
+    >>> packed, lens = pack_sequence_include_channel(
+    ...     [np.zeros([2, 4, 5]), np.ones([2, 3, 5])])
+    >>> packed.shape, lens.tolist()
+    ((4, 4, 5), [4, 4, 3, 3])
+    """
+    flat = [channel for arr in list_of_arrays for channel in arr]
+    return pack_sequence(flat)
+
+
+def unpack_sequence_include_channel_like(packed, like):
+    """Inverse of :func:`pack_sequence_include_channel`; channel counts
+    come from the ``like`` arrays (ref ``pack_module.py:117``).
+
+    >>> xs = [np.zeros([2, 4, 5]), np.ones([2, 3, 5])]
+    >>> packed, lens = pack_sequence_include_channel(xs)
+    >>> [x.shape for x in unpack_sequence_include_channel_like(
+    ...     (packed, lens), like=xs)]
+    [(2, 4, 5), (2, 3, 5)]
+    """
+    assert isinstance(like, (tuple, list))
+    padded, lengths = packed
+    lengths = list(np.asarray(lengths))
+    pieces = []
+    index = 0
+    for entry in like:
+        channels = entry.shape[0]
+        ls, lengths = lengths[:channels], lengths[channels:]
+        assert len(set(int(l) for l in ls)) == 1, ls
+        pieces.append(padded[index:index + channels, :int(ls[0])])
+        index += channels
+    return pieces

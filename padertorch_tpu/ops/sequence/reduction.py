@@ -8,7 +8,24 @@ import jax.numpy as jnp
 
 from padertorch_tpu.ops.sequence.mask import compute_mask
 
-__all__ = ['sequence_reduction', 'masked_mean', 'masked_sum']
+__all__ = ['sequence_reduction', 'masked_mean', 'masked_sum',
+           'packed_batch_sizes_to_sequence_lengths']
+
+
+def packed_batch_sizes_to_sequence_lengths(batch_sizes):
+    """torch PackedSequence ``batch_sizes`` -> per-example lengths.
+
+    Reference parity: ``ops/sequence/reduction.py`` — useful when
+    importing torch-packed data: example ``b``'s length is the number
+    of time steps whose batch size exceeds ``b``.
+
+    >>> packed_batch_sizes_to_sequence_lengths([4, 4, 4, 2]).tolist()
+    [4, 4, 3, 3]
+    """
+    import numpy as np
+    batch_sizes = np.asarray(batch_sizes)
+    return (np.arange(batch_sizes[0])[:, None]
+            < batch_sizes[None, :]).sum(axis=-1)
 
 
 def masked_sum(x, sequence_lengths, batch_axis=0, sequence_axis=1,
