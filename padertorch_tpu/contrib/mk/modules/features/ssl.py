@@ -7,10 +7,11 @@ Here wav2vec2 is a **self-contained JAX graph**
 feature encoder + transformer encoder, HF-checkpoint importer, ALiBi/
 RoPE/KERPLE/Longformer attention variants) that jits into the training
 step; a HuggingFace **Flax** delegate remains available as
-``backend='flax'``.  WavLM/HuBERT (no Flax port exists upstream) are
-host-side torch-CPU extractors meant for the data pipeline — the usual
-deployment for *frozen* SSL frontends, and it keeps the TPU graph free
-of per-layer host callbacks.
+``backend='flax'``.  WavLM (gated relative position bias,
+:mod:`...features.wavlm`) and HuBERT (wav2vec2 trunk) are native JAX
+too (``backend='native'``, the default); ``backend='torch'`` keeps the
+host-side torch-CPU extractor for data pipelines that want a frozen
+frontend off the TPU graph.
 
 Pretrained weights require a local checkpoint (or network access); in
 offline environments construct with ``pretrained=False`` (random init,
@@ -188,7 +189,16 @@ class _TorchSSLExtractor:
     resulting features to the TPU model.
     """
 
-    hf_model_cls = None  # set in subclass
+    hf_model_cls = None  # set via build()
+
+    @classmethod
+    def build(cls, hf_model_cls, config_cls, model_path,
+              pretrained=True, layer=-1):
+        ext = cls.__new__(cls)
+        ext.hf_model_cls = hf_model_cls
+        ext.__init__(model_path, pretrained=pretrained, layer=layer,
+                     config_cls=config_cls)
+        return ext
 
     def __init__(self, model_path, pretrained=True, layer=-1,
                  config_cls=None):
@@ -232,32 +242,148 @@ class _TorchSSLExtractor:
         return feats[0] if squeeze else feats
 
 
-class WavLM(_TorchSSLExtractor):
+class _NativeSSLWrapper(Module):
+    """Shared native-backend plumbing for WavLM/HuBERT: holds the pure
+    JAX model (buffer when frozen), exposes the Wav2Vec2-style
+    forward/length/padding API."""
+
+    def _wrap(self, model, trainable):
+        if trainable:
+            self.model = model
+        else:
+            self.register_buffer('model', model)
+        self.hidden_size = model.hidden_size
+        self.downsample_factor = model.downsample_factor
+        self.window_size = model.window_size
+        self.num_layers = model.num_layers
+
+    @property
+    def frame_rate(self):
+        return SAMPLING_RATE // self.downsample_factor
+
+    def add_padding(self, sequence_lengths, *, signal=None,
+                    fading='half'):
+        return self.model.add_padding(
+            sequence_lengths, signal=signal, fading=fading)
+
+    def compute_output_lengths(self, input_lengths):
+        return self.model.compute_output_lengths(input_lengths)
+
+    def forward(self, audio, sequence_lengths=None,
+                return_latents=False):
+        return self.model(
+            audio, sequence_lengths=sequence_lengths,
+            return_latents=return_latents)
+
+
+class WavLM(_NativeSSLWrapper):
     """WavLM features (reference ssl/wavlm.py:23); see
-    ``PR_*/SID_*_LAYER`` for task-appropriate layer choices."""
+    ``PR_*/SID_*_LAYER`` for task-appropriate layer choices.
+
+    ``backend='native'`` (default) runs the in-repo JAX WavLM graph
+    (:class:`...features.wavlm.WavLMModel` — gated relative position
+    bias attention, HF-checkpoint-importable, jittable/finetunable).
+    ``backend='torch'`` keeps the host-side torch-CPU extractor.
+
+    >>> from padertorch_tpu import random as ptrandom
+    >>> ptrandom.seed(0)
+    >>> m = WavLM(pretrained=False, tiny=True)
+    >>> import jax.numpy as jnp
+    >>> x, seq_len = m(jnp.zeros((2, 800)), sequence_lengths=[800, 700])
+    >>> x.shape
+    (2, 79, 16)
+    """
 
     def __init__(self, model_path='microsoft/wavlm-base',
-                 pretrained=True, layer=-1):
-        from transformers import WavLMConfig, WavLMModel
+                 pretrained=True, trainable=False, layer=-1,
+                 backend='native', tiny=False, **config_overrides):
         if 'wavlm' not in str(model_path).lower():
             raise ValueError(
                 'WavLM only supports WavLM models.\n'
                 f'model_path: {model_path}')
-        type(self).hf_model_cls = WavLMModel
-        super().__init__(model_path, pretrained=pretrained, layer=layer,
-                         config_cls=WavLMConfig)
+        self.layer = layer
+        self.backend = backend
+        if backend == 'native':
+            from padertorch_tpu.contrib.mk.modules.features.wavlm \
+                import WavLMModel, load_hf_wavlm
+            if pretrained:
+                model = load_hf_wavlm(model_path, layer=layer)
+            else:
+                cfg = dict(_TINY_W2V2, num_buckets=32,
+                           max_bucket_distance=64) if tiny else {}
+                cfg.update(config_overrides)
+                model = WavLMModel(**cfg, layer=layer).eval()
+            self._wrap(model, trainable)
+        elif backend == 'torch':
+            from transformers import WavLMConfig, WavLMModel
+            self._torch_extractor = _TorchSSLExtractor.build(
+                WavLMModel, WavLMConfig, model_path,
+                pretrained=pretrained, layer=layer)
+            self.hidden_size = self._torch_extractor.hidden_size
+        else:
+            raise ValueError(f'Unknown backend: {backend}')
+
+    def forward(self, audio, sequence_lengths=None,
+                return_latents=False):
+        if self.backend == 'torch':
+            assert not return_latents, (
+                'return_latents requires backend="native"')
+            return (self._torch_extractor(audio, sequence_lengths),
+                    None)
+        return super().forward(audio, sequence_lengths=sequence_lengths,
+                               return_latents=return_latents)
 
 
-class HuBERT(_TorchSSLExtractor):
-    """HuBERT features (reference ssl/hubert.py)."""
+class HuBERT(_NativeSSLWrapper):
+    """HuBERT features (reference ssl/hubert.py).  HuBERT's inference
+    graph is the wav2vec2 trunk, so ``backend='native'`` (default)
+    runs it via :class:`...features.wav2vec2.Wav2Vec2Model` with the
+    HuBERT checkpoint importer; ``backend='torch'`` keeps the
+    host-side torch-CPU extractor.
+
+    >>> from padertorch_tpu import random as ptrandom
+    >>> ptrandom.seed(0)
+    >>> m = HuBERT(pretrained=False, tiny=True)
+    >>> import jax.numpy as jnp
+    >>> x, seq_len = m(jnp.zeros((2, 800)), sequence_lengths=[800, 700])
+    >>> x.shape
+    (2, 79, 16)
+    """
 
     def __init__(self, model_path='facebook/hubert-base-ls960',
-                 pretrained=True, layer=-1):
-        from transformers import HubertConfig, HubertModel
+                 pretrained=True, trainable=False, layer=-1,
+                 backend='native', tiny=False, **config_overrides):
         if 'hubert' not in str(model_path).lower():
             raise ValueError(
                 'HuBERT only supports HuBERT models.\n'
                 f'model_path: {model_path}')
-        type(self).hf_model_cls = HubertModel
-        super().__init__(model_path, pretrained=pretrained, layer=layer,
-                         config_cls=HubertConfig)
+        self.layer = layer
+        self.backend = backend
+        if backend == 'native':
+            from padertorch_tpu.contrib.mk.modules.features.wav2vec2 \
+                import load_hf_hubert
+            if pretrained:
+                model = load_hf_hubert(model_path, layer=layer)
+            else:
+                cfg = dict(_TINY_W2V2) if tiny else {}
+                cfg.update(config_overrides)
+                model = Wav2Vec2Model(**cfg, layer=layer).eval()
+            self._wrap(model, trainable)
+        elif backend == 'torch':
+            from transformers import HubertConfig, HubertModel
+            self._torch_extractor = _TorchSSLExtractor.build(
+                HubertModel, HubertConfig, model_path,
+                pretrained=pretrained, layer=layer)
+            self.hidden_size = self._torch_extractor.hidden_size
+        else:
+            raise ValueError(f'Unknown backend: {backend}')
+
+    def forward(self, audio, sequence_lengths=None,
+                return_latents=False):
+        if self.backend == 'torch':
+            assert not return_latents, (
+                'return_latents requires backend="native"')
+            return (self._torch_extractor(audio, sequence_lengths),
+                    None)
+        return super().forward(audio, sequence_lengths=sequence_lengths,
+                               return_latents=return_latents)

@@ -36,7 +36,7 @@ from padertorch_tpu.contrib.mk.modules.transformer import (
 
 __all__ = [
     'ConvFeatureEncoder', 'FeatureProjection', 'Wav2Vec2Encoder',
-    'Wav2Vec2Model', 'load_hf_wav2vec2',
+    'Wav2Vec2Model', 'load_hf_wav2vec2', 'load_hf_hubert',
     'alibi_bias', 'kerple_log_bias', 'longformer_bias',
 ]
 
@@ -474,56 +474,27 @@ def _ln(ln, sd, prefix):
     ln.bias = _t(sd, f'{prefix}.bias')
 
 
-def load_hf_wav2vec2(model_path_or_sd, config=None, layer=-1):
-    """Build a :class:`Wav2Vec2Model` from a HuggingFace torch
-    ``Wav2Vec2Model`` checkpoint (local directory with
-    ``pytorch_model.bin``/``model.safetensors`` + ``config.json``, or
-    an already-loaded ``state_dict`` plus a config dict).
+def _hf_config_to_kwargs(c):
+    """Shared HF config fields for the wav2vec2 architecture family
+    (Wav2Vec2Config / HubertConfig expose the same names)."""
+    return dict(
+        conv_dim=tuple(c.conv_dim), conv_kernel=tuple(c.conv_kernel),
+        conv_stride=tuple(c.conv_stride), conv_bias=c.conv_bias,
+        feat_extract_norm=c.feat_extract_norm,
+        d_model=c.hidden_size, num_layers=c.num_hidden_layers,
+        num_heads=c.num_attention_heads,
+        d_ff=c.intermediate_size,
+        do_stable_layer_norm=c.do_stable_layer_norm,
+        num_conv_pos_embeddings=c.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=(
+            c.num_conv_pos_embedding_groups),
+        layer_norm_eps=c.layer_norm_eps,
+    )
 
-    torch/transformers are used for deserialization only — the
-    returned model is pure JAX.
-    """
-    if isinstance(model_path_or_sd, dict):
-        sd = {k: np.asarray(v) for k, v in model_path_or_sd.items()}
-        assert config is not None
-        cfg = dict(config)
-    else:
-        from transformers import Wav2Vec2Config, Wav2Vec2Model as HFModel
-        hf = HFModel.from_pretrained(str(model_path_or_sd))
-        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
-        c = hf.config
-        cfg = dict(
-            conv_dim=tuple(c.conv_dim), conv_kernel=tuple(c.conv_kernel),
-            conv_stride=tuple(c.conv_stride), conv_bias=c.conv_bias,
-            feat_extract_norm=c.feat_extract_norm,
-            d_model=c.hidden_size, num_layers=c.num_hidden_layers,
-            num_heads=c.num_attention_heads,
-            d_ff=c.intermediate_size,
-            do_stable_layer_norm=c.do_stable_layer_norm,
-            num_conv_pos_embeddings=c.num_conv_pos_embeddings,
-            num_conv_pos_embedding_groups=(
-                c.num_conv_pos_embedding_groups),
-            layer_norm_eps=c.layer_norm_eps,
-        )
-    model = Wav2Vec2Model(**cfg, layer=layer)
 
-    # conv feature encoder
-    for i, block in enumerate(model.feature_extractor.conv_layers):
-        p = f'feature_extractor.conv_layers.{i}'
-        block.conv.weight = _t(sd, f'{p}.conv.weight')
-        if f'{p}.conv.bias' in sd:
-            block.conv.bias = _t(sd, f'{p}.conv.bias')
-        if f'{p}.layer_norm.weight' in sd:
-            _ln(block.layer_norm, sd, f'{p}.layer_norm')
-
-    _ln(model.feature_projection.layer_norm, sd,
-        'feature_projection.layer_norm')
-    _linear(model.feature_projection.projection, sd,
-            'feature_projection.projection')
-
-    # positional conv embedding: HF stores weight-norm with dim=2
-    # (per-tap norm over (out, in) — torch weight_norm(conv, dim=2))
-    pc = 'encoder.pos_conv_embed.conv'
+def _load_pos_conv(conv, sd, pc):
+    """Positional conv embedding: HF stores weight-norm with dim=2
+    (per-tap norm over (out, in) — torch weight_norm(conv, dim=2))."""
     if f'{pc}.weight' in sd:
         w = np.asarray(sd[f'{pc}.weight'])
     else:
@@ -539,9 +510,28 @@ def load_hf_wav2vec2(model_path_or_sd, config=None, layer=-1):
                 break
         else:  # pragma: no cover
             raise KeyError(f'no pos-conv weight under {pc}')
-    model.encoder.pos_conv_embed.conv.weight = jnp.asarray(w)
-    model.encoder.pos_conv_embed.conv.bias = _t(sd, f'{pc}.bias')
+    conv.weight = jnp.asarray(w)
+    conv.bias = _t(sd, f'{pc}.bias')
 
+
+def _load_w2v2_body(model, sd):
+    """Load the shared wav2vec2-family trunk (conv encoder, feature
+    projection, pos-conv, per-layer FFN/layer norms and default
+    q/k/v/out attention projections) from a HF state dict."""
+    for i, block in enumerate(model.feature_extractor.conv_layers):
+        p = f'feature_extractor.conv_layers.{i}'
+        block.conv.weight = _t(sd, f'{p}.conv.weight')
+        if f'{p}.conv.bias' in sd:
+            block.conv.bias = _t(sd, f'{p}.conv.bias')
+        if f'{p}.layer_norm.weight' in sd:
+            _ln(block.layer_norm, sd, f'{p}.layer_norm')
+
+    _ln(model.feature_projection.layer_norm, sd,
+        'feature_projection.layer_norm')
+    _linear(model.feature_projection.projection, sd,
+            'feature_projection.projection')
+    _load_pos_conv(model.encoder.pos_conv_embed.conv, sd,
+                   'encoder.pos_conv_embed.conv')
     _ln(model.encoder.layer_norm, sd, 'encoder.layer_norm')
     for i, lyr in enumerate(model.encoder.layers):
         p = f'encoder.layers.{i}'
@@ -554,4 +544,51 @@ def load_hf_wav2vec2(model_path_or_sd, config=None, layer=-1):
         _linear(lyr.feed_forward.output_dense, sd,
                 f'{p}.feed_forward.output_dense')
         _ln(lyr.final_layer_norm, sd, f'{p}.final_layer_norm')
-    return model.eval()
+    return model
+
+
+def load_hf_wav2vec2(model_path_or_sd, config=None, layer=-1):
+    """Build a :class:`Wav2Vec2Model` from a HuggingFace torch
+    ``Wav2Vec2Model`` checkpoint (local directory with
+    ``pytorch_model.bin``/``model.safetensors`` + ``config.json``, or
+    an already-loaded ``state_dict`` plus a config dict).
+
+    torch/transformers are used for deserialization only — the
+    returned model is pure JAX.
+    """
+    if isinstance(model_path_or_sd, dict):
+        sd = {k: np.asarray(v) for k, v in model_path_or_sd.items()}
+        assert config is not None
+        cfg = dict(config)
+    else:
+        from transformers import Wav2Vec2Model as HFModel
+        hf = HFModel.from_pretrained(str(model_path_or_sd))
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        cfg = _hf_config_to_kwargs(hf.config)
+    model = Wav2Vec2Model(**cfg, layer=layer)
+    return _load_w2v2_body(model, sd).eval()
+
+
+def load_hf_hubert(model_path_or_sd, config=None, layer=-1):
+    """Build a :class:`Wav2Vec2Model` from a HuggingFace torch
+    ``HubertModel`` checkpoint (reference ``ssl/hubert.py`` delegates
+    to the pretrained model; HuBERT's inference graph is exactly the
+    wav2vec2 trunk — conv feature encoder + transformer encoder — so
+    the native Wav2Vec2Model runs it on-TPU)."""
+    if isinstance(model_path_or_sd, dict):
+        sd = {k: np.asarray(v) for k, v in model_path_or_sd.items()}
+        assert config is not None
+        cfg = dict(config)
+    else:
+        from transformers import HubertModel as HFModel
+        hf = HFModel.from_pretrained(str(model_path_or_sd))
+        if not getattr(hf.config, 'feat_proj_layer_norm', True):
+            raise NotImplementedError(
+                'feat_proj_layer_norm=False HuBERT variants are not '
+                'supported')
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        cfg = _hf_config_to_kwargs(hf.config)
+    model = Wav2Vec2Model(**cfg, layer=layer)
+    return _load_w2v2_body(model, sd).eval()
+
+
