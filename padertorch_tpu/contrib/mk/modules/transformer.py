@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from padertorch_tpu.base import Module
 from padertorch_tpu import nn
+from padertorch_tpu import random as ptrandom
 from padertorch_tpu.ops.sequence.mask import compute_mask
 
 __all__ = [
@@ -27,6 +28,11 @@ __all__ = [
     'TransformerDecoderLayer',
     'TransformerDecoder',
     'DynamicTanh',
+    'PositionalConvEmbedding',
+    'PositionalEncoding',
+    'positional_embedding',
+    'interleave',
+    'MPLinear',
 ]
 
 
@@ -331,3 +337,118 @@ class PositionalConvEmbedding(Module):
             h = h[..., :-1]
         h = jax.nn.gelu(h)
         return x + jnp.swapaxes(h, 1, 2)
+
+
+def interleave(x, y, axis):
+    """Interleave ``x`` and ``y`` along ``axis`` (x0, y0, x1, y1, ...).
+
+    Reference parity: ``mk/modules/transformer.py:28``.
+
+    >>> interleave(jnp.array([[1., 2., 3.]]),
+    ...            jnp.array([[4., 5., 6.]]), axis=1).tolist()
+    [[1.0, 4.0, 2.0, 5.0, 3.0, 6.0]]
+    """
+    axis = axis % x.ndim
+    shape = list(x.shape)
+    shape[axis] *= 2
+    return jnp.stack((x, y), axis=axis + 1).reshape(shape)
+
+
+def positional_embedding(d_model: int, max_len: int = 5000):
+    """Sinusoidal position table, shape ``(max_len, 1, d_model)``.
+
+    Reference parity: ``mk/modules/transformer.py:47`` — note the
+    reference uses ``max_len`` (not the Vaswani 10000) as the frequency
+    base and ``d_model // 2`` as the exponent denominator; reproduced
+    here.
+
+    >>> pe = positional_embedding(8, max_len=16)
+    >>> pe.shape
+    (16, 1, 8)
+    >>> bool(jnp.all(pe[0, 0, 0::2] == 0)), bool(jnp.all(pe[0, 0, 1::2] == 1))
+    (True, True)
+    """
+    position = np.arange(max_len)[:, None]
+    half = d_model // 2
+    div_term = np.exp(np.arange(0, half) * (-math.log(float(max_len)) / half))
+    pe = np.zeros((max_len, 1, d_model), dtype='float32')
+    pe[:, 0, 0::2] = np.sin(position * div_term)
+    pe[:, 0, 1::2] = np.cos(position * div_term)
+    return jnp.asarray(pe)
+
+
+class PositionalEncoding(Module):
+    """Additive sinusoidal positional encoding with dropout.
+
+    Reference parity: ``mk/modules/transformer.py:113``.
+
+    >>> import padertorch_tpu as pt
+    >>> pt.random.seed(0)
+    >>> enc = PositionalEncoding(8, max_len=32).eval()
+    >>> enc(jnp.zeros((2, 5, 8))).shape
+    (2, 5, 8)
+    """
+
+    def __init__(self, d_model, dropout=0.0, max_len=5000,
+                 batch_first=True):
+        self.dropout = nn.Dropout(dropout) if dropout else None
+        self.batch_first = batch_first
+        pe = positional_embedding(d_model, max_len)
+        if batch_first:
+            pe = jnp.swapaxes(pe, 0, 1)
+        self.register_buffer('pe', pe)
+
+    def forward(self, x):
+        """x: (B, T, D) if batch_first else (T, B, D)."""
+        if self.batch_first:
+            x = x + self.pe[:, :x.shape[1]]
+        else:
+            x = x + self.pe[:x.shape[0]]
+        if self.dropout is not None:
+            x = self.dropout(x)
+        return x
+
+
+class MPLinear(Module):
+    """Linear layer with optional forced weight normalization
+    (magnitude-preserving, Karras et al. 2024 Alg. 1).
+
+    Reference parity: ``mk/modules/transformer.py:59`` — with
+    ``magnitude_preserving=True`` the weight is kept on the unit sphere
+    (the reference re-normalizes in-place each training step; here the
+    normalization is applied functionally in the forward, its fixed
+    point — gradients are projected identically) and the output is
+    scaled by ``1/sqrt(in_features)``; with a bias, input and bias are
+    halved and the result rescaled by ``sqrt(2)`` so activation
+    magnitudes stay ~1.
+    """
+
+    def __init__(self, in_features, out_features, bias=True,
+                 magnitude_preserving=False, chunks=None):
+        self.magnitude_preserving = magnitude_preserving
+        self.chunks = chunks
+        self.in_features = in_features
+        if magnitude_preserving:
+            self.weight = jax.random.normal(
+                ptrandom.init_key(), (out_features, in_features))
+        else:  # xavier uniform, like the reference
+            bound = math.sqrt(6.0 / (in_features + out_features))
+            self.weight = jax.random.uniform(
+                ptrandom.init_key(), (out_features, in_features),
+                minval=-bound, maxval=bound)
+        self.bias = jnp.zeros((out_features,)) if bias else None
+
+    def forward(self, x):
+        from padertorch_tpu.contrib.mk.modules.utils import normalize
+        w, bias, scale = self.weight, self.bias, 1.0
+        if self.magnitude_preserving:
+            w = normalize(w, chunks=self.chunks) / math.sqrt(
+                self.in_features)
+            if bias is not None:
+                bias = 0.5 * bias
+                x = 0.5 * x
+                scale = math.sqrt(2.0)
+        y = x @ w.T
+        if bias is not None:
+            y = y + bias
+        return y / scale
