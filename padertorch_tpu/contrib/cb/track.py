@@ -28,6 +28,7 @@ __all__ = [
     'Tracker',
     'ShapeTracker',
     'DTypeTracker',
+    'DeviceTracker',
     'ParameterTracker',
     'TimeTracker',
     'IOPNumTracker',
@@ -81,6 +82,23 @@ class DTypeTracker(Tracker):
 
     def post(self, module, args, kwargs, output):
         return f'{_dtypes(output)}'
+
+
+class DeviceTracker(Tracker):
+    """Device placement of the output arrays (reference
+    ``cb/track.py:441``; there per-tensor ``.device``, here the set of
+    JAX devices the output leaves are committed to)."""
+    header = 'device'
+
+    def post(self, module, args, kwargs, output):
+        devices = set()
+        for leaf in jax.tree_util.tree_leaves(output):
+            if hasattr(leaf, 'devices'):
+                try:
+                    devices |= {str(d) for d in leaf.devices()}
+                except Exception:
+                    pass
+        return ','.join(sorted(devices)) if devices else '-'
 
 
 class ParameterTracker(Tracker):

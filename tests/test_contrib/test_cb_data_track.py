@@ -92,3 +92,44 @@ def test_memory_trackers_report():
     assert 'device mem' in text
     # the first Linear moves 7*4*4 in, 7*64*4 out, (4*64+64)*4 params
     assert '112 / 1_792 / 1_280 B' in text, text
+
+
+def test_device_tracker_reports_placement():
+    from padertorch_tpu import nn, random as ptrandom
+    from padertorch_tpu.contrib.cb.track import track, DeviceTracker
+    ptrandom.seed(0)
+    net = nn.Sequential(nn.Linear(4, 8), nn.ReLU())
+    with track(net, trackers=[DeviceTracker()]) as report:
+        _ = net(jnp.ones((3, 4)))
+    text = str(report)
+    assert 'device' in text
+    # the CPU test backend reports TFRT_CPU / cpu devices
+    assert 'cpu' in text.lower(), text
+
+
+def test_review_summary_reference_semantics():
+    from padertorch_tpu.contrib.cb.summary import ReviewSummary
+    import pytest as _pytest
+    s = ReviewSummary(prefix='p/', visible_dB=40)
+    s.add_scalar('x', 1.0)
+    s.add_scalar('x', 2.0, 3.0)
+    assert s['scalars']['p/x'] == [1.0, 2.0, 3.0]
+    s.add_histogram('h', np.arange(3))
+    s.add_histogram('h', np.arange(2))
+    assert len(s['histograms']['p/h']) == 2
+    s.add_buffer('b', {'n': 1})
+    s.add_buffer('b', {'n': 2})
+    assert [d['n'] for d in s['buffers']['p/b']] == [1, 2]
+    # image ndim validation
+    with _pytest.raises(AssertionError, match='ndim == 3'):
+        s.add_image('bad', np.zeros((4, 4)))
+    # rearrange + batch_first pass-through
+    s.add_spectrogram_image(
+        'spec', np.random.uniform(size=(5, 7)) + 0.1,
+        rearrange='t f -> f t')
+    assert s['images']['p/spec'].shape[0] in (1, 3, 4)
+    # audio normalization via tbx_utils.audio
+    sig, sr = (np.array([0.0, 0.5, -0.25]), None)
+    s.add_audio('a', sig, sampling_rate=8000)
+    wav, rate = s['audios']['p/a']
+    assert rate == 8000 and abs(np.abs(wav).max() - 0.95) < 1e-6
