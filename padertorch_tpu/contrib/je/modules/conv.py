@@ -483,6 +483,57 @@ class _CNN(Module):
             return x, seq_len, pool_indices
         return x, seq_len
 
+    def get_shapes(self, in_shape):
+        """Per-layer full output shapes ``[in_shape, out_0, ...]``
+        (reference ``je/modules/conv.py`` ``CNN.get_shapes``).
+
+        >>> cnn = CNN2d(in_channels=1, out_channels=[4, 8],
+        ...             kernel_size=3, pool_size=2)
+        >>> cnn.get_shapes((2, 1, 16, 100))
+        [(2, 1, 16, 100), (2, 4, 8, 50), (2, 8, 4, 25)]
+        """
+        shapes = [tuple(in_shape)]
+        cur = np.asarray(in_shape[2:])
+        batch = in_shape[0]
+        for conv, pool in zip(self.convs, self.pools):
+            cur = np.asarray([
+                compute_conv_out_size(int(c), k, d, s, p)
+                for c, k, d, s, p in zip(
+                    cur, conv.kernel_size, conv.dilation, conv.stride,
+                    conv.pad_type)
+            ])
+            if pool.pool_type is not None and \
+                    pool.pool_size not in (1, None):
+                pk = to_list(pool.pool_size, self.n)
+                ps = to_list(pool.pool_stride, self.n)
+                pp = to_list(pool.pad_type, self.n)
+                out = []
+                for c, ki, si, pi in zip(cur, pk, ps, pp):
+                    f, e = compute_pad_size(ki, 1, si, pi)
+                    out.append((int(c) + f + e - ki) // si + 1)
+                cur = np.asarray(out)
+            out_channels = conv.out_channels
+            shapes.append(
+                (batch, out_channels) + tuple(int(c) for c in cur))
+        return shapes
+
+    def get_seq_lens(self, in_lengths):
+        """Per-layer sequence lengths ``[in_lengths, out_0, ...]``
+        (reference ``CNN.get_seq_lens``; time = last axis)."""
+        seq = np.asarray(in_lengths)
+        lens = [seq]
+        for conv, pool in zip(self.convs, self.pools):
+            seq = conv.get_out_lengths(seq)
+            if pool.pool_type is not None and \
+                    pool.pool_size not in (1, None):
+                k = to_list(pool.pool_size, self.n)[-1]
+                s = to_list(pool.pool_stride, self.n)[-1]
+                p = to_list(pool.pad_type, self.n)[-1]
+                f, e = compute_pad_size(k, 1, s, p)
+                seq = np.maximum((seq + f + e - k) // s + 1, 1)
+            lens.append(seq)
+        return lens
+
     def get_receptive_field(self):
         """Receptive field (reference je/modules/conv.py:944)."""
         is_2d = self.n == 2
