@@ -18,8 +18,84 @@ from padertorch_tpu.modules.normalization import Normalization
 
 __all__ = ['Conv1d', 'Conv2d', 'ConvTranspose1d', 'ConvTranspose2d',
            'CNN1d', 'CNN2d', 'CNNTranspose1d', 'CNNTranspose2d',
-           'Pool1d', 'Pool2d', 'Unpool1d', 'Unpool2d',
+           'Pool1d', 'Pool2d', 'Unpool1d', 'Unpool2d', 'Pad', 'Trim',
            'compute_transpose_out_size']
+
+_PAD_MODE_MAP = {  # torch F.pad mode -> jnp.pad mode
+    'constant': 'constant',
+    'replicate': 'edge',
+    'reflect': 'reflect',
+    'circular': 'wrap',
+}
+
+
+class Pad(Module):
+    """Pad the last (two) axes by ``size`` at front/end/both
+    (reference ``je/modules/conv_utils.py:11``; 'both' with an odd size
+    pads the end one more than the front).
+
+    >>> Pad(side='both')(jnp.ones((1, 1, 4)), 3).shape
+    (1, 1, 7)
+    """
+
+    def __init__(self, side='both', mode='constant'):
+        self.side = side
+        self.mode = mode
+
+    def forward(self, x, size):
+        assert x.ndim in (3, 4), x.shape
+        n = x.ndim - 2
+        sides = to_list(self.side, n)
+        sizes = to_list(size, n)
+        if not any(np.asarray(sizes)):
+            return x
+        pad = [(0, 0), (0, 0)]
+        for side, sz in zip(sides, sizes):
+            if side is None or sz < 1:
+                assert sz == 0, sizes
+                pad.append((0, 0))
+            elif side == 'front':
+                pad.append((sz, 0))
+            elif side == 'both':
+                pad.append((sz // 2, -(-sz // 2)))
+            elif side == 'end':
+                pad.append((0, sz))
+            else:
+                raise ValueError(f'pad side {side} unknown')
+        return jnp.pad(x, pad, mode=_PAD_MODE_MAP[self.mode])
+
+
+class Trim(Module):
+    """Counterpart to :class:`Pad`: remove ``size`` values from the last
+    (two) axes (reference ``je/modules/conv_utils.py:57``; 'both' with an
+    odd size trims the end one more than the front).
+
+    >>> Trim(side='front')(jnp.ones((1, 1, 7)), 3).shape
+    (1, 1, 4)
+    """
+
+    def __init__(self, side='both'):
+        self.side = side
+
+    def forward(self, x, size):
+        assert x.ndim in (3, 4), x.shape
+        n = x.ndim - 2
+        sides = to_list(self.side, n)
+        sizes = to_list(size, n)
+        slc = [slice(None)] * x.ndim
+        for i, (side, sz) in enumerate(zip(sides, sizes)):
+            axis = 2 + i
+            if side is None or sz < 1:
+                assert sz == 0, sizes
+            elif side == 'front':
+                slc[axis] = slice(sz, x.shape[axis])
+            elif side == 'both':
+                slc[axis] = slice(sz // 2, -(-(-sz // 2)) or None)
+            elif side == 'end':
+                slc[axis] = slice(0, -sz)
+            else:
+                raise ValueError(f'trim side {side} unknown')
+        return x[tuple(slc)]
 
 
 def compute_pad_size(kernel_size, dilation, stride, pad_type):

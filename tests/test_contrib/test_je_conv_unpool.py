@@ -93,3 +93,32 @@ def test_unpool_identity_when_pool_size_1():
     x = np.ones((1, 2, 5), np.float32)
     up, seq_len = Unpool1d(pool_size=1)(x, seq_len=np.array([4]))
     assert up.shape == x.shape and seq_len[0] == 4
+
+
+def test_pad_trim_reference_semantics():
+    import numpy as np
+    import jax.numpy as jnp
+    from padertorch_tpu.contrib.je.modules.conv import Pad, Trim
+
+    x = jnp.asarray(np.arange(8, dtype='float32')).reshape(1, 1, 8)
+    # 'both' odd size: end gets one more than front
+    p = Pad(side='both')(x, 3)
+    assert p.shape == (1, 1, 11)
+    assert p[0, 0, 0] == 0 and p[0, 0, 1] == 0  # 1 front, 2 end
+    np.testing.assert_array_equal(np.asarray(p[0, 0, 1:9]), np.arange(8))
+    # trim inverts pad for matching side/size
+    t = Trim(side='both')(p, 3)
+    np.testing.assert_array_equal(np.asarray(t[0, 0]), np.arange(8))
+    # front/end sides
+    np.testing.assert_array_equal(
+        np.asarray(Trim(side='front')(x, 2)[0, 0]), np.arange(2, 8))
+    np.testing.assert_array_equal(
+        np.asarray(Trim(side='end')(x, 2)[0, 0]), np.arange(6))
+    # replicate mode maps to edge padding
+    r = Pad(side='end', mode='replicate')(x, 2)
+    assert r[0, 0, -1] == 7 and r[0, 0, -2] == 7
+    # 2d input with per-axis sides
+    x2 = jnp.ones((1, 1, 4, 6))
+    p2 = Pad(side=('front', 'end'))(x2, (2, 3))
+    assert p2.shape == (1, 1, 6, 9)
+    assert Trim(side=(None, 'both'))(p2, (0, 2)).shape == (1, 1, 6, 7)
