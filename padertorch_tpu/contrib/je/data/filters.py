@@ -4,7 +4,48 @@ Reference parity: ``padertorch/contrib/je/data/utils.py``/filters — small
 predicates used with ``dataset.filter``.
 """
 
-__all__ = ['MinLengthFilter', 'MaxLengthFilter', 'KeyPresenceFilter']
+from padertorch_tpu.utils.misc import to_list
+
+__all__ = ['MinLengthFilter', 'MaxLengthFilter', 'KeyPresenceFilter',
+           'DiscardLabelsFilter', 'RestrictLabelsFilter']
+
+
+class DiscardLabelsFilter:
+    """Drop examples whose ``key`` contains any of ``names``
+    (reference ``je/data/filters.py:4``).
+
+    >>> DiscardLabelsFilter('events', 'dog')({'events': ['cat', 'dog']})
+    False
+    >>> DiscardLabelsFilter('events', 'dog')({'events': 'cat'})
+    True
+    """
+
+    def __init__(self, key, names):
+        self.key = key
+        self.names = to_list(names)
+
+    def __call__(self, example):
+        return not any(
+            name in to_list(example[self.key]) for name in self.names)
+
+
+class RestrictLabelsFilter:
+    """Keep only examples whose ``key`` contains one of ``names``
+    (reference ``je/data/filters.py:13``).
+
+    >>> RestrictLabelsFilter('events', 'dog')({'events': ['cat', 'dog']})
+    True
+    >>> RestrictLabelsFilter('events', 'dog')({'events': 'cat'})
+    False
+    """
+
+    def __init__(self, key, names):
+        self.key = key
+        self.names = to_list(names)
+
+    def __call__(self, example):
+        return any(
+            name in to_list(example[self.key]) for name in self.names)
 
 
 class MinLengthFilter:

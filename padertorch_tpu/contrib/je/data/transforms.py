@@ -320,6 +320,60 @@ class MultiHotEncoder(LabelEncoder):
         return example
 
 
+class AlignmentEncoder(LabelEncoder):
+    """Expand per-event labels into a frame-level alignment vector
+    (reference ``je/data/transforms.py:421``): frames in
+    ``[<key>_start_frames[i], <key>_stop_frames[i])`` get label index i's
+    encoded value; unlabeled frames stay 0.  Frame count comes from
+    ``example['stft'].shape[1]``.
+    """
+
+    def __call__(self, example):
+        labels = super().__call__(example)[self.label_key]
+        if not isinstance(labels, (list, tuple, np.ndarray)):
+            labels = [labels]
+        n_frames = example['stft'].shape[1]
+        ali = np.zeros(n_frames, dtype=np.float32)
+        assert f'{self.label_key}_start_frames' in example, example.keys()
+        for label, onset, offset in zip(
+                labels,
+                example[f'{self.label_key}_start_frames'],
+                example[f'{self.label_key}_stop_frames'],
+        ):
+            ali[onset:offset] = label
+        example[self.label_key] = ali
+        return example
+
+
+class MultiHotAlignmentEncoder(LabelEncoder):
+    """Frame-level multi-hot alignment matrix ``(T, n_labels)``
+    (reference ``je/data/transforms.py:440``); overlapping events are
+    both active.
+    """
+
+    def __call__(self, example):
+        assert f'{self.label_key}_start_frames' in example, example.keys()
+        labels = super().__call__(example)[self.label_key]
+        if not isinstance(labels, (list, tuple, np.ndarray)):
+            labels = [labels]
+        seq_len = example['stft'].shape[1]
+        example[self.label_key] = self.encode_alignment(
+            zip(
+                example[f'{self.label_key}_start_frames'],
+                example[f'{self.label_key}_stop_frames'],
+                labels,
+            ),
+            seq_len=seq_len,
+        )
+        return example
+
+    def encode_alignment(self, onset_offset_label, seq_len):
+        ali = np.zeros((seq_len, len(self.label_mapping)), dtype=np.float32)
+        for onset, offset, label in onset_offset_label:
+            ali[onset:offset, label] = 1
+        return ali
+
+
 class StackArrays:
     """Stack a list of arrays that may differ in ONE dimension.
 

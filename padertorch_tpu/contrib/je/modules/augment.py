@@ -16,7 +16,53 @@ __all__ = [
     'Scale', 'Shift', 'Mixup', 'Mask', 'AdditiveNoise', 'GaussianBlur2d',
     'Superpose', 'TruncatedExponential', 'Uniform', 'LogTruncatedNormal',
     'TimeWarping',
+    'gaussian', 'get_gaussian_kernel1d', 'get_gaussian_kernel2d',
 ]
+
+
+def gaussian(window_size, sigma):
+    """Normalized Gaussian window (reference ``augment.py:403``).
+
+    ``sigma`` may be a scalar or a ``(B,)`` array -> ``(B, window_size)``
+    per-example windows (rows sum to 1).
+
+    >>> np.round(np.asarray(gaussian(3, 2.5), dtype='float64'), 4).tolist()
+    [0.3243, 0.3513, 0.3243]
+    """
+    x = jnp.arange(window_size, dtype='float32') - window_size // 2
+    sigma = jnp.asarray(sigma, dtype='float32')
+    if sigma.ndim > 0:
+        sigma = sigma[..., None]
+    if window_size % 2 == 0:
+        x = x + 0.5
+    g = jnp.exp(-x ** 2 / (2 * sigma ** 2))
+    return g / jnp.sum(g, axis=-1, keepdims=True)
+
+
+def get_gaussian_kernel1d(kernel_size, sigma, force_even=False):
+    """1-D Gaussian filter coefficients (reference ``augment.py:371``).
+
+    >>> np.round(np.asarray(get_gaussian_kernel1d(5, 1.5), dtype='float64'), 4).tolist()
+    [0.1201, 0.2339, 0.2921, 0.2339, 0.1201]
+    """
+    if (not isinstance(kernel_size, int)
+            or (kernel_size % 2 == 0 and not force_even)
+            or kernel_size <= 0):
+        raise TypeError(
+            f'kernel_size must be an odd positive integer. '
+            f'Got {kernel_size}')
+    return gaussian(kernel_size, sigma)
+
+
+def get_gaussian_kernel2d(kernel_size, sigma, force_even=False):
+    """2-D (separable) Gaussian kernel; with a ``(B,)`` sigma returns
+    ``(B, k, k)`` per-example kernels (reference ``augment.py:339``).
+
+    >>> np.round(np.asarray(get_gaussian_kernel2d(3, 1.5), dtype='float64'), 4).tolist()
+    [[0.0947, 0.1183, 0.0947], [0.1183, 0.1478, 0.1183], [0.0947, 0.1183, 0.0947]]
+    """
+    k1 = get_gaussian_kernel1d(kernel_size, sigma, force_even)
+    return k1[..., :, None] * k1[..., None, :]
 
 
 class TimeWarping(Module):
@@ -225,29 +271,43 @@ class AdditiveNoise(Module):
 
 
 class GaussianBlur2d(Module):
-    """Gaussian blur over the last two axes with a sampled sigma."""
+    """Gaussian blur over the last two axes with a *per-example* sampled
+    sigma (reference ``augment.py:258``: ``sigma_sampling_fn(B)`` draws B
+    sigmas, each example gets its own kernel via a grouped conv;
+    'reflect' boundary handling by default).
+    """
 
-    def __init__(self, kernel_size=5, sigma_sampling_fn=None):
+    def __init__(self, kernel_size=5, sigma_sampling_fn=None,
+                 pad_mode='reflect'):
+        assert pad_mode in ('constant', 'reflect', 'replicate',
+                            'circular'), pad_mode
         self.kernel_size = kernel_size
         self.sigma_sampling_fn = sigma_sampling_fn or Uniform(0.1, 1.0)
+        self.pad_mode = pad_mode
 
     def forward(self, x):
         if not self.training:
             return x
-        sigma = self.sigma_sampling_fn(ptrandom.next_key(), ())
+        assert x.ndim == 4, x.shape
+        b, c, h, w = x.shape
         k = self.kernel_size
-        grid = jnp.arange(k) - (k - 1) / 2
-        g = jnp.exp(-0.5 * (grid / jnp.maximum(sigma, 1e-3)) ** 2)
-        g = g / jnp.sum(g)
-        kernel = (g[:, None] * g[None, :]).reshape(1, 1, k, k)
-        b, c = x.shape[0], x.shape[1]
-        xp = x.reshape(b * c, 1, *x.shape[2:])
-        pad = k // 2
+        sigma = jnp.maximum(
+            self.sigma_sampling_fn(ptrandom.next_key(), (b,)), 1e-3)
+        kernels = get_gaussian_kernel2d(k, sigma)  # (B, k, k)
+        # depthwise conv: every (example, channel) plane gets its
+        # example's kernel
+        kernel = jnp.repeat(kernels, c, axis=0)[:, None]  # (B*C, 1, k, k)
+        mode = {'constant': 'constant', 'reflect': 'reflect',
+                'replicate': 'edge', 'circular': 'wrap'}[self.pad_mode]
+        lo, hi = (k - 1) // 2, -(-(k - 1) // 2)
+        xp = jnp.pad(
+            x, ((0, 0), (0, 0), (lo, hi), (lo, hi)), mode=mode)
+        xp = xp.reshape(1, b * c, *xp.shape[2:])
         y = jax.lax.conv_general_dilated(
-            xp, kernel.astype(x.dtype), (1, 1),
-            padding=((pad, pad), (pad, pad)),
-            dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
-        return y.reshape(x.shape)
+            xp, kernel.astype(x.dtype), (1, 1), padding='VALID',
+            dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+            feature_group_count=b * c)
+        return y.reshape(b, c, h, w)
 
 
 class Superpose(Module):
