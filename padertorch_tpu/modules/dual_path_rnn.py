@@ -20,7 +20,45 @@ from padertorch_tpu import nn
 from padertorch_tpu.modules.recurrent import LSTM, GRU
 
 __all__ = ['segment', 'overlap_add', 'DPRNN', 'DPRNNBlock',
-           'apply_examplewise']
+           'apply_examplewise', 'pack', 'unpack']
+
+
+def pack(x, sequence_lengths):
+    """Concatenate the valid prefixes of each example, dropping padding
+    (reference ``modules/dual_path_rnn.py:214``).  Inverse: :func:`unpack`.
+
+    Host-side utility (the output length is data-dependent, so it cannot
+    run under jit) — inside a jitted step use masks instead.
+
+    >>> a = jnp.ones((2, 4, 3))
+    >>> pack(a, [2, 4]).shape
+    (6, 3)
+    """
+    assert len(sequence_lengths) == len(x), (len(sequence_lengths), len(x))
+    return jnp.concatenate([
+        x_[:int(l)] for x_, l in zip(x, sequence_lengths)])
+
+
+def unpack(x, sequence_lengths):
+    """Inverse of :func:`pack`: re-pad to ``(B, T_max, ...)`` with zeros.
+
+    >>> a = jnp.arange(6.).reshape(6, 1)
+    >>> unpack(pack(unpack(a[:3], [3]), [3]), [3]).shape
+    (1, 3, 1)
+    >>> r = unpack(jnp.ones((5, 2)), [2, 3])
+    >>> r.shape, float(r[0, 2].sum())
+    ((2, 3, 2), 0.0)
+    """
+    sequence_lengths = [int(l) for l in sequence_lengths]
+    t_max = max(sequence_lengths)
+    segments = []
+    start = 0
+    for l in sequence_lengths:
+        seg = x[start:start + l]
+        pad = [(0, t_max - l)] + [(0, 0)] * (x.ndim - 1)
+        segments.append(jnp.pad(seg, pad))
+        start += l
+    return jnp.stack(segments)
 
 
 def apply_examplewise(fn, x, sequence_lengths, time_axis=1):
