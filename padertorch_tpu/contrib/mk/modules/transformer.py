@@ -33,6 +33,7 @@ __all__ = [
     'positional_embedding',
     'interleave',
     'MPLinear',
+    'set_attention_backend',
 ]
 
 
@@ -80,7 +81,7 @@ class MultiheadAttention(Module):
     """
 
     def __init__(self, d_model, num_heads, dropout=0.0, use_rope=False,
-                 d_kv=None):
+                 d_kv=None, use_flash=False):
         assert d_model % num_heads == 0, (d_model, num_heads)
         self.d_model = d_model
         self.num_heads = num_heads
@@ -92,6 +93,12 @@ class MultiheadAttention(Module):
         self.out_proj = nn.Linear(d_model, d_model)
         self.dropout = nn.Dropout(dropout) if dropout else None
         self.rope = RoPE(self.d_head) if use_rope else None
+        # fused attention backend (ops/pallas/attention.py): exact
+        # softmax attention without the HBM (Tq, Tk) logits tensor.
+        # Used when no additive attn_bias and attention-dropout is
+        # inactive; on non-TPU backends the Pallas interpreter runs the
+        # same code path.
+        self.use_flash = use_flash
         # sequence parallelism: set via set_sequence_mesh() to compute
         # self-attention as a K/V ring over a 'seq' mesh axis
         self.seq_mesh = None
@@ -148,6 +155,17 @@ class MultiheadAttention(Module):
                 out = jnp.transpose(
                     out, (0, 2, 1, 3)).reshape(b, t, h * d)
                 return self.out_proj(out)
+        if (getattr(self, 'use_flash', False) and attn_bias is None
+                and (self.dropout is None or not self.training)):
+            from padertorch_tpu.ops.pallas.attention import (
+                flash_attention)
+            out = flash_attention(
+                q, k, v, causal=causal,
+                key_padding_lens=key_padding_lens,
+                interpret=jax.default_backend() != 'tpu')
+            b, h, t, d = out.shape
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, h * d)
+            return self.out_proj(out)
         scale = 1.0 / math.sqrt(self.d_head)
         logits = jnp.einsum(
             'bhqd,bhkd->bhqk', q, k,
@@ -452,3 +470,26 @@ class MPLinear(Module):
         if bias is not None:
             y = y + bias
         return y / scale
+
+
+def set_attention_backend(module, use_flash=True):
+    """Flip every :class:`MultiheadAttention` in a module tree to (or
+    from) the fused Pallas attention backend (``ops/pallas/attention``).
+
+    Works on any model built from these blocks (TransformerEncoder,
+    wav2vec2/WavLM, je TransformerEncoder, ...).  Returns ``module``.
+    """
+    if isinstance(module, MultiheadAttention):
+        module.use_flash = use_flash
+    for value in vars(module).values():
+        if isinstance(value, Module):
+            set_attention_backend(value, use_flash)
+        elif isinstance(value, (list, tuple)):
+            for item in value:
+                if isinstance(item, Module):
+                    set_attention_backend(item, use_flash)
+        elif isinstance(value, dict):
+            for item in value.values():
+                if isinstance(item, Module):
+                    set_attention_backend(item, use_flash)
+    return module

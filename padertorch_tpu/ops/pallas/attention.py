@@ -1,0 +1,336 @@
+"""Fused (flash) multi-head attention as Pallas TPU kernels.
+
+Purpose: the transformer stacks (``contrib/mk/modules/transformer.py``,
+wav2vec2/WavLM, je transformer) materialize the (B, H, Tq, Tk) logits
+tensor in HBM; at speech sequence lengths (Tk in the thousands) that is
+the dominant HBM traffic of the encoder.  This kernel streams K/V blocks
+through VMEM with the online-softmax recurrence (Dao et al., 2022,
+"FlashAttention") so only the (B, H, Tq, D) output and a (B, H, Tq)
+log-sum-exp vector ever touch HBM, for the forward AND the backward
+pass (the backward recomputes probabilities blockwise from the stored
+LSE instead of reading stored weights).
+
+Design (per the TPU kernel playbook):
+- grid (B*H, T blocks): one (block_q, D) query tile per program; K/V for
+  the (b, h) row live in VMEM and are consumed in (block_k, D) slices
+  inside a ``fori_loop`` — all matmuls are MXU-shaped (128-lane last
+  dim; D is zero-padded to a lane multiple by the wrapper).
+- causal masking prunes the KV loop to the blocks at or below the
+  diagonal (dynamic ``fori_loop`` bound), so causal attention does half
+  the FLOPs instead of masking them away.
+- masking uses a finite ``-1e30`` fill plus an explicit zero of masked
+  probabilities, so fully-masked rows (query padding) yield 0 output and
+  0 gradients instead of NaNs.
+- numerics: probabilities and accumulators are float32 regardless of the
+  input dtype (bf16 inputs stay bf16 for the QK/PV matmul operands).
+
+``interpret=True`` runs the same kernels on CPU for tests.
+"""
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ['flash_attention']
+
+_NEG = -1e30
+
+
+def _ceil_to(x, m):
+    return -(-x // m) * m
+
+
+def _mask(iq, j, block_q, block_k, kv_len, causal, dtype=jnp.float32):
+    """(block_q, block_k) validity mask for query block iq / kv block j."""
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0) + iq * block_q
+    cols = jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1) + j * block_k
+    valid = cols < kv_len
+    if causal:
+        valid = valid & (cols <= rows)
+    return valid
+
+
+def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                block_q, block_k, causal, scale):
+    iq = pl.program_id(1)
+    kv_len = lens_ref[pl.program_id(0)]
+    q = q_ref[0]  # (block_q, D)
+    d = q.shape[-1]
+    nk_total = k_ref.shape[1] // block_k
+    if causal:
+        # blocks that intersect cols <= last row of this q block
+        nk = jnp.minimum(
+            nk_total, pl.cdiv((iq + 1) * block_q, block_k))
+    else:
+        nk = nk_total
+    # also prune blocks entirely beyond kv_len
+    nk = jnp.minimum(nk, pl.cdiv(kv_len, block_k))
+
+    def body(j, carry):
+        m, l, acc = carry
+        kb = k_ref[0, pl.ds(j * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        valid = _mask(iq, j, block_q, block_k, kv_len, causal)
+        s = jnp.where(valid, s, _NEG)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        p = jnp.where(valid, p, 0.0)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l, acc
+
+    m0 = jnp.full((block_q, 1), _NEG, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    a0 = jnp.zeros((block_q, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, a0))
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l_safe)  # (block_q, 1)
+
+
+def _dq_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+               dq_ref, *, block_q, block_k, causal, scale):
+    iq = pl.program_id(1)
+    kv_len = lens_ref[pl.program_id(0)]
+    q = q_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]                   # (block_q, 1)
+    delta = delta_ref[0]               # (block_q, 1)
+    d = q.shape[-1]
+    nk_total = k_ref.shape[1] // block_k
+    if causal:
+        nk = jnp.minimum(
+            nk_total, pl.cdiv((iq + 1) * block_q, block_k))
+    else:
+        nk = nk_total
+    nk = jnp.minimum(nk, pl.cdiv(kv_len, block_k))
+
+    def body(j, dq):
+        kb = k_ref[0, pl.ds(j * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        valid = _mask(iq, j, block_q, block_k, kv_len, causal)
+        p = jnp.exp(jnp.where(valid, s, _NEG) - lse)
+        p = jnp.where(valid, p, 0.0)
+        dp = jax.lax.dot_general(
+            do, vb.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(
+            ds, kb.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(
+        0, nk, body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, *, block_q, block_k, causal, scale):
+    j = pl.program_id(1)
+    kv_len = lens_ref[pl.program_id(0)]
+    kb = k_ref[0]  # (block_k, D)
+    vb = v_ref[0]
+    d = kb.shape[-1]
+    nq_total = q_ref.shape[1] // block_q
+    if causal:
+        i0 = (j * block_k) // block_q
+    else:
+        i0 = 0
+
+    def body(i, carry):
+        dk, dv = carry
+        qb = q_ref[0, pl.ds(i * block_q, block_q), :]
+        dob = do_ref[0, pl.ds(i * block_q, block_q), :] \
+            .astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), :]
+        s = jax.lax.dot_general(
+            qb, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        valid = _mask(i, j, block_q, block_k, kv_len, causal)
+        p = jnp.exp(jnp.where(valid, s, _NEG) - lse)
+        p = jnp.where(valid, p, 0.0)
+        dv = dv + jax.lax.dot_general(
+            p, dob, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            dob, vb.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = dk + jax.lax.dot_general(
+            ds, qb.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk, dv
+
+    z = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(i0, nq_total, body, (z, z))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _lens_spec():
+    # full (BH,) vector in SMEM; kernels index it with program_id(0)
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _row_spec(block, d):
+    return pl.BlockSpec((1, block, d), lambda bh, i: (bh, i, 0))
+
+
+def _full_spec(t, d):
+    return pl.BlockSpec((1, t, d), lambda bh, i: (bh, 0, 0))
+
+
+def _col_spec(block):
+    # (BH, T, 1) per-row scalars: lane dim 1, sublane = the T block
+    return pl.BlockSpec((1, block, 1), lambda bh, i: (bh, i, 0))
+
+
+def _full_col_spec(t):
+    return pl.BlockSpec((1, t, 1), lambda bh, i: (bh, 0, 0))
+
+
+def _fwd_call(config, lens, q, k, v):
+    causal, block_q, block_k, scale, interpret = config
+    bh, tq, d = q.shape
+    tk = k.shape[1]
+    kernel = functools.partial(
+        _fwd_kernel, block_q=block_q, block_k=block_k, causal=causal,
+        scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, tq // block_q),
+        in_specs=[
+            _lens_spec(), _row_spec(block_q, d),
+            _full_spec(tk, d), _full_spec(tk, d),
+        ],
+        out_specs=[_row_spec(block_q, d), _col_spec(block_q)],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, tq, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lens, q, k, v)
+
+
+def _bwd_call(config, lens, q, k, v, o, lse, do):
+    causal, block_q, block_k, scale, interpret = config
+    bh, tq, d = q.shape
+    tk = k.shape[1]
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)  # (BH, Tq, 1)
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel, block_q=block_q, block_k=block_k, causal=causal,
+            scale=scale),
+        grid=(bh, tq // block_q),
+        in_specs=[
+            _lens_spec(), _row_spec(block_q, d),
+            _full_spec(tk, d), _full_spec(tk, d), _row_spec(block_q, d),
+            _col_spec(block_q), _col_spec(block_q),
+        ],
+        out_specs=_row_spec(block_q, d),
+        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+        interpret=interpret,
+    )(lens, q, k, v, do, lse, delta)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel, block_q=block_q, block_k=block_k, causal=causal,
+            scale=scale),
+        grid=(bh, tk // block_k),
+        in_specs=[
+            _lens_spec(), _full_spec(tq, d),
+            _row_spec(block_k, d), _row_spec(block_k, d),
+            _full_spec(tq, d), _full_col_spec(tq), _full_col_spec(tq),
+        ],
+        out_specs=[_row_spec(block_k, d), _row_spec(block_k, d)],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, tk, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(lens, q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash(config, lens, q, k, v):
+    o, _ = _fwd_call(config, lens, q, k, v)
+    return o
+
+
+def _flash_fwd(config, lens, q, k, v):
+    o, lse = _fwd_call(config, lens, q, k, v)
+    return o, (lens, q, k, v, o, lse)
+
+
+def _flash_bwd(config, residuals, do):
+    lens, q, k, v, o, lse = residuals
+    dq, dk, dv = _bwd_call(config, lens, q, k, v, o, lse, do)
+    return None, dq, dk, dv
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(q, k, v, *, causal=False, key_padding_lens=None,
+                    block_q=128, block_k=128, interpret=False):
+    """Fused attention over (B, H, T, D) tensors; differentiable.
+
+    Exact softmax attention (no approximation): matches
+    ``softmax(q k^T / sqrt(D) + mask) v`` with key-padding and/or causal
+    masks, but never materializes the (Tq, Tk) weights in HBM.
+
+    Args:
+        q: (B, H, Tq, D) queries.
+        k, v: (B, H, Tk, D) keys/values.
+        causal: query i attends keys <= i (diagonal-aligned at 0).
+        key_padding_lens: (B,) valid key lengths; keys beyond are masked.
+        block_q, block_k: tile sizes (multiples of 8; 128 = MXU-native).
+        interpret: run the Pallas interpreter (CPU tests).
+
+    Returns:
+        (B, H, Tq, D) attention output.  Fully-masked query rows
+        (beyond ``key_padding_lens`` under ``causal`` with Tq > Tk, or
+        zero-length sequences) return 0.
+    """
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    assert k.shape == (b, h, tk, d) and v.shape == (b, h, tk, d), (
+        q.shape, k.shape, v.shape)
+    scale = 1.0 / math.sqrt(d)
+
+    tq_p = _ceil_to(tq, block_q)
+    tk_p = _ceil_to(tk, block_k)
+    d_p = _ceil_to(d, 128)
+
+    def prep(x, t_p):
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, t_p - x.shape[2]),
+                        (0, d_p - d)))
+        return x.reshape(b * h, t_p, d_p)
+
+    qp, kp, vp = prep(q, tq_p), prep(k, tk_p), prep(v, tk_p)
+    if key_padding_lens is None:
+        lens = jnp.full((b,), tk, jnp.int32)
+    else:
+        lens = jnp.minimum(jnp.asarray(key_padding_lens, jnp.int32), tk)
+    lens = jnp.repeat(lens[:, None], h, axis=1).reshape(b * h)
+
+    config = (bool(causal), int(block_q), int(block_k), float(scale),
+              bool(interpret))
+    o = _flash(config, lens, qp, kp, vp)
+    return o.reshape(b, h, tq_p, d_p)[:, :, :tq, :d]

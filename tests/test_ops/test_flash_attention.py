@@ -1,0 +1,213 @@
+"""Flash attention kernels vs the naive jnp reference (fwd + grads),
+interpret mode on CPU (``ops/pallas/attention.py``)."""
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from padertorch_tpu.ops.pallas.attention import flash_attention
+
+
+def naive_attention(q, k, v, causal=False, key_padding_lens=None):
+    d = q.shape[-1]
+    logits = jnp.einsum(
+        'bhqd,bhkd->bhqk', q, k,
+        preferred_element_type=jnp.float32) / math.sqrt(d)
+    neg = -1e30
+    if key_padding_lens is not None:
+        lens = jnp.asarray(key_padding_lens)
+        pad = jnp.arange(k.shape[2])[None, :] >= lens[:, None]
+        logits = jnp.where(pad[:, None, None, :], neg, logits)
+    if causal:
+        cmask = (jnp.arange(k.shape[2])[None, :]
+                 > jnp.arange(q.shape[2])[:, None])
+        logits = jnp.where(cmask[None, None], neg, logits)
+    w = jax.nn.softmax(logits, axis=-1)
+    # zero fully-masked rows (flash returns 0 there, softmax uniform)
+    any_valid = jnp.max(logits, axis=-1, keepdims=True) > neg / 2
+    w = jnp.where(any_valid, w, 0.0)
+    return jnp.einsum('bhqk,bhkd->bhqd', w.astype(q.dtype), v)
+
+
+def _rand(shape, seed):
+    return jnp.asarray(
+        np.random.RandomState(seed).randn(*shape), 'float32')
+
+
+FLASH = functools.partial(flash_attention, block_q=16, block_k=16,
+                          interpret=True)
+
+
+@pytest.mark.parametrize('causal', [False, True])
+def test_flash_forward_matches_naive(causal):
+    q = _rand((2, 2, 32, 8), 0)
+    k = _rand((2, 2, 48, 8), 1)
+    v = _rand((2, 2, 48, 8), 2)
+    out = FLASH(q, k, v, causal=causal)
+    ref = naive_attention(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+
+
+def test_flash_key_padding_and_ragged_shapes():
+    # Tq/Tk not multiples of the block sizes; per-example lens
+    q = _rand((3, 2, 21, 8), 3)
+    k = _rand((3, 2, 35, 8), 4)
+    v = _rand((3, 2, 35, 8), 5)
+    lens = [35, 20, 1]
+    out = FLASH(q, k, v, key_padding_lens=lens)
+    ref = naive_attention(q, k, v, key_padding_lens=lens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+
+
+def test_flash_causal_with_key_padding():
+    q = _rand((2, 1, 24, 8), 6)
+    k = _rand((2, 1, 24, 8), 7)
+    v = _rand((2, 1, 24, 8), 8)
+    lens = [24, 10]
+    out = FLASH(q, k, v, causal=True, key_padding_lens=lens)
+    ref = naive_attention(q, k, v, causal=True, key_padding_lens=lens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+
+
+@pytest.mark.parametrize('causal', [False, True])
+def test_flash_gradients_match_naive(causal):
+    q = _rand((2, 2, 24, 8), 9)
+    k = _rand((2, 2, 32, 8), 10)
+    v = _rand((2, 2, 32, 8), 11)
+    lens = [32, 17]
+    t = _rand((2, 2, 24, 8), 12)  # cotangent-shaping target
+
+    def loss(fn, q, k, v):
+        out = fn(q, k, v, causal=causal, key_padding_lens=lens)
+        return jnp.sum((out - t) ** 2)
+
+    g_flash = jax.grad(functools.partial(loss, FLASH), argnums=(0, 1, 2))(
+        q, k, v)
+    g_ref = jax.grad(
+        functools.partial(loss, naive_attention), argnums=(0, 1, 2))(
+        q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, 'qkv'):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=5e-4, err_msg=name)
+
+
+def test_flash_zero_length_sequence_is_finite():
+    q = _rand((2, 1, 16, 8), 13)
+    k = _rand((2, 1, 16, 8), 14)
+    v = _rand((2, 1, 16, 8), 15)
+    lens = [16, 0]
+
+    def loss(q, k, v):
+        return jnp.sum(FLASH(q, k, v, key_padding_lens=lens) ** 2)
+
+    out = FLASH(q, k, v, key_padding_lens=lens)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_array_equal(np.asarray(out[1]), 0.0)
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+    # masked example contributes zero gradient
+    np.testing.assert_array_equal(np.asarray(grads[1][1]), 0.0)
+
+
+def test_flash_head_dim_padding():
+    # D=5 pads to a full lane; output sliced back, grads exact
+    q = _rand((1, 2, 16, 5), 16)
+    k = _rand((1, 2, 16, 5), 17)
+    v = _rand((1, 2, 16, 5), 18)
+    out = FLASH(q, k, v)
+    ref = naive_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+
+    g = jax.grad(lambda a: jnp.sum(FLASH(a, k, v) ** 2))(q)
+    gr = jax.grad(lambda a: jnp.sum(naive_attention(a, k, v) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=5e-4)
+
+
+def test_flash_bf16_inputs():
+    q = _rand((1, 1, 16, 8), 19).astype(jnp.bfloat16)
+    k = _rand((1, 1, 16, 8), 20).astype(jnp.bfloat16)
+    v = _rand((1, 1, 16, 8), 21).astype(jnp.bfloat16)
+    out = FLASH(q, k, v)
+    assert out.dtype == jnp.bfloat16
+    ref = naive_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32),
+        v.astype(jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(out, dtype='float32'), np.asarray(ref), atol=3e-2)
+
+
+def test_multihead_attention_flash_backend_matches_naive():
+    import padertorch_tpu as pt
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        MultiheadAttention, set_attention_backend)
+
+    pt.random.seed(0)
+    mha = MultiheadAttention(16, 2, use_rope=True)
+    mha.eval()
+    x = _rand((2, 12, 16), 30)
+    lens = [12, 7]
+    ref = mha(x, key_padding_lens=lens, causal=True)
+    set_attention_backend(mha, use_flash=True)
+    assert mha.use_flash
+    out = mha(x, key_padding_lens=lens, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+    # attn_bias forces the dense path (still correct)
+    bias = jnp.zeros((1, 1, 12, 12))
+    np.testing.assert_allclose(
+        np.asarray(mha(x, attn_bias=bias)),
+        np.asarray(mha(x)), atol=2e-5)
+
+
+def test_set_attention_backend_reaches_nested_encoders():
+    import padertorch_tpu as pt
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        TransformerEncoder, set_attention_backend)
+
+    pt.random.seed(1)
+    enc = TransformerEncoder(
+        d_model=16, num_layers=2, num_heads=2, input_size=8)
+    enc.eval()
+    x = _rand((2, 10, 8), 31)
+    ref = enc(x, seq_len=[10, 6])
+    set_attention_backend(enc, use_flash=True)
+    flipped = [
+        layer.self_attn.use_flash for layer in enc.layers]
+    assert all(flipped), flipped
+    out = enc(x, seq_len=[10, 6])
+    r = ref[0] if isinstance(ref, tuple) else ref
+    o = out[0] if isinstance(out, tuple) else out
+    np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=5e-5)
+
+
+def test_flash_backend_gradients_through_mha():
+    import padertorch_tpu as pt
+    from padertorch_tpu.module import partition, combine
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        MultiheadAttention, set_attention_backend)
+
+    pt.random.seed(2)
+    mha = MultiheadAttention(16, 2)
+    mha.eval()
+    x = _rand((2, 9, 16), 32)
+
+    def loss(params, static, use_flash):
+        m = combine(params, static)
+        set_attention_backend(m, use_flash=use_flash)
+        return jnp.sum(m(x, key_padding_lens=[9, 5]) ** 2)
+
+    params, static = partition(mha)
+    g_flash = jax.grad(loss)(params, static, True)
+    g_ref = jax.grad(loss)(params, static, False)
+    for gf, gr in zip(jax.tree_util.tree_leaves(g_flash),
+                      jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=1e-3)
