@@ -49,6 +49,34 @@ def _apply_origin(image, origin):
 
 
 class _Colorize:
+    """Colormap dispatcher with per-name cache (grayscale fallback).
+
+    Golden values match the reference (``tbx_utils.py:160-215``):
+
+    >>> c = _Colorize()
+    >>> i = np.arange(15).reshape([3, 5])
+    >>> c(i, True).shape
+    (4, 3, 5)
+    >>> c(i, None).shape
+    (1, 3, 5)
+    >>> i = np.arange(6).reshape([2, 3])
+    >>> c(i, True)
+    array([[[0.267004, 0.26851 , 0.269944],
+            [0.271305, 0.272594, 0.273809]],
+    <BLANKLINE>
+           [[0.004874, 0.009605, 0.014625],
+            [0.019942, 0.025563, 0.031497]],
+    <BLANKLINE>
+           [[0.329415, 0.335427, 0.341379],
+            [0.347269, 0.353093, 0.358853]],
+    <BLANKLINE>
+           [[1.      , 1.      , 1.      ],
+            [1.      , 1.      , 1.      ]]])
+    >>> print(c(i, None))
+    [[[0 1 2]
+      [3 4 5]]]
+    """
+
     def __init__(self):
         self.color_to_cmap = {}
 
@@ -101,10 +129,13 @@ def stft_to_image(signal, batch_first: bool = False, color: str = 'viridis',
                   visible_dB: float = 50) -> np.ndarray:
     """Image from an STFT signal (frames, features), magnitude or complex.
 
+    >>> data = [1, 0.004, 0.003, 0.00105, 0.001]
     >>> np.squeeze(stft_to_image(
-    ...     np.array([1, 0.004, 0.003, 0.00105, 0.001])[:, None],
-    ...     color=None)).tolist()
+    ...     np.array(data)[:, None], color=None)).tolist()
     [255, 10, 0, 0, 0]
+    >>> np.squeeze(stft_to_image(
+    ...     np.array(data)[:, None], color=None, visible_dB=60)).tolist()
+    [255, 51, 40, 1, 0]
     """
     signal = to_numpy(signal, detach=True)
     return spectrogram_to_image(
