@@ -41,6 +41,7 @@ from padertorch_tpu.module import partition, combine
 from padertorch_tpu import random as ptrandom
 from padertorch_tpu.serialize import dump_state, load_state
 from padertorch_tpu.train.optimizer import Optimizer, Adam
+from padertorch_tpu.train.precision import Precision
 from padertorch_tpu.train.hooks import (
     SummaryHook,
     CheckpointHook,
@@ -144,6 +145,7 @@ class Trainer(Configurable):
             jit=True,
             sharding=None,
             checkpoint_format='ptt',
+            precision=None,
     ):
         if not isinstance(model, ptmodule.Module):
             raise TypeError(
@@ -184,6 +186,11 @@ class Trainer(Configurable):
         self.virtual_minibatch_size = virtual_minibatch_size
         self.seed = seed
         self.jit = jit
+        if isinstance(precision, str):
+            precision = Precision(precision)
+        assert precision is None or isinstance(precision, Precision), \
+            precision
+        self.precision = precision
         self.sharding = sharding
         if getattr(sharding, 'zero', False):
             # ZeRO-1: optimizer state sharded over the data axis
@@ -246,17 +253,33 @@ class Trainer(Configurable):
         return loss, model_out, review
 
     def _make_grad_fn(self):
+        prec = self.precision
+
         def grad_fn(params, static, example, key, loss_weights):
+            if prec is not None and prec.cast_examples:
+                example = prec.cast_floating(example)
+            fwd_static = (prec.cast_floating(static)
+                          if prec is not None and prec.cast_buffers
+                          else static)
             with ptrandom.key_context(key):
                 def loss_fn(p):
-                    model = combine(p, static)
+                    if prec is not None:
+                        # first traced op per param: the cast's VJP
+                        # returns float32 cotangents (master grads)
+                        p = prec.cast_floating(p)
+                    model = combine(p, fwd_static)
                     loss, model_out, review = self._loss_and_review(
                         model, example, loss_weights)
+                    if prec is not None:
+                        loss = jnp.asarray(loss, jnp.float32)
                     return loss, (model_out, review, model)
 
                 (loss, (model_out, review, model2)), grads = \
                     jax.value_and_grad(loss_fn, has_aux=True)(params)
             _, new_static = partition(model2)  # buffers updated in forward
+            if prec is not None and prec.cast_buffers:
+                # master buffers keep their dtype across steps
+                new_static = prec.restore_dtypes(new_static, static)
             return loss, model_out, review, grads, new_static
         return grad_fn
 
@@ -363,7 +386,16 @@ class Trainer(Configurable):
         }
 
     def _make_val_step(self):
+        prec = self.precision
+
         def val_step(params, static, example, key, loss_weights):
+            if prec is not None:
+                # same numerics as the train forward
+                if prec.cast_examples:
+                    example = prec.cast_floating(example)
+                params = prec.cast_floating(params)
+                if prec.cast_buffers:
+                    static = prec.cast_floating(static)
             with ptrandom.key_context(key):
                 model = combine(params, static)
                 loss, model_out, review = self._loss_and_review(
