@@ -23,28 +23,87 @@ Python model code, with shape polymorphism for the batch axis.
 >>> out = fn({'x': np.ones((5, 4), 'float32')})  # batch-polymorphic
 >>> out.shape
 (5, 2)
+
+For speech models that serve variable-length inputs, mark the time
+axis symbolic too (one artifact for any batch size AND length):
+
+>>> blob = export_model(
+...     m, {'x': np.zeros((3, 4), 'float32')},
+...     dynamic_axes={'x': {0: 'b'}})
+>>> load_exported(blob)({'x': np.ones((7, 4), 'float32')}).shape
+(7, 2)
 """
+import json
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ['export_model', 'load_exported']
+__all__ = ['export_model', 'load_exported', 'dump_exported']
 
 
-def export_model(model, example, polymorphic_batch=True):
+def _symbolic_specs(example, polymorphic_batch, dynamic_axes):
+    """Build the ShapeDtypeStruct pytree (with symbolic dims)."""
+    from jax import export as jax_export
+
+    if dynamic_axes is not None:
+        # one shared scope for all names, so equal names mean equal dims
+        names = sorted({n for axes in dynamic_axes.values()
+                        for n in axes.values()})
+        syms = jax_export.symbolic_shape(','.join(names))
+        if not isinstance(syms, (tuple, list)):
+            syms = (syms,)
+        symbols = dict(zip(names, syms))
+
+        def spec(path, x):
+            x = jnp.asarray(x)
+            shape = list(x.shape)
+            key = path[0].key if path and hasattr(path[0], 'key') else None
+            for axis, name in dynamic_axes.get(key, {}).items():
+                shape[axis] = symbols[name]
+            return jax.ShapeDtypeStruct(tuple(shape), x.dtype)
+
+        return jax.tree_util.tree_map_with_path(spec, example)
+    if polymorphic_batch:
+        (b,) = jax_export.symbolic_shape('b')  # one shared scope
+
+        def poly(x):
+            x = jnp.asarray(x)
+            if x.ndim == 0:
+                return jax.ShapeDtypeStruct((), x.dtype)
+            return jax.ShapeDtypeStruct((b,) + x.shape[1:], x.dtype)
+        return jax.tree_util.tree_map(poly, example)
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(
+            jnp.asarray(x).shape, jnp.asarray(x).dtype), example)
+
+
+def export_model(model, example, polymorphic_batch=True, *,
+                 dynamic_axes=None, platforms=None):
     """Serialize ``model.forward`` to a StableHLO artifact (bytes).
 
     Args:
         model: a Model/Module (put in ``eval()`` mode first; buffers
             and parameters are baked into the artifact as constants).
         example: example input pytree (numpy/jax arrays); defines
-            dtypes and non-batch shapes.
+            dtypes and non-symbolic shapes.
         polymorphic_batch: export with a symbolic leading (batch)
             dimension so any batch size can be served.  Models on
             the Pallas RNN backend need concrete shapes (kernel
             block sizes are static) — export those with
             ``polymorphic_batch=False`` or switch to the scan
             backend for a polymorphic serving artifact.
+        dynamic_axes: finer-grained alternative to
+            ``polymorphic_batch`` (overrides it): a
+            ``{input_key: {axis: dim_name}}`` map marking arbitrary
+            dimensions symbolic — e.g. for variable-length speech,
+            ``{'audio': {0: 'b', 1: 't'}}``.  Equal names denote
+            equal sizes across inputs.  For a non-dict (single-array)
+            example use key ``None``.
+        platforms: optional list of lexical backends the artifact must
+            run on, e.g. ``('tpu', 'cpu')`` — one artifact, lowered
+            for several platforms (default: the current backend).
 
     Returns:
         bytes — write to disk next to the checkpoint; load anywhere
@@ -57,26 +116,51 @@ def export_model(model, example, polymorphic_batch=True):
         with ptrandom.key_context(jax.random.PRNGKey(0)):
             return model(batch)
 
-    if polymorphic_batch:
-        (b,) = jax_export.symbolic_shape('b')  # one shared scope
-
-        def poly(x):
-            x = jnp.asarray(x)
-            if x.ndim == 0:
-                return jax.ShapeDtypeStruct((), x.dtype)
-            return jax.ShapeDtypeStruct((b,) + x.shape[1:], x.dtype)
-        args = jax.tree_util.tree_map(poly, example)
-    else:
-        args = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(
-                jnp.asarray(x).shape, jnp.asarray(x).dtype), example)
-    exported = jax_export.export(jax.jit(fn))(args)
+    args = _symbolic_specs(example, polymorphic_batch, dynamic_axes)
+    kwargs = {}
+    if platforms is not None:
+        kwargs['platforms'] = tuple(platforms)
+    exported = jax_export.export(jax.jit(fn), **kwargs)(args)
     return exported.serialize()
 
 
+def dump_exported(model, example, path, **kwargs):
+    """Write a serving artifact directory: StableHLO blob + meta.json.
+
+    ``path/forward.jaxexport`` is the :func:`export_model` blob;
+    ``path/meta.json`` records the model class, input shapes/dtypes and
+    export options for the serving side's sanity checks.  Load with
+    ``load_exported(path)``.
+    """
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    blob = export_model(model, example, **kwargs)
+    (path / 'forward.jaxexport').write_bytes(blob)
+    leaves = jax.tree_util.tree_leaves(example)
+    meta = {
+        'format': 'padertorch_tpu.serve.v1',
+        'model': type(model).__module__ + '.' + type(model).__name__,
+        'input_shapes': [list(np.shape(l)) for l in leaves],
+        'input_dtypes': [np.asarray(l).dtype.name for l in leaves],
+        'options': {
+            k: (list(v) if isinstance(v, tuple) else v)
+            for k, v in kwargs.items()
+            if isinstance(v, (str, int, float, bool, tuple, list,
+                              dict, type(None)))
+        },
+    }
+    (path / 'meta.json').write_text(json.dumps(meta, indent=2, default=str))
+    return path
+
+
 def load_exported(blob):
-    """bytes -> callable(batch) running the exported computation."""
+    """Blob (bytes) or artifact path/dir -> callable(batch)."""
     from jax import export as jax_export
+    if isinstance(blob, (str, Path)):
+        blob = Path(blob)
+        if blob.is_dir():
+            blob = blob / 'forward.jaxexport'
+        blob = blob.read_bytes()
     exported = jax_export.deserialize(
         blob if isinstance(blob, bytearray) else bytearray(blob))
     return lambda batch: exported.call(batch)
