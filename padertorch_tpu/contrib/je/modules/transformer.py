@@ -88,7 +88,7 @@ class MultiHeadAttention(Module):
 
     def __init__(
             self, queue_size, key_size, value_size, d_model, output_size,
-            num_heads=8, bidirectional=False,
+            num_heads=8, bidirectional=False, use_flash=False,
     ):
         assert d_model % num_heads == 0, (d_model, num_heads)
         self.queue_size = queue_size
@@ -96,6 +96,13 @@ class MultiHeadAttention(Module):
         self.output_size = output_size
         self.num_heads = num_heads
         self.bidirectional = bidirectional
+        # fused attention backend (ops/pallas/attention.py); flipped
+        # tree-wide via mk.modules.transformer.set_attention_backend.
+        # Applies when no explicit mask and (bidirectional or Tq == Tk
+        # — je's causal mask is key-aligned, the kernel's is 0-aligned;
+        # they only coincide for equal lengths). Attention weights are
+        # not materialized on this path (returned as None).
+        self.use_flash = use_flash
         self.lin_queue = ptnn.Linear(queue_size, d_model)
         self.lin_key = ptnn.Linear(key_size, d_model)
         self.lin_value = ptnn.Linear(value_size, d_model)
@@ -108,6 +115,19 @@ class MultiHeadAttention(Module):
         q = self.lin_queue(q).reshape(b, tq, h, d).transpose(0, 2, 1, 3)
         k = self.lin_key(k).reshape(b, tk, h, d).transpose(0, 2, 1, 3)
         v = self.lin_value(v).reshape(b, tk, h, d).transpose(0, 2, 1, 3)
+        if (getattr(self, 'use_flash', False) and mask is None
+                and (self.bidirectional or tq == tk)):
+            from padertorch_tpu.ops.pallas.attention import (
+                flash_attention)
+            # matches the dense branch: seq_len masks keys only in the
+            # bidirectional case (the causal branch ignores it)
+            lens = seq_len if self.bidirectional else None
+            x = flash_attention(
+                q, k, v, causal=not self.bidirectional,
+                key_padding_lens=lens,
+                interpret=jax.default_backend() != 'tpu')
+            x = x.transpose(0, 2, 1, 3).reshape(b, tq, self.d_model)
+            return self.out(x), None
         x, attention_weights = scaled_dot_product_attention(
             q, k, v, seq_len=seq_len, bidirectional=self.bidirectional,
             mask=mask,

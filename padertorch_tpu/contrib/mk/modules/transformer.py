@@ -473,13 +473,15 @@ class MPLinear(Module):
 
 
 def set_attention_backend(module, use_flash=True):
-    """Flip every :class:`MultiheadAttention` in a module tree to (or
-    from) the fused Pallas attention backend (``ops/pallas/attention``).
+    """Flip every attention block in a module tree to (or from) the
+    fused Pallas attention backend (``ops/pallas/attention``).
 
-    Works on any model built from these blocks (TransformerEncoder,
-    wav2vec2/WavLM, je TransformerEncoder, ...).  Returns ``module``.
+    Any module exposing a ``use_flash`` attribute participates: this
+    :class:`MultiheadAttention`, the je ``MultiHeadAttention``, and the
+    stacks built from them (TransformerEncoder/Decoder, wav2vec2/WavLM,
+    je TransformerLayerStack, ...).  Returns ``module``.
     """
-    if isinstance(module, MultiheadAttention):
+    if hasattr(module, 'use_flash'):
         module.use_flash = use_flash
     for value in vars(module).values():
         if isinstance(value, Module):

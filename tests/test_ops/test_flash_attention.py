@@ -211,3 +211,62 @@ def test_flash_backend_gradients_through_mha():
                       jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(
             np.asarray(gf), np.asarray(gr), atol=1e-3)
+
+
+def test_je_mha_flash_matches_dense_bidirectional():
+    import padertorch_tpu as pt
+    from padertorch_tpu.contrib.je.modules.transformer import (
+        MultiHeadAttention)
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        set_attention_backend)
+
+    pt.random.seed(3)
+    mha = MultiHeadAttention(8, 8, 8, 16, 8, num_heads=2,
+                             bidirectional=True)
+    x = _rand((2, 13, 8), 40)
+    ref, w = mha(x, x, x, seq_len=[13, 6])
+    assert w is not None
+    set_attention_backend(mha)
+    out, w2 = mha(x, x, x, seq_len=[13, 6])
+    assert w2 is None  # flash does not materialize weights
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5)
+
+
+def test_je_mha_flash_matches_dense_causal_equal_lengths():
+    import padertorch_tpu as pt
+    from padertorch_tpu.contrib.je.modules.transformer import (
+        MultiHeadAttention)
+
+    pt.random.seed(4)
+    mha = MultiHeadAttention(8, 8, 8, 16, 8, num_heads=2,
+                             bidirectional=False)
+    x = _rand((2, 12, 8), 41)
+    ref, _ = mha(x, x, x)
+    mha.use_flash = True
+    out, _ = mha(x, x, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5)
+    # Tq != Tk (streaming state) falls back to the dense key-aligned
+    # causal path and still returns weights
+    k = _rand((2, 20, 8), 42)
+    out2, w = mha(x, k, k)
+    assert w is not None and out2.shape == (2, 12, 8)
+
+
+def test_je_transformer_stack_flash_backend():
+    import padertorch_tpu as pt
+    from padertorch_tpu.contrib.je.modules.transformer import (
+        TransformerLayerStack)
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        set_attention_backend)
+
+    pt.random.seed(5)
+    stack = TransformerLayerStack(8, 6, 20, 2, 2, bidirectional=True)
+    stack.eval()
+    x = _rand((2, 9, 8), 43)
+    ref = stack(x, seq_len=[9, 5])[0]
+    set_attention_backend(stack)
+    out = stack(x, seq_len=[9, 5])[0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5)
