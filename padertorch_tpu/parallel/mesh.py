@@ -122,12 +122,24 @@ class DataParallel:
     reduce-scatter + sharded update + parameter all-gather over ICI.
     Cuts optimizer memory by the mesh size (for Adam: 2/3 of the
     model-state total beyond the params themselves).
+
+    ``fsdp=True`` (implies ``zero``) also shards the *parameters*
+    (ZeRO-3 / fully-sharded data parallelism): each device stores 1/N
+    of every weight; GSPMD all-gathers a layer's weights just-in-time
+    for its forward/backward matmuls and reduce-scatters its
+    gradients — total model+optimizer memory per chip drops by the
+    mesh size, which is what lets models larger than one chip's HBM
+    train data-parallel.  The trainer applies it automatically::
+
+        Trainer(..., sharding=DataParallel(mesh, fsdp=True))
     """
 
-    def __init__(self, mesh: Mesh = None, axis='data', zero=False):
+    def __init__(self, mesh: Mesh = None, axis='data', zero=False,
+                 fsdp=False):
         self.mesh = mesh if mesh is not None else make_mesh((axis,))
         self.axis = axis
-        self.zero = zero
+        self.zero = zero or fsdp
+        self.fsdp = fsdp
 
     def shard(self, example):
         return shard_batch(example, self.mesh, self.axis)
@@ -160,6 +172,37 @@ class DataParallel:
         return jax.tree_util.tree_map(
             lambda x: jax.lax.with_sharding_constraint(
                 x, self.opt_state_sharding(x))
+            if isinstance(x, jax.Array) else x,
+            tree,
+        )
+
+    # -- FSDP (ZeRO-3) parameter sharding -------------------------------
+    # parameters use the same dim-0 rule as the optimizer moments, so
+    # params, grads and moments share one layout and the update is a
+    # purely local (already-sharded) computation
+    param_sharding = opt_state_sharding
+
+    def shard_module(self, model):
+        """Place a module's parameters FSDP-sharded (dim 0 over the
+        data axis when divisible), buffers replicated.  Returns the
+        module (same object, arrays re-placed)."""
+        from padertorch_tpu.module import partition, combine
+        params, static = partition(model)
+        params = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, self.param_sharding(x))
+            if isinstance(x, (jax.Array, np.ndarray)) else x,
+            params,
+        )
+        static = replicate(static, self.mesh)
+        return combine(params, static)
+
+    def constrain_params(self, tree):
+        """In-jit constraint pinning the FSDP layout on updated
+        parameters (keeps the all-gather transient: gathered weights
+        are consumed by the matmuls, never stored)."""
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, self.param_sharding(x))
             if isinstance(x, jax.Array) else x,
             tree,
         )

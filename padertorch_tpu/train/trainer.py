@@ -192,6 +192,9 @@ class Trainer(Configurable):
             precision
         self.precision = precision
         self.sharding = sharding
+        if getattr(sharding, 'fsdp', False):
+            # FSDP (ZeRO-3): parameters sharded over the data axis
+            self.model = sharding.shard_module(self.model)
         if getattr(sharding, 'zero', False):
             # ZeRO-1: optimizer state sharded over the data axis
             self._set_opt_states(
@@ -311,6 +314,9 @@ class Trainer(Configurable):
                 params, static, example, key, loss_weights)
             new_params, new_states, norms = self._opt_step(
                 params, grads, opt_states)
+            if getattr(self.sharding, 'fsdp', False):
+                # keep the updated params FSDP-sharded on the way out
+                new_params = self.sharding.constrain_params(new_params)
             if getattr(self.sharding, 'zero', False):
                 # keep the updated moments ZeRO-sharded on the way out
                 new_states = self.sharding.constrain_opt_state(new_states)
@@ -335,6 +341,8 @@ class Trainer(Configurable):
         def apply_step(params, opt_states, grads):
             new_params, new_states, norms = self._opt_step(
                 params, grads, opt_states)
+            if getattr(self.sharding, 'fsdp', False):
+                new_params = self.sharding.constrain_params(new_params)
             if getattr(self.sharding, 'zero', False):
                 # keep the updated moments ZeRO-sharded on the way out
                 new_states = self.sharding.constrain_opt_state(new_states)

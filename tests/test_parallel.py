@@ -286,3 +286,73 @@ def test_zero_sharding_survives_virtual_minibatch(tmp_path):
         and not leaf.sharding.is_fully_replicated
     ]
     assert sharded, 'ZeRO layout lost through the accumulation path'
+
+
+def test_fsdp_matches_replicated_and_params_live_sharded(tmp_path):
+    """FSDP (params + moments sharded over the data axis) computes the
+    same trajectory as replicated DP, and the weights actually live
+    sharded on the mesh."""
+    from padertorch_tpu.train.trainer import Trainer
+    from tests.test_train.test_trainer import MnistModel
+
+    mesh = make_mesh()
+
+    def run(fsdp):
+        ptrandom.seed(0)
+        model = MnistModel()
+        if not fsdp:
+            model = replicate(model, mesh)
+        dp = DataParallel(mesh, fsdp=fsdp)
+        trainer = Trainer(
+            model=model, storage_dir=tmp_path / f'f{fsdp}',
+            optimizer=pt.Adam(lr=1e-2), sharding=dp)
+        trainer.iteration = 0
+        rng = np.random.RandomState(0)
+        step = trainer._get_fn('train', trainer._make_train_step)
+        params, static = partition(trainer.model)
+        opt_states = trainer._opt_states
+        losses = []
+        for i in range(3):
+            batch = trainer._example_to_device({
+                'image': rng.rand(16, 28, 28).astype('float32'),
+                'digit': rng.randint(0, 10, 16).astype('int32'),
+            })
+            out = step(params, static, opt_states, batch,
+                       jax.random.PRNGKey(i), None)
+            params, static, opt_states = out[0], out[1], out[2]
+            losses.append(float(np.asarray(out[3])))
+        return losses, params
+
+    losses_fsdp, params_fsdp = run(True)
+    losses_repl, params_repl = run(False)
+    np.testing.assert_allclose(losses_fsdp, losses_repl, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params_fsdp),
+                    jax.tree_util.tree_leaves(params_repl)):
+        np.testing.assert_allclose(
+            jax.device_get(a), jax.device_get(b), rtol=1e-4, atol=1e-6)
+    # the big weight must be sharded after the step, not replicated
+    n = len(jax.devices())
+    sharded = [
+        leaf for leaf in jax.tree_util.tree_leaves(params_fsdp)
+        if hasattr(leaf, 'sharding') and leaf.ndim >= 1
+        and leaf.shape[0] % n == 0 and leaf.shape[0] >= n
+        and not leaf.sharding.is_fully_replicated
+    ]
+    assert sharded, 'no parameter leaf is FSDP-sharded'
+
+
+def test_fsdp_full_training_with_checkpoints(tmp_path):
+    """FSDP end-to-end through Trainer.train incl. checkpoint save."""
+    from padertorch_tpu.train.trainer import Trainer
+    from tests.test_train.test_trainer import MnistModel, get_datasets
+
+    mesh = make_mesh()
+    ptrandom.seed(0)
+    tr, dt = get_datasets()
+    trainer = Trainer(
+        model=MnistModel(), storage_dir=tmp_path,
+        optimizer=pt.Adam(lr=1e-2), sharding=DataParallel(mesh, fsdp=True),
+        stop_trigger=(2, 'epoch'))
+    trainer.register_validation_hook(dt)
+    trainer.train(tr)
+    assert (tmp_path / 'checkpoints' / 'ckpt_latest.ptt').exists()
