@@ -8,5 +8,5 @@ from padertorch_tpu.train.hooks import (
     SummaryHook, CheckpointHook, ValidationHook, BackOffValidationHook,
     LRSchedulerHook, ProgressBarHook, StopTrainingHook, StopTraining,
     AnnealingHook, LossWeightAnnealingHook, ModelAttributeAnnealingHook,
-    LRAnnealingHook,
+    LRAnnealingHook, EMAHook,
 )
