@@ -13,7 +13,10 @@ Prints one JSON line per metric, the flagship LAST:
      (doc/performance.md's 23x/95x real-time claims, re-measured).
   4. ``dprnn_tasnet_train_step_ms`` — DPRNN-TasNet fused train step,
      scan vs Pallas LSTM backend (doc's 57.8 -> 48.2 ms claim).
-  5. ``pit_blstm_train_utterances_per_sec_per_chip`` — the flagship:
+  5. ``flash_attention_causal_train_ms`` — fused Pallas attention vs
+     XLA's materializing attention, fwd+bwd, causal T=4096 (and the
+     non-causal T=1024 case where XLA wins, reported in the unit).
+  6. ``pit_blstm_train_utterances_per_sec_per_chip`` — the flagship:
      fully fused jitted train step (forward + PIT losses + backward +
      global-norm clip + Adam) of the PIT BLSTM separator
      (reference ``contrib/examples/source_separation/pit/model.py``),
@@ -98,7 +101,12 @@ def bench_logmel():
         def many(x):
             def body(carry, _):
                 out = fn(x + carry)
-                return (jnp.sum(out) * 0.0).astype(x.dtype), ()
+                # *1e-20, not *0.0: XLA's algebraic simplifier may
+                # fold x*0 -> 0, constant-fold the carry and DCE the
+                # whole loop body (measured: a *0.0 harness reported
+                # 0.00 ms/call for attention) — a tiny nonzero factor
+                # keeps the sequential data dependency real
+                return (jnp.sum(out) * 1e-20).astype(x.dtype), ()
             carry, _ = jax.lax.scan(
                 body, jnp.zeros((), x.dtype), None, length=reps)
             return carry
@@ -317,6 +325,90 @@ def bench_dprnn():
     }), flush=True)
 
 
+def bench_attention():
+    """Fused (flash) attention vs XLA's materializing attention, fwd+bwd
+    at speech-encoder shapes (B=8, H=12, D=64).  Reports the causal
+    T=4096 case (where the Pallas kernel's block pruning + O(T) HBM
+    traffic win) and the non-causal T=1024 case (where XLA's fused
+    softmax is already optimal and the kernel is NOT used by default —
+    doc/performance.md 'Fused attention')."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from padertorch_tpu.ops.pallas.attention import flash_attention
+
+    B_, H, D = 8, 12, 64
+    rng = np.random.RandomState(0)
+
+    def naive(q, k, v, *, causal, key_padding_lens):
+        s = jnp.einsum('bhqd,bhkd->bhqk', q, k) / np.sqrt(D)
+        tq, tk = q.shape[2], k.shape[2]
+        mask = (jnp.arange(tk)[None, None, None, :]
+                < key_padding_lens[:, None, None, None])
+        if causal:
+            mask = mask & (jnp.arange(tk)[None, None, None, :]
+                           <= jnp.arange(tq)[None, None, :, None])
+        p = jax.nn.softmax(
+            jnp.where(mask, s.astype(jnp.float32), -1e30), axis=-1)
+        p = jnp.where(mask, p, 0.0).astype(v.dtype)
+        return jnp.einsum('bhqk,bhkd->bhqd', p, v)
+
+    def measure(fn, t, causal, reps):
+        q, k, v = (jnp.asarray(rng.randn(B_, H, t, D), jnp.bfloat16)
+                   for _ in range(3))
+        lens = jnp.full((B_,), t, jnp.int32)
+        f = functools.partial(fn, causal=causal, key_padding_lens=lens)
+
+        def loss(q, k, v):
+            return jnp.sum(f(q, k, v).astype(jnp.float32))
+
+        grad = jax.grad(loss, argnums=(0, 1, 2))
+
+        def train(q, k, v):
+            return sum(jnp.sum(g.astype(jnp.float32))
+                       for g in grad(q, k, v))
+
+        @jax.jit
+        def many(q, k, v):
+            def body(carry, _):
+                out = train(q + carry, k, v)
+                # *1e-20 keeps the sequential dependency real (see
+                # bench_logmel)
+                return (out * 1e-20).astype(q.dtype), ()
+            carry, _ = jax.lax.scan(
+                body, jnp.zeros((), q.dtype), None, length=reps)
+            return carry
+
+        jax.block_until_ready(many(q, k, v))  # compile + warmup
+        best = float('inf')
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(many(q, k, v))
+            best = min(best, (time.perf_counter() - t0) / reps)
+        return best * 1e3
+
+    r = {}
+    for name, fn in [('flash', flash_attention), ('xla', naive)]:
+        try:
+            r[f'{name}_causal'] = measure(fn, 4096, True, 2)
+            r[f'{name}_short'] = measure(fn, 1024, False, 8)
+        except Exception as e:  # pragma: no cover
+            _log(f'attention {name} failed: {e!r}')
+            r[f'{name}_causal'] = r[f'{name}_short'] = float('inf')
+    speedup = r['xla_causal'] / r['flash_causal']
+    print(json.dumps({
+        'metric': 'flash_attention_causal_train_ms',
+        'value': round(r['flash_causal'], 1),
+        'unit': (f'ms fwd+bwd (B=8, H=12, D=64, T=4096 causal bf16; '
+                 f'XLA-materializing={r["xla_causal"]:.1f} ms '
+                 f'[{speedup:.2f}x]; non-causal T=1024: '
+                 f'flash={r["flash_short"]:.1f} vs '
+                 f'xla={r["xla_short"]:.1f} ms — XLA wins there, '
+                 f'flash is opt-in); baseline = same-chip XLA path'),
+        'vs_baseline': round(speedup, 2),
+    }), flush=True)
+
+
 def bench_pit():
     import jax
     import jax.numpy as jnp
@@ -423,6 +515,8 @@ def main():
     bench_wavenet()
     _log('dprnn-tasnet train step bench...')
     bench_dprnn()
+    _log('flash attention bench...')
+    bench_attention()
     _log('flagship PIT BLSTM train bench...')
     bench_pit()
 
