@@ -213,18 +213,19 @@ class _EncoderLayer(Module):
         self.dropout = nn.Dropout(dropout) if dropout else None
         self.stable_layer_norm = stable_layer_norm
 
-    def forward(self, x, seq_len=None, attn_bias=None):
+    def forward(self, x, seq_len=None, attn_bias=None, attn_window=None):
         def drop(h):
             return self.dropout(h) if self.dropout is not None else h
 
         if self.stable_layer_norm:
             x = x + drop(self.attention(
                 self.layer_norm(x), key_padding_lens=seq_len,
-                attn_bias=attn_bias))
+                attn_bias=attn_bias, attn_window=attn_window))
             x = x + self.feed_forward(self.final_layer_norm(x))
         else:
             x = self.layer_norm(x + drop(self.attention(
-                x, key_padding_lens=seq_len, attn_bias=attn_bias)))
+                x, key_padding_lens=seq_len, attn_bias=attn_bias,
+                attn_window=attn_window)))
             x = self.final_layer_norm(x + self.feed_forward(x))
         return x
 
@@ -281,8 +282,15 @@ class Wav2Vec2Encoder(Module):
             return alibi_bias(self.num_heads, length)
         if self.attention_type == 'kerple':
             return kerple_log_bias(self.kerple_p, self.kerple_a, length)
+        return None
+
+    def _attn_window(self):
+        """Longformer's band as a (left, right) window — equal to
+        ``longformer_bias`` (tested) but expressed as a mask the fused
+        attention backend can *prune* instead of materialize."""
         if self.attention_type == 'longformer':
-            return longformer_bias(self.attention_window, length)
+            w = self.attention_window
+            return (math.ceil(w / 2) - 1, w // 2)
         return None
 
     def forward(self, x, seq_len=None, output_hidden_states=False):
@@ -294,9 +302,11 @@ class Wav2Vec2Encoder(Module):
         if self.dropout is not None:
             x = self.dropout(x)
         bias = self._attn_bias(x.shape[1])
+        window = self._attn_window()
         hidden_states = [x]
         for layer in self.layers:
-            x = layer(x, seq_len=seq_len, attn_bias=bias)
+            x = layer(x, seq_len=seq_len, attn_bias=bias,
+                      attn_window=window)
             hidden_states.append(x)
         if self.stable_layer_norm:
             x = self.layer_norm(x)

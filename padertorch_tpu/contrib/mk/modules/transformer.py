@@ -118,13 +118,19 @@ class MultiheadAttention(Module):
             x.reshape(b, t, self.num_heads, self.d_head), (0, 2, 1, 3))
 
     def forward(self, query, key=None, value=None, key_padding_lens=None,
-                causal=False, attn_bias=None):
+                causal=False, attn_bias=None, attn_window=None):
         """query (B, Tq, D); key/value default to query (self-attention).
 
         ``attn_bias``: additive logits bias broadcastable to
         (B, H, Tq, Tk) — the hook the reference's attention variants
-        (ALiBi/KERPLE/Longformer, ``mk/.../ssl/wav2vec2/components.py``)
-        plug into.
+        (ALiBi/KERPLE, ``mk/.../ssl/wav2vec2/components.py``) plug into.
+
+        ``attn_window``: ``(left, right)`` sliding-window (banded /
+        Longformer) attention — query i attends keys in
+        ``[i - left, i + right]`` (either side ``None`` = unbounded).
+        Unlike an additive band bias this composes with the fused
+        attention backend, which *skips* out-of-band KV blocks
+        (O(T·W) cost instead of O(T^2) — doc/performance.md).
         """
         if key is None:
             key = query
@@ -137,7 +143,7 @@ class MultiheadAttention(Module):
             q = self.rope(q)
             k = self.rope(k)
         if self.seq_mesh is not None and key is query:
-            if attn_bias is not None or (
+            if attn_bias is not None or attn_window is not None or (
                     self.dropout is not None and self.training):
                 import warnings
                 warnings.warn(
@@ -162,6 +168,7 @@ class MultiheadAttention(Module):
             out = flash_attention(
                 q, k, v, causal=causal,
                 key_padding_lens=key_padding_lens,
+                window=attn_window,
                 interpret=jax.default_backend() != 'tpu')
             b, h, t, d = out.shape
             out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, h * d)
@@ -182,6 +189,17 @@ class MultiheadAttention(Module):
             cmask = jnp.arange(tk)[None, :] > jnp.arange(tq)[:, None]
             logits = jnp.where(
                 cmask[None, None], jnp.finfo(logits.dtype).min, logits)
+        if attn_window is not None:
+            left, right = attn_window
+            diff = (jnp.arange(k.shape[2])[None, :]
+                    - jnp.arange(q.shape[2])[:, None])  # col - row
+            outside = jnp.zeros_like(diff, bool)
+            if left is not None:
+                outside = outside | (diff < -left)
+            if right is not None:
+                outside = outside | (diff > right)
+            logits = jnp.where(
+                outside[None, None], jnp.finfo(logits.dtype).min, logits)
         weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
         if self.dropout is not None:
             weights = self.dropout(weights)

@@ -18,6 +18,11 @@ Design (per the TPU kernel playbook):
 - causal masking prunes the KV loop to the blocks at or below the
   diagonal (dynamic ``fori_loop`` bound), so causal attention does half
   the FLOPs instead of masking them away.
+- sliding-window (``window=(left, right)``, Longformer-banded) masking
+  prunes BOTH loop bounds, in the forward (KV blocks per query block)
+  and the backward (query blocks per KV block): local attention costs
+  O(T·W) compute instead of O(T^2) — a band an additive bias mask
+  cannot prune.
 - masking uses a finite ``-1e30`` fill plus an explicit zero of masked
   probabilities, so fully-masked rows (query padding) yield 0 output and
   0 gradients instead of NaNs.
@@ -43,7 +48,8 @@ def _ceil_to(x, m):
     return -(-x // m) * m
 
 
-def _mask(iq, j, block_q, block_k, kv_len, causal, dtype=jnp.float32):
+def _mask(iq, j, block_q, block_k, kv_len, causal, window,
+          dtype=jnp.float32):
     """(block_q, block_k) validity mask for query block iq / kv block j."""
     rows = jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 0) + iq * block_q
@@ -52,24 +58,37 @@ def _mask(iq, j, block_q, block_k, kv_len, causal, dtype=jnp.float32):
     valid = cols < kv_len
     if causal:
         valid = valid & (cols <= rows)
+    left, right = window
+    if left is not None:
+        valid = valid & (rows - cols <= left)
+    if right is not None:
+        valid = valid & (cols - rows <= right)
     return valid
 
 
 def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                block_q, block_k, causal, scale):
+                block_q, block_k, causal, window, scale):
     iq = pl.program_id(1)
     kv_len = lens_ref[pl.program_id(0)]
     q = q_ref[0]  # (block_q, D)
     d = q.shape[-1]
     nk_total = k_ref.shape[1] // block_k
-    if causal:
-        # blocks that intersect cols <= last row of this q block
+    left, right = window
+    if causal or right is not None:
+        # blocks that intersect cols <= last row of this q block (+ right;
+        # under causal the right reach is 0 whatever the window says)
+        reach = 0 if causal else right
         nk = jnp.minimum(
-            nk_total, pl.cdiv((iq + 1) * block_q, block_k))
+            nk_total, pl.cdiv((iq + 1) * block_q + reach, block_k))
     else:
         nk = nk_total
     # also prune blocks entirely beyond kv_len
     nk = jnp.minimum(nk, pl.cdiv(kv_len, block_k))
+    if left is not None:
+        # first block that intersects cols >= first row - left
+        j0 = jnp.maximum(0, (iq * block_q - left) // block_k)
+    else:
+        j0 = 0
 
     def body(j, carry):
         m, l, acc = carry
@@ -78,7 +97,7 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        valid = _mask(iq, j, block_q, block_k, kv_len, causal)
+        valid = _mask(iq, j, block_q, block_k, kv_len, causal, window)
         s = jnp.where(valid, s, _NEG)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -93,7 +112,7 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     m0 = jnp.full((block_q, 1), _NEG, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     a0 = jnp.zeros((block_q, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, a0))
+    m, l, acc = jax.lax.fori_loop(j0, nk, body, (m0, l0, a0))
     l_safe = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
     lse_ref[0] = m + jnp.log(l_safe)  # (block_q, 1)
@@ -101,7 +120,7 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
 
 def _dqkv_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                  dq_ref, dk_ref, dv_ref, *, block_q, block_k, causal,
-                 scale):
+                 window, scale):
     """One fused backward kernel for dq, dk and dv.
 
     The textbook flash backward runs two kernels (a dq pass gridded
@@ -129,12 +148,20 @@ def _dqkv_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def _init():
         dq_ref[0] = jnp.zeros_like(dq_ref[0])
 
-    if causal:
-        i0 = (j * block_k) // block_q
+    left, right = window
+    i0 = (j * block_k) // block_q if causal else 0
+    if right is not None:
+        # rows below col_min - right never see this KV block
+        i0 = jnp.maximum(i0, (j * block_k - right) // block_q)
+    i0 = jnp.maximum(i0, 0)
+    if left is not None:
+        # rows above col_max + left never see this KV block
+        nq_hi = jnp.minimum(
+            nq_total, pl.cdiv((j + 1) * block_k + left, block_q))
     else:
-        i0 = 0
+        nq_hi = nq_total
     # KV blocks entirely beyond kv_len contribute nothing
-    nq = jnp.where(j * block_k < kv_len, nq_total, i0)
+    nq = jnp.where(j * block_k < kv_len, nq_hi, i0)
 
     def body(i, carry):
         dk, dv = carry
@@ -146,7 +173,7 @@ def _dqkv_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         s = jax.lax.dot_general(
             qb, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        valid = _mask(i, j, block_q, block_k, kv_len, causal)
+        valid = _mask(i, j, block_q, block_k, kv_len, causal, window)
         p = jnp.exp(jnp.where(valid, s, _NEG) - lse)
         p = jnp.where(valid, p, 0.0)
         dv = dv + jax.lax.dot_general(
@@ -195,12 +222,12 @@ def _full_col_spec(t):
 
 
 def _fwd_call(config, lens, q, k, v):
-    causal, block_q, block_k, scale, interpret = config
+    causal, window, block_q, block_k, scale, interpret = config
     bh, tq, d = q.shape
     tk = k.shape[1]
     kernel = functools.partial(
         _fwd_kernel, block_q=block_q, block_k=block_k, causal=causal,
-        scale=scale)
+        window=window, scale=scale)
     return pl.pallas_call(
         kernel,
         grid=(bh, tq // block_q),
@@ -218,7 +245,7 @@ def _fwd_call(config, lens, q, k, v):
 
 
 def _bwd_call(config, lens, q, k, v, o, lse, do):
-    causal, block_q, block_k, scale, interpret = config
+    causal, window, block_q, block_k, scale, interpret = config
     bh, tq, d = q.shape
     tk = k.shape[1]
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
@@ -226,7 +253,7 @@ def _bwd_call(config, lens, q, k, v, o, lse, do):
     dq, dk, dv = pl.pallas_call(
         functools.partial(
             _dqkv_kernel, block_q=block_q, block_k=block_k, causal=causal,
-            scale=scale),
+            window=window, scale=scale),
         grid=(bh, tk // block_k),
         in_specs=[
             _lens_spec(), _full_spec(tq, d),
@@ -272,18 +299,27 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(q, k, v, *, causal=False, key_padding_lens=None,
-                    block_q=128, block_k=128, interpret=False):
+                    window=None, block_q=128, block_k=128,
+                    interpret=False):
     """Fused attention over (B, H, T, D) tensors; differentiable.
 
     Exact softmax attention (no approximation): matches
-    ``softmax(q k^T / sqrt(D) + mask) v`` with key-padding and/or causal
-    masks, but never materializes the (Tq, Tk) weights in HBM.
+    ``softmax(q k^T / sqrt(D) + mask) v`` with key-padding, causal
+    and/or sliding-window masks, but never materializes the (Tq, Tk)
+    weights in HBM.
 
     Args:
         q: (B, H, Tq, D) queries.
         k, v: (B, H, Tk, D) keys/values.
         causal: query i attends keys <= i (diagonal-aligned at 0).
         key_padding_lens: (B,) valid key lengths; keys beyond are masked.
+        window: optional ``(left, right)`` sliding-window (local /
+            Longformer-banded) attention: query i attends keys j with
+            ``i - left <= j <= i + right``; either side may be ``None``
+            for unbounded.  KV blocks outside the band are *skipped*,
+            not masked — cost scales with the band width, O(T·W)
+            instead of O(T^2).  Composes with ``causal`` (which caps
+            the right reach at 0) and ``key_padding_lens``.
         block_q, block_k: tile sizes (multiples of 8; 128 = MXU-native).
         interpret: run the Pallas interpreter (CPU tests).
 
@@ -296,6 +332,13 @@ def flash_attention(q, k, v, *, causal=False, key_padding_lens=None,
     tk = k.shape[2]
     assert k.shape == (b, h, tk, d) and v.shape == (b, h, tk, d), (
         q.shape, k.shape, v.shape)
+    if window is None:
+        window = (None, None)
+    left, right = window
+    assert left is None or left >= 0, window
+    assert right is None or right >= 0, window
+    window = (None if left is None else int(left),
+              None if right is None else int(right))
     scale = 1.0 / math.sqrt(d)
 
     tq_p = _ceil_to(tq, block_q)
@@ -314,7 +357,7 @@ def flash_attention(q, k, v, *, causal=False, key_padding_lens=None,
         lens = jnp.minimum(jnp.asarray(key_padding_lens, jnp.int32), tk)
     lens = jnp.repeat(lens[:, None], h, axis=1).reshape(b * h)
 
-    config = (bool(causal), int(block_q), int(block_k), float(scale),
-              bool(interpret))
+    config = (bool(causal), window, int(block_q), int(block_k),
+              float(scale), bool(interpret))
     o = _flash(config, lens, qp, kp, vp)
     return o.reshape(b, h, tq_p, d_p)[:, :, :tq, :d]

@@ -92,6 +92,29 @@ def test_attention_variants_run(attention_type):
     assert np.isfinite(np.asarray(x)).all()
 
 
+def test_longformer_flash_backend_matches_dense():
+    # the banded window path under the fused attention backend equals
+    # the dense masked path (the band is pruned, not materialized)
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        set_attention_backend)
+    import numpy as np
+    ptrandom.seed(0)
+    m = Wav2Vec2Model(
+        **_tiny(), attention_type='longformer',
+        attention_window=8).eval()
+    wav = jnp.asarray(
+        np.random.RandomState(0).randn(2, 400).astype('float32'))
+    ref, lens = m(wav, sequence_lengths=[400, 350])
+    set_attention_backend(m, use_flash=True)
+    out, _ = m(wav, sequence_lengths=[400, 350])
+    # compare valid frames only: padded rows whose whole band lies
+    # beyond the valid keys are fully masked — flash returns 0 there,
+    # dense softmax returns a (meaningless) uniform average
+    for b, n in enumerate(np.asarray(lens)):
+        np.testing.assert_allclose(
+            np.asarray(out[b, :n]), np.asarray(ref[b, :n]), atol=3e-5)
+
+
 def test_jit_compatible():
     ptrandom.seed(0)
     m = Wav2Vec2Model(**_tiny()).eval()

@@ -11,7 +11,8 @@ import pytest
 from padertorch_tpu.ops.pallas.attention import flash_attention
 
 
-def naive_attention(q, k, v, causal=False, key_padding_lens=None):
+def naive_attention(q, k, v, causal=False, key_padding_lens=None,
+                    window=None):
     d = q.shape[-1]
     logits = jnp.einsum(
         'bhqd,bhkd->bhqk', q, k,
@@ -25,6 +26,16 @@ def naive_attention(q, k, v, causal=False, key_padding_lens=None):
         cmask = (jnp.arange(k.shape[2])[None, :]
                  > jnp.arange(q.shape[2])[:, None])
         logits = jnp.where(cmask[None, None], neg, logits)
+    if window is not None:
+        left, right = window
+        diff = (jnp.arange(k.shape[2])[None, :]
+                - jnp.arange(q.shape[2])[:, None])  # col - row
+        outside = jnp.zeros_like(diff, bool)
+        if left is not None:
+            outside = outside | (diff < -left)
+        if right is not None:
+            outside = outside | (diff > right)
+        logits = jnp.where(outside[None, None], neg, logits)
     w = jax.nn.softmax(logits, axis=-1)
     # zero fully-masked rows (flash returns 0 there, softmax uniform)
     any_valid = jnp.max(logits, axis=-1, keepdims=True) > neg / 2
@@ -142,6 +153,72 @@ def test_flash_bf16_inputs():
         v.astype(jnp.float32))
     np.testing.assert_allclose(
         np.asarray(out, dtype='float32'), np.asarray(ref), atol=3e-2)
+
+
+@pytest.mark.parametrize('window', [(8, 8), (5, 2), (0, 6), (None, 3),
+                                    (7, None)])
+def test_flash_window_matches_naive(window):
+    # band spans multiple 16-blocks and clips at both edges
+    q = _rand((2, 2, 40, 8), 50)
+    k = _rand((2, 2, 40, 8), 51)
+    v = _rand((2, 2, 40, 8), 52)
+    lens = [40, 23]
+    out = FLASH(q, k, v, window=window, key_padding_lens=lens)
+    ref = naive_attention(q, k, v, window=window, key_padding_lens=lens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+
+
+def test_flash_window_with_causal():
+    q = _rand((1, 2, 33, 8), 53)
+    k = _rand((1, 2, 33, 8), 54)
+    v = _rand((1, 2, 33, 8), 55)
+    out = FLASH(q, k, v, window=(10, None), causal=True)
+    ref = naive_attention(q, k, v, window=(10, None), causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+
+
+def test_flash_window_gradients():
+    q = _rand((2, 1, 30, 8), 56)
+    k = _rand((2, 1, 30, 8), 57)
+    v = _rand((2, 1, 30, 8), 58)
+    lens = [30, 19]
+    t = _rand((2, 1, 30, 8), 59)
+
+    def loss(fn, q, k, v):
+        out = fn(q, k, v, window=(6, 4), key_padding_lens=lens)
+        return jnp.sum((out - t) ** 2)
+
+    g_flash = jax.grad(functools.partial(loss, FLASH), argnums=(0, 1, 2))(
+        q, k, v)
+    g_ref = jax.grad(
+        functools.partial(loss, naive_attention), argnums=(0, 1, 2))(
+        q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, 'qkv'):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=5e-4, err_msg=name)
+
+
+def test_flash_window_matches_longformer_bias():
+    # the (ceil(w/2)-1, w//2) window equals the mk Longformer additive
+    # bias exactly (reference components.py:346 band convention)
+    from padertorch_tpu.contrib.mk.modules.features.wav2vec2 import (
+        longformer_bias)
+    w = 10
+    t = 37
+    q = _rand((1, 2, t, 8), 60)
+    k = _rand((1, 2, t, 8), 61)
+    v = _rand((1, 2, t, 8), 62)
+    bias = longformer_bias(w, t)
+    logits = jnp.einsum(
+        'bhqd,bhkd->bhqk', q, k,
+        preferred_element_type=jnp.float32) / math.sqrt(8) + bias
+    ref = jnp.einsum('bhqk,bhkd->bhqd',
+                     jax.nn.softmax(logits, -1).astype(q.dtype), v)
+    out = FLASH(q, k, v, window=(math.ceil(w / 2) - 1, w // 2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
 
 
 def test_multihead_attention_flash_backend_matches_naive():
