@@ -143,7 +143,7 @@ class MultiheadAttention(Module):
             q = self.rope(q)
             k = self.rope(k)
         if self.seq_mesh is not None and key is query:
-            if attn_bias is not None or attn_window is not None or (
+            if attn_bias is not None or (
                     self.dropout is not None and self.training):
                 import warnings
                 warnings.warn(
@@ -156,7 +156,8 @@ class MultiheadAttention(Module):
                     sequence_parallel_attention)
                 out = sequence_parallel_attention(
                     q, k, v, mesh=self.seq_mesh, axis=self.seq_axis,
-                    causal=causal, key_padding_lens=key_padding_lens)
+                    causal=causal, key_padding_lens=key_padding_lens,
+                    window=attn_window)
                 b, h, t, d = out.shape
                 out = jnp.transpose(
                     out, (0, 2, 1, 3)).reshape(b, t, h * d)

@@ -24,12 +24,14 @@ from jax.experimental.shard_map import shard_map
 __all__ = ['ring_self_attention', 'sequence_parallel_attention']
 
 
-def _ring(n):
+def _ring(n, reverse=False):
+    if reverse:
+        return [(i, (i - 1) % n) for i in range(n)]
     return [(i, (i + 1) % n) for i in range(n)]
 
 
 def ring_self_attention(q, k, v, *, axis, num_shards, causal=False,
-                        scale=None, key_padding_lens=None):
+                        scale=None, key_padding_lens=None, window=None):
     """Per-shard ring attention body (call inside ``shard_map``).
 
     Args:
@@ -42,6 +44,15 @@ def ring_self_attention(q, k, v, *, axis, num_shards, causal=False,
             are excluded.  Queries past their sequence length output
             zeros (the dense path gives uniform garbage there — both
             are don't-care rows).
+        window: optional ``(left, right)`` sliding window with *global*
+            positions (either side ``None`` = unbounded).  Beyond
+            masking, the band PRUNES the ring: every shard needs only
+            the ``ceil(left/T_local)`` KV blocks to its left and
+            ``ceil((right + T_local - 1)/T_local)`` to its right — the
+            same *relative* ring offsets on every shard — so the full
+            ring is replaced by two short rings (forward and reverse
+            ``ppermute``), and both ICI traffic and compute drop to
+            O(band) instead of O(T).
 
     Returns:
         (B, H, T_local, D) attention output for the local queries.
@@ -51,19 +62,27 @@ def ring_self_attention(q, k, v, *, axis, num_shards, causal=False,
     s = jax.lax.axis_index(axis)
     t_local = q.shape[2]
     neg = jnp.finfo(jnp.float32).min
+    left, right = (None, None) if window is None else window
+    if causal:
+        right = 0  # causal caps the right reach whatever the window says
 
     q_pos = s * t_local + jnp.arange(t_local)          # global q rows
 
-    def step(carry, i):
-        k_blk, v_blk, m, l, acc = carry
-        # the block we hold at ring step i originated on shard s - i
-        blk = (s - i) % num_shards
+    def accumulate(carry, k_blk, v_blk, blk):
+        """Online-softmax update of (m, l, acc) with one KV block."""
+        m, l, acc = carry
         logits = jnp.einsum(
             'bhqd,bhkd->bhqk', q, k_blk,
             preferred_element_type=jnp.float32) * scale
         k_pos = blk * t_local + jnp.arange(t_local)
         if causal:
             mask = k_pos[None, :] > q_pos[:, None]
+            logits = jnp.where(mask[None, None], neg, logits)
+        if left is not None:
+            mask = q_pos[:, None] - k_pos[None, :] > left
+            logits = jnp.where(mask[None, None], neg, logits)
+        if right is not None and not causal:
+            mask = k_pos[None, :] - q_pos[:, None] > right
             logits = jnp.where(mask[None, None], neg, logits)
         if key_padding_lens is not None:
             lens = jnp.asarray(key_padding_lens)
@@ -80,22 +99,67 @@ def ring_self_attention(q, k, v, *, axis, num_shards, causal=False,
         acc_new = acc * correction + jnp.einsum(
             'bhqk,bhkd->bhqd', p.astype(v_blk.dtype), v_blk,
             preferred_element_type=jnp.float32)
-        k_next = jax.lax.ppermute(k_blk, axis, _ring(num_shards))
-        v_next = jax.lax.ppermute(v_blk, axis, _ring(num_shards))
-        return (k_next, v_next, m_new, l_new, acc_new), None
+        return m_new, l_new, acc_new
 
     b, h, t, d = q.shape
     m0 = jnp.full((b, h, t, 1), neg, jnp.float32)
     l0 = jnp.zeros((b, h, t, 1), jnp.float32)
     acc0 = jnp.zeros((b, h, t, d), jnp.float32)
-    (_, _, _, l, acc), _ = jax.lax.scan(
-        step, (k, v, m0, l0, acc0), jnp.arange(num_shards))
+
+    # how many ring hops each side of the band actually reaches
+    hops_l = num_shards - 1 if left is None else min(
+        num_shards - 1, -(-left // t_local))
+    hops_r = 0 if causal else (
+        num_shards - 1 if right is None else min(
+            num_shards - 1, (right + t_local - 1) // t_local))
+
+    if hops_l + hops_r >= num_shards - 1:
+        # band covers the whole ring — classic single full ring
+        def step(carry, i):
+            k_blk, v_blk, mla = carry
+            # the block held at ring step i originated on shard s - i
+            mla = accumulate(mla, k_blk, v_blk, (s - i) % num_shards)
+            k_next = jax.lax.ppermute(k_blk, axis, _ring(num_shards))
+            v_next = jax.lax.ppermute(v_blk, axis, _ring(num_shards))
+            return (k_next, v_next, mla), None
+
+        (_, _, (_, l, acc)), _ = jax.lax.scan(
+            step, (k, v, (m0, l0, acc0)), jnp.arange(num_shards))
+        return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+
+    # banded: local block + two short rings.  Blocks that wrap past the
+    # sequence edge are fully masked by the band (their global positions
+    # are outside it), so edge shards stay correct.
+    mla = accumulate((m0, l0, acc0), k, v, s)
+
+    def step_left(carry, i):
+        k_blk, v_blk, mla = carry
+        k_blk = jax.lax.ppermute(k_blk, axis, _ring(num_shards))
+        v_blk = jax.lax.ppermute(v_blk, axis, _ring(num_shards))
+        mla = accumulate(mla, k_blk, v_blk, (s - i) % num_shards)
+        return (k_blk, v_blk, mla), None
+
+    def step_right(carry, i):
+        k_blk, v_blk, mla = carry
+        k_blk = jax.lax.ppermute(k_blk, axis, _ring(num_shards, True))
+        v_blk = jax.lax.ppermute(v_blk, axis, _ring(num_shards, True))
+        mla = accumulate(mla, k_blk, v_blk, (s + i) % num_shards)
+        return (k_blk, v_blk, mla), None
+
+    if hops_l:
+        (_, _, mla), _ = jax.lax.scan(
+            step_left, (k, v, mla), jnp.arange(1, hops_l + 1))
+    if hops_r:
+        (_, _, mla), _ = jax.lax.scan(
+            step_right, (k, v, mla), jnp.arange(1, hops_r + 1))
+    _, l, acc = mla
     return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
 
 
 def sequence_parallel_attention(q, k, v, *, mesh: Mesh,
                                 axis: str = 'seq', causal=False,
-                                scale=None, key_padding_lens=None):
+                                scale=None, key_padding_lens=None,
+                                window=None):
     """Exact attention with the sequence axis sharded over ``axis``.
 
     Args:
@@ -104,15 +168,22 @@ def sequence_parallel_attention(q, k, v, *, mesh: Mesh,
             K/V ring, and the (B, H, T, D) output comes back sharded
             the same way (replicate/reshard is the caller's choice).
         key_padding_lens: optional (B,) valid lengths (replicated).
+        window: optional ``(left, right)`` sliding window; prunes the
+            ring to the shards the band reaches (see
+            :func:`ring_self_attention`).
     """
     n = mesh.shape[axis]
     spec = P(None, None, axis, None)
+    if window is not None:
+        left, right = window
+        assert left is None or left >= 0, window
+        assert right is None or right >= 0, window
 
     if key_padding_lens is None:
         def body(q_l, k_l, v_l):
             return ring_self_attention(
                 q_l, k_l, v_l, axis=axis, num_shards=n, causal=causal,
-                scale=scale)
+                scale=scale, window=window)
 
         return shard_map(
             body, mesh=mesh, in_specs=(spec, spec, spec),
@@ -122,7 +193,7 @@ def sequence_parallel_attention(q, k, v, *, mesh: Mesh,
     def body(q_l, k_l, v_l, lens):
         return ring_self_attention(
             q_l, k_l, v_l, axis=axis, num_shards=n, causal=causal,
-            scale=scale, key_padding_lens=lens)
+            scale=scale, key_padding_lens=lens, window=window)
 
     return shard_map(
         body, mesh=mesh, in_specs=(spec, spec, spec, P()),
