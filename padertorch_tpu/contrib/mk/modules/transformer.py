@@ -50,9 +50,10 @@ class RoPE(Module):
             'inv_freq', jnp.asarray(inv_freq, dtype='float32'))
 
     def forward(self, x, offset=0):
-        """x: (B, H, T, D) -> rotated."""
+        """x: (B, H, T, D) -> rotated; ``offset`` may be traced (the
+        KV-cache decode position)."""
         t = x.shape[-2]
-        pos = jnp.arange(offset, offset + t)[:, None]  # (T, 1)
+        pos = (offset + jnp.arange(t))[:, None]  # (T, 1)
         angles = pos * self.inv_freq[None, :]  # (T, D/2)
         sin = jnp.sin(angles)
         cos = jnp.cos(angles)
@@ -209,6 +210,82 @@ class MultiheadAttention(Module):
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, h * d)
         return self.out_proj(out)
 
+    # ---- KV-cache incremental decoding (serving) -------------------
+    # TPU-native AR inference: the cache is a PREALLOCATED static-shape
+    # (B, H, T_max, Dh) buffer updated in place with
+    # ``lax.dynamic_update_slice`` at a traced position, so ONE
+    # compiled step program serves every decode position (no per-step
+    # recompiles, no dynamic shapes) and the whole generation loop can
+    # live inside one ``lax.scan``.  No reference counterpart (the
+    # reference decoder recomputes full causal attention per step,
+    # ``mk/modules/transformer.py:1027``).
+
+    def init_cache(self, batch_size, max_len, dtype=jnp.float32):
+        """Preallocate the self-attention K/V cache (a pytree leaf pair)."""
+        shape = (batch_size, self.num_heads, max_len, self.d_head)
+        return {'k': jnp.zeros(shape, dtype), 'v': jnp.zeros(shape, dtype)}
+
+    def precompute_kv(self, key, value=None):
+        """Project encoder memory to K/V once per sequence; reuse every
+        decode step (cross-attention's K/V never change)."""
+        if value is None:
+            value = key
+        return {'k': self._split(self.k_proj(key)),
+                'v': self._split(self.v_proj(value))}
+
+    def _attend(self, q, k, v, mask):
+        scale = 1.0 / math.sqrt(self.d_head)
+        logits = jnp.einsum(
+            'bhqd,bhkd->bhqk', q, k,
+            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(mask, jnp.finfo(logits.dtype).min, logits)
+        weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        out = jnp.einsum('bhqk,bhkd->bhqd', weights, v)
+        b, h, t, d = out.shape
+        return self.out_proj(
+            jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, h * d))
+
+    def attend_cached(self, query, kv, key_padding_lens=None):
+        """Cross-attention against :meth:`precompute_kv` output."""
+        q = self._split(self.q_proj(query))
+        k, v = kv['k'], kv['v']
+        if key_padding_lens is not None:
+            lens = jnp.asarray(key_padding_lens)
+            mask = (jnp.arange(k.shape[2])[None, :]
+                    >= lens[:, None])[:, None, None, :]
+        else:
+            mask = jnp.zeros((1, 1, 1, k.shape[2]), bool)
+        return self._attend(q, k, v, mask)
+
+    def decode_step(self, query, cache, index):
+        """Causal self-attention for new tokens at ``[index, index+Tq)``.
+
+        Args:
+            query: (B, Tq, D) — Tq=1 for stepwise decode; Tq>1 prefills
+                a whole prompt chunk in one call (still causal).
+            cache: from :meth:`init_cache` (or the previous step).
+            index: int or traced scalar — first position of ``query``.
+
+        Returns:
+            ``(out, cache)`` — (B, Tq, D) output and the updated cache.
+        """
+        q = self._split(self.q_proj(query))
+        k_new = self._split(self.k_proj(query))
+        v_new = self._split(self.v_proj(query))
+        if self.rope is not None:
+            q = self.rope(q, offset=index)
+            k_new = self.rope(k_new, offset=index)
+        k = jax.lax.dynamic_update_slice_in_dim(
+            cache['k'], k_new.astype(cache['k'].dtype), index, axis=2)
+        v = jax.lax.dynamic_update_slice_in_dim(
+            cache['v'], v_new.astype(cache['v'].dtype), index, axis=2)
+        # causal over global positions; unwritten cache slots are all
+        # beyond index + Tq - 1, so the same mask hides them
+        rows = index + jnp.arange(q.shape[2])
+        mask = (jnp.arange(k.shape[2])[None, :]
+                > rows[:, None])[None, None]
+        return self._attend(q, k, v, mask), {'k': k, 'v': v}
+
 
 class _FFN(Module):
     def __init__(self, d_model, d_ff, dropout=0.0, activation='gelu'):
@@ -328,6 +405,26 @@ class TransformerDecoderLayer(Module):
             x = self.norm3(x + drop(self.ffn(x)))
         return x
 
+    def decode_step(self, x, self_cache, cross_kv, index,
+                    memory_seq_len=None):
+        """One incremental step; mirrors :meth:`forward` with the
+        self-attention KV cache and precomputed cross K/V."""
+        if self.pre_norm:
+            h, self_cache = self.self_attn.decode_step(
+                self.norm1(x), self_cache, index)
+            x = x + h
+            x = x + self.cross_attn.attend_cached(
+                self.norm2(x), cross_kv, key_padding_lens=memory_seq_len)
+            x = x + self.ffn(self.norm3(x))
+        else:
+            h, self_cache = self.self_attn.decode_step(
+                x, self_cache, index)
+            x = self.norm1(x + h)
+            x = self.norm2(x + self.cross_attn.attend_cached(
+                x, cross_kv, key_padding_lens=memory_seq_len))
+            x = self.norm3(x + self.ffn(x))
+        return x, self_cache
+
 
 class TransformerDecoder(Module):
     """Reference parity: ``mk/modules/transformer.py:1253``."""
@@ -352,6 +449,39 @@ class TransformerDecoder(Module):
         if self.final_norm is not None:
             x = self.final_norm(x)
         return x
+
+    def init_cache(self, memory, max_len, dtype=jnp.float32):
+        """Build the decode cache: per-layer preallocated self-attention
+        K/V plus the cross-attention K/V projected from ``memory``
+        ONCE (they never change during generation).  The result is a
+        pytree — it carries through ``lax.scan`` so a whole generation
+        loop compiles to one XLA program.
+        """
+        batch_size = memory.shape[0]
+        return {
+            'self': [l.self_attn.init_cache(batch_size, max_len, dtype)
+                     for l in self.layers],
+            'cross': [l.cross_attn.precompute_kv(memory)
+                      for l in self.layers],
+        }
+
+    def decode_step(self, x, cache, index, memory_seq_len=None):
+        """Incrementally decode tokens at ``[index, index + Tq)``.
+
+        (B, Tq, d_model) in, (B, Tq, d_model) out, plus the updated
+        cache.  ``index`` may be traced; with a fixed Tq the step jits
+        once for all positions.  Chunked decode over a full sequence is
+        exactly equal to one-shot :meth:`forward` (tested).
+        """
+        new_self = []
+        for layer, sc, ck in zip(
+                self.layers, cache['self'], cache['cross']):
+            x, sc = layer.decode_step(
+                x, sc, ck, index, memory_seq_len=memory_seq_len)
+            new_self.append(sc)
+        if self.final_norm is not None:
+            x = self.final_norm(x)
+        return x, {'self': new_self, 'cross': cache['cross']}
 
 
 class PositionalConvEmbedding(Module):
