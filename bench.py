@@ -340,7 +340,7 @@ def bench_attention():
     B_, H, D = 8, 12, 64
     rng = np.random.RandomState(0)
 
-    def naive(q, k, v, *, causal, key_padding_lens):
+    def naive(q, k, v, *, causal, key_padding_lens, window=None):
         s = jnp.einsum('bhqd,bhkd->bhqk', q, k) / np.sqrt(D)
         tq, tk = q.shape[2], k.shape[2]
         mask = (jnp.arange(tk)[None, None, None, :]
@@ -348,16 +348,21 @@ def bench_attention():
         if causal:
             mask = mask & (jnp.arange(tk)[None, None, None, :]
                            <= jnp.arange(tq)[None, None, :, None])
+        if window is not None:
+            diff = (jnp.arange(tk)[None, None, None, :]
+                    - jnp.arange(tq)[None, None, :, None])
+            mask = mask & (diff >= -window[0]) & (diff <= window[1])
         p = jax.nn.softmax(
             jnp.where(mask, s.astype(jnp.float32), -1e30), axis=-1)
         p = jnp.where(mask, p, 0.0).astype(v.dtype)
         return jnp.einsum('bhqk,bhkd->bhqd', p, v)
 
-    def measure(fn, t, causal, reps):
+    def measure(fn, t, causal, reps, window=None):
         q, k, v = (jnp.asarray(rng.randn(B_, H, t, D), jnp.bfloat16)
                    for _ in range(3))
         lens = jnp.full((B_,), t, jnp.int32)
-        f = functools.partial(fn, causal=causal, key_padding_lens=lens)
+        f = functools.partial(fn, causal=causal, key_padding_lens=lens,
+                              window=window)
 
         def loss(q, k, v):
             return jnp.sum(f(q, k, v).astype(jnp.float32))
@@ -392,17 +397,25 @@ def bench_attention():
         try:
             r[f'{name}_causal'] = measure(fn, 4096, True, 2)
             r[f'{name}_short'] = measure(fn, 1024, False, 8)
+            # Longformer band: the kernel SKIPS out-of-band KV blocks
+            # (O(T*W)); XLA's dense path can only mask them (O(T^2))
+            r[f'{name}_window'] = measure(
+                fn, 4096, False, 2, window=(255, 256))
         except Exception as e:  # pragma: no cover
             _log(f'attention {name} failed: {e!r}')
             r[f'{name}_causal'] = r[f'{name}_short'] = float('inf')
+            r[f'{name}_window'] = float('inf')
     speedup = r['xla_causal'] / r['flash_causal']
+    wspeedup = r['xla_window'] / r['flash_window']
     print(json.dumps({
         'metric': 'flash_attention_causal_train_ms',
         'value': round(r['flash_causal'], 1),
         'unit': (f'ms fwd+bwd (B=8, H=12, D=64, T=4096 causal bf16; '
                  f'XLA-materializing={r["xla_causal"]:.1f} ms '
-                 f'[{speedup:.2f}x]; non-causal T=1024: '
-                 f'flash={r["flash_short"]:.1f} vs '
+                 f'[{speedup:.2f}x]; sliding-window 512 @ T=4096: '
+                 f'flash={r["flash_window"]:.1f} vs '
+                 f'xla={r["xla_window"]:.1f} ms [{wspeedup:.2f}x]; '
+                 f'non-causal T=1024: flash={r["flash_short"]:.1f} vs '
                  f'xla={r["xla_short"]:.1f} ms — XLA wins there, '
                  f'flash is opt-in); baseline = same-chip XLA path'),
         'vs_baseline': round(speedup, 2),

@@ -34,6 +34,7 @@ __all__ = [
     'interleave',
     'MPLinear',
     'set_attention_backend',
+    'autoregressive_generate',
 ]
 
 
@@ -644,3 +645,72 @@ def set_attention_backend(module, use_flash=True):
                 if isinstance(item, Module):
                     set_attention_backend(item, use_flash)
     return module
+
+
+def autoregressive_generate(
+        decoder, memory, *, embed, logits_head, bos_id, max_len,
+        memory_seq_len=None, eos_id=None, temperature=0.0, top_k=None,
+        key=None):
+    """Token generation with the KV-cache decoder as ONE ``lax.scan``.
+
+    The whole loop — embed, :meth:`TransformerDecoder.decode_step`,
+    head, sample, early-stop bookkeeping — compiles to a single XLA
+    program (static ``max_len`` trip count; no host round-trips).
+
+    Args:
+        decoder: a :class:`TransformerDecoder` (or anything with
+            ``init_cache``/``decode_step``).
+        memory: (B, S, d_memory) encoder output.
+        embed: callable (B,) int32 token ids -> (B, d_model).
+        logits_head: callable (B, d_model) -> (B, vocab) logits.
+        bos_id: start token fed at step 0.
+        max_len: number of tokens to generate (static).
+        eos_id: optional stop token; finished rows keep emitting it and
+            their length is recorded.
+        temperature: 0 -> greedy argmax; > 0 -> sampled from
+            ``softmax(logits / temperature)`` (``key`` required).
+        top_k: optional k; restrict sampling to the k best logits.
+        key: PRNG key for sampling.
+
+    Returns:
+        ``(tokens, lengths)`` — (B, max_len) int32 and (B,) int32
+        (generated length incl. the eos; ``max_len`` if never stopped).
+    """
+    sample = temperature and temperature > 0
+    if sample and key is None:
+        raise ValueError('temperature > 0 needs a PRNG key')
+    if key is None:
+        key = jax.random.PRNGKey(0)  # unused by greedy
+    batch = memory.shape[0]
+    cache = decoder.init_cache(memory, max_len)
+    token0 = jnp.full((batch,), bos_id, jnp.int32)
+    done0 = jnp.zeros((batch,), bool)
+    len0 = jnp.full((batch,), max_len, jnp.int32)
+
+    def pick(logits, key):
+        if top_k is not None:
+            kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+            logits = jnp.where(
+                logits < kth, jnp.finfo(logits.dtype).min, logits)
+        if sample:
+            return jax.random.categorical(
+                key, logits / jnp.asarray(temperature, logits.dtype))
+        return jnp.argmax(logits, axis=-1)
+
+    def step(carry, t):
+        token, cache, done, lengths, key = carry
+        x = embed(token)[:, None, :]                     # (B, 1, D)
+        out, cache = decoder.decode_step(
+            x, cache, t, memory_seq_len=memory_seq_len)
+        key, sub = jax.random.split(key)
+        nxt = pick(logits_head(out[:, 0]), sub).astype(jnp.int32)
+        if eos_id is not None:
+            nxt = jnp.where(done, eos_id, nxt)
+            just_done = ~done & (nxt == eos_id)
+            lengths = jnp.where(just_done, t + 1, lengths)
+            done = done | just_done
+        return (nxt, cache, done, lengths, key), nxt
+
+    (_, _, _, lengths, _), tokens = jax.lax.scan(
+        step, (token0, cache, done0, len0, key), jnp.arange(max_len))
+    return jnp.transpose(tokens, (1, 0)), lengths

@@ -127,3 +127,80 @@ def test_decoder_scan_generation_jits_once():
     want = jnp.concatenate(outs, axis=1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_autoregressive_generate_greedy_matches_eager():
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        autoregressive_generate)
+    from padertorch_tpu import nn
+    ptrandom.seed(5)
+    vocab, d = 11, 16
+    dec = TransformerDecoder(
+        d_model=d, num_layers=2, num_heads=4, use_rope=True).eval()
+    ptrandom.seed(6)
+    emb_w = _x((vocab, d), seed=8)
+    head = nn.Linear(d, vocab)
+    memory = _x((3, 4, d), seed=9)
+    lens = [2, 4, 3]
+
+    tokens, lengths = jax.jit(lambda m: autoregressive_generate(
+        dec, m, embed=lambda t: emb_w[t], logits_head=head,
+        bos_id=0, max_len=7, memory_seq_len=lens, eos_id=1))(memory)
+    assert tokens.shape == (3, 7) and lengths.shape == (3,)
+
+    # eager greedy replay must produce the same token sequence
+    cache = dec.init_cache(memory, max_len=7)
+    tok = jnp.zeros((3,), jnp.int32)
+    outs = []
+    done = np.zeros(3, bool)
+    for t in range(7):
+        out, cache = dec.decode_step(
+            emb_w[tok][:, None], cache, t, memory_seq_len=lens)
+        nxt = np.asarray(jnp.argmax(head(out[:, 0]), -1), dtype='int32')
+        nxt = np.where(done, 1, nxt)
+        done |= nxt == 1
+        tok = jnp.asarray(nxt)
+        outs.append(nxt)
+    np.testing.assert_array_equal(np.asarray(tokens), np.stack(outs, 1))
+    # lengths consistent with first eos position
+    toks = np.asarray(tokens)
+    for b in range(3):
+        eos = np.nonzero(toks[b] == 1)[0]
+        want = eos[0] + 1 if eos.size else 7
+        assert lengths[b] == want, (b, toks[b], lengths[b])
+
+
+def test_autoregressive_generate_sampling():
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        autoregressive_generate)
+    from padertorch_tpu import nn
+    ptrandom.seed(7)
+    vocab, d = 9, 16
+    dec = TransformerDecoder(
+        d_model=d, num_layers=1, num_heads=4).eval()
+    ptrandom.seed(8)
+    emb_w = _x((vocab, d), seed=10)
+    head = nn.Linear(d, vocab)
+    memory = _x((2, 3, d), seed=11)
+
+    def gen(temperature, top_k, key):
+        return autoregressive_generate(
+            dec, memory, embed=lambda t: emb_w[t], logits_head=head,
+            bos_id=0, max_len=6, temperature=temperature, top_k=top_k,
+            key=key)[0]
+
+    k = jax.random.PRNGKey(0)
+    a = gen(1.0, None, k)
+    b = gen(1.0, None, k)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # reproducible
+    c = gen(1.0, None, jax.random.PRNGKey(1))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))  # key matters
+    # top_k=1 sampling collapses to greedy
+    g = gen(0.0, None, k)
+    t1 = gen(1e-6, 1, k)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(t1))
+    # temperature=0 requires no key, raises with sampling and no key
+    with pytest.raises(ValueError):
+        autoregressive_generate(
+            dec, memory, embed=lambda t: emb_w[t], logits_head=head,
+            bos_id=0, max_len=3, temperature=0.5)
