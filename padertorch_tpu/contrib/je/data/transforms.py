@@ -42,8 +42,14 @@ class AudioReader:
     def read_file(self, filepath):
         from scipy.io import wavfile
         sr, data = wavfile.read(filepath)
-        if data.dtype.kind == 'i':
-            data = data / np.iinfo(data.dtype).max
+        if data.dtype == np.int16:
+            # GIL-releasing native decode (native/_dataprep.cpp) — the
+            # prefetch threads convert in parallel; /32768 matches the
+            # reference's soundfile normalization
+            from padertorch_tpu.native import pcm16_to_float32
+            data = pcm16_to_float32(data)
+        elif data.dtype.kind == 'i':
+            data = data / -float(np.iinfo(data.dtype).min)
         data = np.asarray(data, dtype=np.float32)
         if data.ndim == 2:
             data = data.T  # (channels, samples)

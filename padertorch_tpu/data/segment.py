@@ -71,6 +71,11 @@ def segment_axis(x, length, shift, axis=-1, end='cut', pad_value=0):
         n_frames = (n - length) // shift + 1
     else:
         raise ValueError(end)
+    if x.ndim == 1 and x.dtype == np.float32:
+        # hot path (audio chunking in the prefetch workers): the native
+        # GIL-releasing framing kernel (native/_dataprep.cpp)
+        from padertorch_tpu.native import frame_signal
+        return frame_signal(x, length, shift)
     idx = np.arange(n_frames)[:, None] * shift + np.arange(length)[None, :]
     return np.moveaxis(np.take(x, idx, axis=axis), axis, 0) \
         if axis != 0 else np.take(x, idx, axis=0)
