@@ -35,6 +35,7 @@ __all__ = [
     'MPLinear',
     'set_attention_backend',
     'autoregressive_generate',
+    'beam_search_generate',
 ]
 
 
@@ -714,3 +715,101 @@ def autoregressive_generate(
     (_, _, _, lengths, _), tokens = jax.lax.scan(
         step, (token0, cache, done0, len0, key), jnp.arange(max_len))
     return jnp.transpose(tokens, (1, 0)), lengths
+
+
+def beam_search_generate(
+        decoder, memory, *, embed, logits_head, bos_id, max_len,
+        beam_size, eos_id=None, memory_seq_len=None,
+        length_penalty=0.0):
+    """Beam search over the KV-cache decoder as ONE ``lax.scan``.
+
+    Each step scores ``beam_size * vocab`` continuations per batch row,
+    keeps the ``beam_size`` best, and REORDERS the self-attention cache
+    by parent beam with a batched gather (cross-attention K/V are
+    identical across a row's beams, so they are left untouched).
+    Finished beams (emitted ``eos_id``) continue with exactly one
+    zero-logprob ``eos`` continuation, freezing their score.
+
+    Args:
+        decoder: :class:`TransformerDecoder` (or same protocol).
+        memory: (B, S, d_memory) encoder output.
+        embed: (N,) int32 ids -> (N, d_model).
+        logits_head: (N, d_model) -> (N, vocab).
+        bos_id, max_len, eos_id: as in :func:`autoregressive_generate`.
+        beam_size: beams kept per batch row.
+        memory_seq_len: optional (B,) valid memory lengths.
+        length_penalty: alpha >= 0; final ranking uses
+            ``score / length**alpha`` (0 = pure log-prob).
+
+    Returns:
+        ``(tokens, scores, lengths)`` — (B, K, max_len) int32,
+        (B, K) float32 cumulative log-probs and (B, K) int32 lengths,
+        sorted best-first by the length-normalized score.
+    """
+    batch, k = memory.shape[0], beam_size
+    mem = jnp.repeat(memory, k, axis=0)                  # (B*K, S, D)
+    mlens = (None if memory_seq_len is None
+             else jnp.repeat(jnp.asarray(memory_seq_len), k))
+    cache = decoder.init_cache(mem, max_len)
+    tok0 = jnp.full((batch * k,), bos_id, jnp.int32)
+    # only beam 0 is live at t=0 (all beams start identical)
+    scores0 = jnp.tile(
+        jnp.asarray([0.0] + [-jnp.inf] * (k - 1), jnp.float32),
+        (batch, 1))
+    done0 = jnp.zeros((batch, k), bool)
+    len0 = jnp.full((batch, k), max_len, jnp.int32)
+    hist0 = jnp.zeros((batch, k, max_len), jnp.int32)
+
+    def step(carry, t):
+        tok, cache, scores, done, lengths, hist = carry
+        x = embed(tok)[:, None, :]
+        out, cache = decoder.decode_step(
+            x, cache, t, memory_seq_len=mlens)
+        logp = jax.nn.log_softmax(
+            logits_head(out[:, 0]).astype(jnp.float32), axis=-1)
+        vocab = logp.shape[-1]
+        logp = logp.reshape(batch, k, vocab)
+        if eos_id is not None:
+            # finished beams: single free eos continuation
+            eos_row = jnp.full((vocab,), -jnp.inf
+                               ).at[eos_id].set(0.0)
+            logp = jnp.where(done[..., None], eos_row, logp)
+        cand = (scores[..., None] + logp).reshape(batch, k * vocab)
+        scores, idx = jax.lax.top_k(cand, k)             # (B, K)
+        parent = idx // vocab
+        token = (idx % vocab).astype(jnp.int32)
+
+        def regather(a):                                  # (B, K, ...)
+            return jnp.take_along_axis(
+                a, parent.reshape(parent.shape + (1,) * (a.ndim - 2)),
+                axis=1)
+
+        done = regather(done)
+        lengths = regather(lengths)
+        hist = regather(hist)
+        hist = jax.lax.dynamic_update_slice_in_dim(
+            hist, token[..., None], t, axis=2)
+        if eos_id is not None:
+            just_done = ~done & (token == eos_id)
+            lengths = jnp.where(just_done, t + 1, lengths)
+            done = done | just_done
+        # reorder the self-attention caches by parent beam
+        flat = (jnp.arange(batch)[:, None] * k + parent).reshape(-1)
+        self_cache = jax.tree_util.tree_map(
+            lambda a: jnp.take(a, flat, axis=0), cache['self'])
+        cache = {'self': self_cache, 'cross': cache['cross']}
+        return (token.reshape(batch * k), cache, scores, done,
+                lengths, hist), None
+
+    (tok, cache, scores, done, lengths, hist), _ = jax.lax.scan(
+        step, (tok0, cache, scores0, done0, len0, hist0),
+        jnp.arange(max_len))
+    if length_penalty:
+        norm = scores / jnp.maximum(
+            lengths.astype(jnp.float32), 1.0) ** length_penalty
+    else:
+        norm = scores
+    order = jnp.argsort(-norm, axis=1)
+    return (jnp.take_along_axis(hist, order[..., None], 1),
+            jnp.take_along_axis(scores, order, 1),
+            jnp.take_along_axis(lengths, order, 1))

@@ -204,3 +204,100 @@ def test_autoregressive_generate_sampling():
         autoregressive_generate(
             dec, memory, embed=lambda t: emb_w[t], logits_head=head,
             bos_id=0, max_len=3, temperature=0.5)
+
+
+def _beam_setup(vocab=3, d=16, layers=1, seed=20, batch=2, mem_t=3):
+    from padertorch_tpu import nn
+    ptrandom.seed(seed)
+    dec = TransformerDecoder(
+        d_model=d, num_layers=layers, num_heads=4).eval()
+    ptrandom.seed(seed + 1)
+    emb_w = _x((vocab, d), seed=seed + 2)
+    head = nn.Linear(d, vocab)
+    memory = _x((batch, mem_t, d), seed=seed + 3)
+    return dec, emb_w, head, memory
+
+
+def test_beam_size_one_equals_greedy():
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        autoregressive_generate, beam_search_generate)
+    dec, emb_w, head, memory = _beam_setup(vocab=7, seed=30)
+    greedy, _ = autoregressive_generate(
+        dec, memory, embed=lambda t: emb_w[t], logits_head=head,
+        bos_id=0, max_len=5, eos_id=1)
+    beams, scores, lengths = beam_search_generate(
+        dec, memory, embed=lambda t: emb_w[t], logits_head=head,
+        bos_id=0, max_len=5, beam_size=1, eos_id=1)
+    np.testing.assert_array_equal(
+        np.asarray(beams[:, 0]), np.asarray(greedy))
+
+
+def test_beam_search_is_exact_on_tiny_space():
+    # beam wide enough to hold every prefix => beam search == exhaustive
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        beam_search_generate)
+    vocab, steps = 3, 3
+    dec, emb_w, head, memory = _beam_setup(vocab=vocab, seed=40, batch=2)
+
+    beams, scores, lengths = jax.jit(lambda m: beam_search_generate(
+        dec, m, embed=lambda t: emb_w[t], logits_head=head,
+        bos_id=0, max_len=steps, beam_size=vocab ** (steps - 1)))(memory)
+
+    # exhaustive: score every sequence with the one-shot decoder
+    import itertools
+    best = []
+    for b in range(memory.shape[0]):
+        best_s, best_seq = -np.inf, None
+        for seq in itertools.product(range(vocab), repeat=steps):
+            inp = emb_w[jnp.asarray((0,) + seq[:-1])][None]
+            out = dec(inp, memory[b:b + 1])
+            logp = jax.nn.log_softmax(head(out[0]), axis=-1)
+            s = float(sum(logp[j, seq[j]] for j in range(steps)))
+            if s > best_s:
+                best_s, best_seq = s, seq
+        best.append((best_seq, best_s))
+
+    for b, (seq, s) in enumerate(best):
+        np.testing.assert_array_equal(np.asarray(beams[b, 0]), seq)
+        np.testing.assert_allclose(float(scores[b, 0]), s, rtol=1e-4)
+
+
+def test_beam_search_eos_freezes_score():
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        beam_search_generate)
+    dec, emb_w, head, memory = _beam_setup(vocab=5, seed=50, batch=1)
+    beams, scores, lengths = beam_search_generate(
+        dec, memory, embed=lambda t: emb_w[t], logits_head=head,
+        bos_id=0, max_len=8, beam_size=4, eos_id=1)
+    toks = np.asarray(beams[0])
+    lens = np.asarray(lengths[0])
+    for kb in range(4):
+        if lens[kb] < 8:
+            # after eos, every token must be eos
+            assert toks[kb, lens[kb] - 1] == 1
+            assert (toks[kb, lens[kb]:] == 1).all()
+    # scores sorted best-first
+    sc = np.asarray(scores[0])
+    lp = sc / np.maximum(lens, 1) ** 0.0
+    assert (np.diff(lp) <= 1e-6).all()
+
+
+def test_beam_search_length_penalty_reorders():
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        beam_search_generate)
+    dec, emb_w, head, memory = _beam_setup(vocab=5, seed=60, batch=2)
+    b0 = beam_search_generate(
+        dec, memory, embed=lambda t: emb_w[t], logits_head=head,
+        bos_id=0, max_len=6, beam_size=3, eos_id=1)
+    b1 = beam_search_generate(
+        dec, memory, embed=lambda t: emb_w[t], logits_head=head,
+        bos_id=0, max_len=6, beam_size=3, eos_id=1, length_penalty=1.0)
+    # same beam set, possibly different order: compare as sets
+    for b in range(2):
+        s0 = {tuple(r) for r in np.asarray(b0[0][b])}
+        s1 = {tuple(r) for r in np.asarray(b1[0][b])}
+        assert s0 == s1
+    # normalized ranking is non-increasing under the penalty
+    sc, lens = np.asarray(b1[1]), np.asarray(b1[2])
+    norm = sc / np.maximum(lens, 1) ** 1.0
+    assert (np.diff(norm, axis=1) <= 1e-6).all()
