@@ -84,16 +84,55 @@ class MultiheadAttention(Module):
     """
 
     def __init__(self, d_model, num_heads, dropout=0.0, use_rope=False,
-                 d_kv=None, use_flash=False):
+                 d_kv=None, use_flash=False, bias=True, d_v=None,
+                 qk_norm=None, add_bias_kv=False,
+                 linear_attention_bias=False,
+                 magnitude_preserving=False):
+        """Long-tail reference options (``mk/transformer.py:549-645``):
+        ``bias`` (projection bias), ``d_kv``/``d_v`` (separate key /
+        value input dims, the reference's kdim/vdim), ``qk_norm`` in
+        {'rms', 'l2'} ('rms' = per-head RMSNorm on q and k before RoPE,
+        the reference's ``rms_norm``; 'l2' = unit-normalize q and k
+        after RoPE, the reference's ``l2_normalization``),
+        ``add_bias_kv`` (a learned extra key/value token),
+        ``linear_attention_bias`` (symmetric distance penalty
+        ``-|i - j| * slope_h``, slopes ``linspace(8/H, 8, H)``),
+        ``magnitude_preserving`` (projections on the unit sphere via
+        :class:`MPLinear`, Karras et al. 2024)."""
         assert d_model % num_heads == 0, (d_model, num_heads)
         self.d_model = d_model
         self.num_heads = num_heads
         self.d_head = d_model // num_heads
         d_kv = d_kv or d_model
-        self.q_proj = nn.Linear(d_model, d_model)
-        self.k_proj = nn.Linear(d_kv, d_model)
-        self.v_proj = nn.Linear(d_kv, d_model)
-        self.out_proj = nn.Linear(d_model, d_model)
+        d_v = d_v or d_kv
+
+        def make(d_in):
+            if magnitude_preserving:
+                return MPLinear(d_in, d_model, bias=bias,
+                                magnitude_preserving=True)
+            return nn.Linear(d_in, d_model, bias=bias)
+
+        self.q_proj = make(d_model)
+        self.k_proj = make(d_kv)
+        self.v_proj = make(d_v)
+        self.out_proj = make(d_model)
+        assert qk_norm in (None, 'rms', 'l2'), qk_norm
+        self.qk_norm = qk_norm
+        if qk_norm == 'rms':
+            self.q_norm = nn.RMSNorm(self.d_head)
+            self.k_norm = nn.RMSNorm(self.d_head)
+        if add_bias_kv:
+            # the reference concatenates the bias to the PRE-projection
+            # key/value inputs (mk/transformer.py:666-682; sized for the
+            # respective input dims so kdim/vdim also compose)
+            std_k, std_v = (math.sqrt(2.0 / (1 + d)) for d in (d_kv, d_v))
+            self.bias_k = std_k * jax.random.normal(
+                ptrandom.init_key(), (1, 1, d_kv))
+            self.bias_v = std_v * jax.random.normal(
+                ptrandom.init_key(), (1, 1, d_v))
+        else:
+            self.bias_k = self.bias_v = None
+        self.linear_attention_bias = linear_attention_bias
         self.dropout = nn.Dropout(dropout) if dropout else None
         self.rope = RoPE(self.d_head) if use_rope else None
         # fused attention backend (ops/pallas/attention.py): exact
@@ -139,13 +178,44 @@ class MultiheadAttention(Module):
             key = query
         if value is None:
             value = key
+        bias_kv = getattr(self, 'bias_k', None) is not None
+        if bias_kv:
+            # learned extra key/value token appended to the inputs
+            assert not causal and attn_window is None, \
+                'add_bias_kv composes with padding, not causal/window'
+            n = key.shape[0]
+            key = jnp.concatenate(
+                [key, jnp.broadcast_to(
+                    self.bias_k, (n, 1, key.shape[-1]))], axis=1)
+            value = jnp.concatenate(
+                [value, jnp.broadcast_to(
+                    self.bias_v, (n, 1, value.shape[-1]))], axis=1)
         q = self._split(self.q_proj(query))
         k = self._split(self.k_proj(key))
         v = self._split(self.v_proj(value))
+        if getattr(self, 'qk_norm', None) == 'rms':
+            q = self.q_norm(q)
+            k = self.k_norm(k)
         if self.rope is not None:
             q = self.rope(q)
             k = self.rope(k)
-        if self.seq_mesh is not None and key is query:
+        if getattr(self, 'qk_norm', None) == 'l2':
+            q = q / jnp.maximum(
+                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+            k = k / jnp.maximum(
+                jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+        if getattr(self, 'linear_attention_bias', False):
+            # symmetric ALiBi-style distance penalty (reference
+            # mk/transformer.py:707-724): -|i - j| * slope_h
+            dist = -jnp.abs(
+                jnp.arange(k.shape[2])[None, :]
+                - jnp.arange(q.shape[2])[:, None]).astype(jnp.float32)
+            slopes = jnp.linspace(
+                8.0 / self.num_heads, 8.0, self.num_heads)
+            lin = slopes[:, None, None] * dist[None]
+            attn_bias = lin[None] if attn_bias is None \
+                else attn_bias + lin[None]
+        if self.seq_mesh is not None and key is query and not bias_kv:
             if attn_bias is not None or (
                     self.dropout is not None and self.training):
                 import warnings
@@ -166,6 +236,7 @@ class MultiheadAttention(Module):
                     out, (0, 2, 1, 3)).reshape(b, t, h * d)
                 return self.out_proj(out)
         if (getattr(self, 'use_flash', False) and attn_bias is None
+                and not bias_kv
                 and (self.dropout is None or not self.training)):
             from padertorch_tpu.ops.pallas.attention import (
                 flash_attention)
@@ -185,7 +256,10 @@ class MultiheadAttention(Module):
             logits = logits + attn_bias
         if key_padding_lens is not None:
             lens = jnp.asarray(key_padding_lens)
-            pad = jnp.arange(k.shape[2])[None, :] >= lens[:, None]
+            pos = jnp.arange(k.shape[2])
+            pad = pos[None, :] >= lens[:, None]
+            if bias_kv:  # the appended bias token is always attendable
+                pad = pad & (pos[None, :] != k.shape[2] - 1)
             logits = jnp.where(
                 pad[:, None, None, :], jnp.finfo(logits.dtype).min, logits)
         if causal:

@@ -287,6 +287,28 @@ class LayerNorm(Module):
         return y
 
 
+class RMSNorm(Module):
+    """Root-mean-square norm (Zhang & Sennrich 2019), torch.nn.RMSNorm
+    semantics: no mean subtraction, learnable scale, no bias."""
+
+    def __init__(self, normalized_shape, eps=1e-6,
+                 elementwise_affine=True, dtype='float32'):
+        if isinstance(normalized_shape, int):
+            normalized_shape = (normalized_shape,)
+        self.normalized_shape = tuple(normalized_shape)
+        self.eps = eps
+        self.weight = (jnp.ones(self.normalized_shape, dtype=dtype)
+                       if elementwise_affine else None)
+
+    def forward(self, x):
+        axes = tuple(range(x.ndim - len(self.normalized_shape), x.ndim))
+        ms = jnp.mean(jnp.square(x), axis=axes, keepdims=True)
+        y = x * lax.rsqrt(ms + self.eps)
+        if self.weight is not None:
+            y = y * self.weight
+        return y
+
+
 def _act_module(name, fn, **params):
     def __init__(self, **kwargs):
         for k, v in {**params, **kwargs}.items():
