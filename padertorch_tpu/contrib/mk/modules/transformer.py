@@ -28,6 +28,7 @@ __all__ = [
     'TransformerDecoderLayer',
     'TransformerDecoder',
     'DynamicTanh',
+    'CondLayerNorm',
     'PositionalConvEmbedding',
     'PositionalEncoding',
     'positional_embedding',
@@ -364,14 +365,21 @@ class MultiheadAttention(Module):
 
 
 class _FFN(Module):
-    def __init__(self, d_model, d_ff, dropout=0.0, activation='gelu'):
+    def __init__(self, d_model, d_ff, dropout=0.0, activation='gelu',
+                 pre_activation=False):
         self.lin1 = nn.Linear(d_model, d_ff)
         self.lin2 = nn.Linear(d_ff, d_model)
         self.dropout = nn.Dropout(dropout) if dropout else None
         self.activation = activation
+        # reference `pre_activation` MLP (mk/transformer.py:859):
+        # activation also applied to the block input
+        self.pre_activation = pre_activation
 
     def forward(self, x):
-        h = getattr(jax.nn, self.activation)(self.lin1(x))
+        act = getattr(jax.nn, self.activation)
+        if getattr(self, 'pre_activation', False):
+            x = act(x)
+        h = act(self.lin1(x))
         if self.dropout is not None:
             h = self.dropout(h)
         return self.lin2(h)
@@ -380,33 +388,129 @@ class _FFN(Module):
 def _make_norm(norm, d_model):
     if norm == 'dyt':
         return DynamicTanh(d_model)
+    if norm == 'rms':
+        return nn.RMSNorm(d_model)
     return nn.LayerNorm(d_model)
+
+
+class CondLayerNorm(Module):
+    """Conditionally-modulated LayerNorm (AdaLN).
+
+    Reference parity: ``mk/modules/transformer.py:363-459`` — normalize
+    WITHOUT learned affine, then modulate with scale/shift(/layer-scale)
+    projected from a conditioning vector:
+    ``y = norm(x) * gamma(c) [+ beta(c)]``, returning the optional
+    layer-scale ``alpha(c)`` for the residual branch
+    (``softplus(alpha)`` gating in the encoder layer).
+
+    ``zero_init`` zeroes the layer-scale head so conditioning starts as
+    an identity gate (the reference's DiT-style init).
+    """
+
+    def __init__(self, d_model, cond_dim, bias=True, layer_scale=False,
+                 zero_init=False, eps=1e-5):
+        self.d_model = d_model
+        self.eps = eps
+        self.shift = bias
+        self.layer_scale = layer_scale
+        n = 1 + bias + layer_scale
+        self.cond_layer = nn.Linear(cond_dim, n * d_model)
+        if layer_scale and zero_init:
+            w = self.cond_layer.weight.at[:, -d_model:].set(0.0)
+            b = self.cond_layer.bias.at[-d_model:].set(0.0)
+            self.cond_layer.weight, self.cond_layer.bias = w, b
+
+    def forward(self, x, cond=None):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if cond is None:
+            return y, None
+        params = self.cond_layer(cond)
+        while params.ndim < y.ndim:       # (B, nD) -> (B, 1, nD)
+            params = params[:, None]
+        parts = jnp.split(params, 1 + self.shift + self.layer_scale,
+                          axis=-1)
+        if self.shift and self.layer_scale:
+            gamma, beta, alpha = parts
+        elif self.shift:
+            (gamma, beta), alpha = parts, None
+        elif self.layer_scale:
+            (gamma, alpha), beta = parts, None
+        else:
+            (gamma,), beta, alpha = parts, None, None
+        y = y * gamma
+        if beta is not None:
+            y = y + beta
+        return y, alpha
 
 
 class TransformerEncoderLayer(Module):
     def __init__(self, d_model, num_heads, d_ff=None, dropout=0.0,
-                 use_rope=True, norm='layer_norm', pre_norm=True):
+                 use_rope=True, norm='layer_norm', pre_norm=True,
+                 cond_dim=None, normalize_skip_connections=False,
+                 pre_activation=False, zero_init=False):
+        """``cond_dim``: enable AdaLN conditioning — ``forward`` takes a
+        per-example ``cond`` vector, norms become :class:`CondLayerNorm`
+        and the residual branches are gated by ``softplus`` of the
+        conditioned layer scale (reference ``mk/transformer.py:787-899``,
+        the hook its conditional synthesis models plug into).
+        ``normalize_skip_connections``: rescale ``x + f(x)`` back to
+        ``|x|`` (reference ``:965-983``)."""
         d_ff = d_ff or 4 * d_model
         self.self_attn = MultiheadAttention(
             d_model, num_heads, dropout=dropout, use_rope=use_rope)
-        self.ffn = _FFN(d_model, d_ff, dropout=dropout)
-        self.norm1 = _make_norm(norm, d_model)
-        self.norm2 = _make_norm(norm, d_model)
+        self.ffn = _FFN(d_model, d_ff, dropout=dropout,
+                        pre_activation=pre_activation)
+        if cond_dim is not None:
+            self.norm1 = CondLayerNorm(
+                d_model, cond_dim, layer_scale=True, zero_init=zero_init)
+            self.norm2 = CondLayerNorm(
+                d_model, cond_dim, layer_scale=True, zero_init=zero_init)
+        else:
+            self.norm1 = _make_norm(norm, d_model)
+            self.norm2 = _make_norm(norm, d_model)
         self.dropout = nn.Dropout(dropout) if dropout else None
         self.pre_norm = pre_norm
+        self.normalize_skip_connections = normalize_skip_connections
 
-    def forward(self, x, seq_len=None):
+    def _norm(self, norm, x, cond):
+        if isinstance(norm, CondLayerNorm):
+            return norm(x, cond)
+        return norm(x), None
+
+    def _residual(self, inputs, outputs, alpha=None):
+        if alpha is not None:
+            outputs = outputs * jax.nn.softplus(alpha)
+        if not getattr(self, 'normalize_skip_connections', False):
+            return inputs + outputs
+        # norm-preserving skip: |result| == |inputs|
+        ni = jnp.linalg.norm(inputs, axis=-1, keepdims=True)
+        no = jnp.linalg.norm(outputs, axis=-1, keepdims=True)
+        cross = jnp.sum(inputs * outputs, axis=-1, keepdims=True)
+        scale = ni / jnp.sqrt(
+            jnp.maximum(ni ** 2 + no ** 2 + 2 * cross, 1e-12))
+        return scale * (inputs + outputs)
+
+    def forward(self, x, seq_len=None, cond=None):
         def drop(h):
             return self.dropout(h) if self.dropout is not None else h
 
         if self.pre_norm:
-            x = x + drop(self.self_attn(
-                self.norm1(x), key_padding_lens=seq_len))
-            x = x + drop(self.ffn(self.norm2(x)))
+            h, alpha = self._norm(self.norm1, x, cond)
+            x = self._residual(
+                x, drop(self.self_attn(h, key_padding_lens=seq_len)),
+                alpha)
+            h, alpha = self._norm(self.norm2, x, cond)
+            x = self._residual(x, drop(self.ffn(h)), alpha)
         else:
-            x = self.norm1(x + drop(self.self_attn(
-                x, key_padding_lens=seq_len)))
-            x = self.norm2(x + drop(self.ffn(x)))
+            x = self._norm(
+                self.norm1,
+                self._residual(x, drop(self.self_attn(
+                    x, key_padding_lens=seq_len))), cond)[0]
+            x = self._norm(
+                self.norm2, self._residual(x, drop(self.ffn(x))),
+                cond)[0]
         return x
 
 
@@ -424,24 +528,29 @@ class TransformerEncoder(Module):
 
     def __init__(self, d_model, num_layers, num_heads, d_ff=None,
                  dropout=0.0, use_rope=True, norm='layer_norm',
-                 pre_norm=True, input_size=None):
+                 pre_norm=True, input_size=None, cond_dim=None,
+                 normalize_skip_connections=False,
+                 pre_activation=False, zero_init=False):
         self.input_proj = (nn.Linear(input_size, d_model)
                            if input_size and input_size != d_model
                            else None)
         self.layers = [
             TransformerEncoderLayer(
                 d_model, num_heads, d_ff=d_ff, dropout=dropout,
-                use_rope=use_rope, norm=norm, pre_norm=pre_norm)
+                use_rope=use_rope, norm=norm, pre_norm=pre_norm,
+                cond_dim=cond_dim,
+                normalize_skip_connections=normalize_skip_connections,
+                pre_activation=pre_activation, zero_init=zero_init)
             for _ in range(num_layers)
         ]
         self.final_norm = _make_norm(norm, d_model) if pre_norm else None
         self.d_model = self.hidden_size = d_model
 
-    def forward(self, x, seq_len=None):
+    def forward(self, x, seq_len=None, cond=None):
         if self.input_proj is not None:
             x = self.input_proj(x)
         for layer in self.layers:
-            x = layer(x, seq_len=seq_len)
+            x = layer(x, seq_len=seq_len, cond=cond)
         if self.final_norm is not None:
             x = self.final_norm(x)
         if seq_len is not None:

@@ -147,3 +147,87 @@ def test_magnitude_preserving_projections():
     out = mha(x)
     assert out.shape == (2, 6, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cond_layer_norm_adaln():
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        CondLayerNorm)
+    ptrandom.seed(10)
+    norm = CondLayerNorm(8, cond_dim=4, layer_scale=True).eval()
+    x = _arr((2, 5, 8), 20)
+    c = _arr((2, 4), 21)
+    y, alpha = norm(jnp.asarray(x), jnp.asarray(c))
+    assert y.shape == (2, 5, 8) and alpha.shape == (2, 1, 8)
+    # numpy re-execution: unaffine layernorm * gamma + beta
+    mean = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    n = (x - mean) / np.sqrt(var + norm.eps)
+    params = c @ np.asarray(norm.cond_layer.weight) + np.asarray(
+        norm.cond_layer.bias)
+    gamma, beta, a = np.split(params, 3, axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(y), n * gamma[:, None] + beta[:, None],
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(alpha), a[:, None], rtol=1e-5)
+    # without cond: plain unaffine layer norm, no layer scale
+    y0, a0 = norm(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y0), n, rtol=1e-4, atol=1e-5)
+    assert a0 is None
+
+
+def test_cond_layer_norm_zero_init_is_identity_gate():
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        CondLayerNorm)
+    ptrandom.seed(11)
+    norm = CondLayerNorm(8, cond_dim=4, layer_scale=True,
+                         zero_init=True).eval()
+    c = jnp.asarray(_arr((2, 4), 22))
+    _, alpha = norm(jnp.asarray(_arr((2, 5, 8), 23)), c)
+    np.testing.assert_allclose(np.asarray(alpha), 0.0, atol=0)
+
+
+def test_encoder_layer_conditioning():
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        TransformerEncoder)
+    ptrandom.seed(12)
+    enc = TransformerEncoder(
+        d_model=16, num_layers=2, num_heads=4, cond_dim=6).eval()
+    x = jnp.asarray(_arr((2, 7, 16), 24))
+    c1 = jnp.asarray(_arr((2, 6), 25))
+    c2 = jnp.asarray(_arr((2, 6), 26))
+    y1 = enc(x, cond=c1)
+    y2 = enc(x, cond=c2)
+    assert y1.shape == (2, 7, 16)
+    # the condition must modulate the output
+    assert np.abs(np.asarray(y1) - np.asarray(y2)).max() > 1e-4
+    import jax
+    g = jax.grad(lambda c: jnp.sum(enc(x, cond=c) ** 2))(c1)
+    assert np.isfinite(np.asarray(g)).all() and np.abs(
+        np.asarray(g)).max() > 0
+
+
+def test_normalize_skip_connections_preserves_norm():
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        TransformerEncoderLayer)
+    ptrandom.seed(13)
+    layer = TransformerEncoderLayer(
+        16, 4, normalize_skip_connections=True).eval()
+    x = jnp.asarray(_arr((2, 5, 16), 27))
+    h, _ = layer._norm(layer.norm1, x, None)
+    out = layer._residual(x, h)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out), axis=-1),
+        np.linalg.norm(np.asarray(x), axis=-1), rtol=1e-4)
+
+
+def test_ffn_pre_activation():
+    from padertorch_tpu.contrib.mk.modules.transformer import _FFN
+    import jax
+    ptrandom.seed(14)
+    ffn = _FFN(8, 16, pre_activation=True).eval()
+    x = _arr((2, 3, 8), 28)
+    got = ffn(jnp.asarray(x))
+    h = jax.nn.gelu(jnp.asarray(x))
+    want = ffn.lin2(jax.nn.gelu(ffn.lin1(h)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
