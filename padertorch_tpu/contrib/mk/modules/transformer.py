@@ -88,7 +88,7 @@ class MultiheadAttention(Module):
                  d_kv=None, use_flash=False, bias=True, d_v=None,
                  qk_norm=None, add_bias_kv=False,
                  linear_attention_bias=False,
-                 magnitude_preserving=False):
+                 magnitude_preserving=False, num_kv_heads=None):
         """Long-tail reference options (``mk/transformer.py:549-645``):
         ``bias`` (projection bias), ``d_kv``/``d_v`` (separate key /
         value input dims, the reference's kdim/vdim), ``qk_norm`` in
@@ -104,18 +104,27 @@ class MultiheadAttention(Module):
         self.d_model = d_model
         self.num_heads = num_heads
         self.d_head = d_model // num_heads
+        # grouped-query attention: Hkv KV heads shared by groups of
+        # H // Hkv query heads (Hkv=1 = multi-query).  Shrinks the K/V
+        # projections and — the production point — the decode KV cache
+        # by H/Hkv; the fused attention backend fetches the small KV
+        # directly (never repeats it in HBM).
+        self.num_kv_heads = num_kv_heads or num_heads
+        assert num_heads % self.num_kv_heads == 0, (
+            num_heads, num_kv_heads)
+        d_kv_out = self.num_kv_heads * self.d_head
         d_kv = d_kv or d_model
         d_v = d_v or d_kv
 
-        def make(d_in):
+        def make(d_in, d_out=d_model):
             if magnitude_preserving:
-                return MPLinear(d_in, d_model, bias=bias,
+                return MPLinear(d_in, d_out, bias=bias,
                                 magnitude_preserving=True)
-            return nn.Linear(d_in, d_model, bias=bias)
+            return nn.Linear(d_in, d_out, bias=bias)
 
         self.q_proj = make(d_model)
-        self.k_proj = make(d_kv)
-        self.v_proj = make(d_v)
+        self.k_proj = make(d_kv, d_kv_out)
+        self.v_proj = make(d_v, d_kv_out)
         self.out_proj = make(d_model)
         assert qk_norm in (None, 'rms', 'l2'), qk_norm
         self.qk_norm = qk_norm
@@ -155,10 +164,19 @@ class MultiheadAttention(Module):
         self.seq_axis = axis
         return self
 
-    def _split(self, x):
+    def _split(self, x, heads=None):
         b, t, _ = x.shape
+        heads = heads or self.num_heads
         return jnp.transpose(
-            x.reshape(b, t, self.num_heads, self.d_head), (0, 2, 1, 3))
+            x.reshape(b, t, heads, self.d_head), (0, 2, 1, 3))
+
+    def _kv_heads(self):
+        return getattr(self, 'num_kv_heads', self.num_heads)
+
+    def _expand_kv(self, x):
+        """(B, Hkv, T, D) -> (B, H, T, D) for the dense/ring paths."""
+        g = self.num_heads // self._kv_heads()
+        return x if g == 1 else jnp.repeat(x, g, axis=1)
 
     def forward(self, query, key=None, value=None, key_padding_lens=None,
                 causal=False, attn_bias=None, attn_window=None):
@@ -192,8 +210,8 @@ class MultiheadAttention(Module):
                 [value, jnp.broadcast_to(
                     self.bias_v, (n, 1, value.shape[-1]))], axis=1)
         q = self._split(self.q_proj(query))
-        k = self._split(self.k_proj(key))
-        v = self._split(self.v_proj(value))
+        k = self._split(self.k_proj(key), self._kv_heads())
+        v = self._split(self.v_proj(value), self._kv_heads())
         if getattr(self, 'qk_norm', None) == 'rms':
             q = self.q_norm(q)
             k = self.k_norm(k)
@@ -229,7 +247,8 @@ class MultiheadAttention(Module):
                 from padertorch_tpu.parallel.sequence import (
                     sequence_parallel_attention)
                 out = sequence_parallel_attention(
-                    q, k, v, mesh=self.seq_mesh, axis=self.seq_axis,
+                    q, self._expand_kv(k), self._expand_kv(v),
+                    mesh=self.seq_mesh, axis=self.seq_axis,
                     causal=causal, key_padding_lens=key_padding_lens,
                     window=attn_window)
                 b, h, t, d = out.shape
@@ -249,6 +268,8 @@ class MultiheadAttention(Module):
             b, h, t, d = out.shape
             out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, h * d)
             return self.out_proj(out)
+        k = self._expand_kv(k)
+        v = self._expand_kv(v)
         scale = 1.0 / math.sqrt(self.d_head)
         logits = jnp.einsum(
             'bhqd,bhkd->bhqk', q, k,
@@ -298,8 +319,10 @@ class MultiheadAttention(Module):
     # ``mk/modules/transformer.py:1027``).
 
     def init_cache(self, batch_size, max_len, dtype=jnp.float32):
-        """Preallocate the self-attention K/V cache (a pytree leaf pair)."""
-        shape = (batch_size, self.num_heads, max_len, self.d_head)
+        """Preallocate the self-attention K/V cache (a pytree leaf
+        pair); under grouped-query attention it holds only the
+        ``num_kv_heads`` KV heads — H/Hkv less HBM per cached token."""
+        shape = (batch_size, self._kv_heads(), max_len, self.d_head)
         return {'k': jnp.zeros(shape, dtype), 'v': jnp.zeros(shape, dtype)}
 
     def precompute_kv(self, key, value=None):
@@ -307,10 +330,12 @@ class MultiheadAttention(Module):
         decode step (cross-attention's K/V never change)."""
         if value is None:
             value = key
-        return {'k': self._split(self.k_proj(key)),
-                'v': self._split(self.v_proj(value))}
+        return {'k': self._split(self.k_proj(key), self._kv_heads()),
+                'v': self._split(self.v_proj(value), self._kv_heads())}
 
     def _attend(self, q, k, v, mask):
+        k = self._expand_kv(k)
+        v = self._expand_kv(v)
         scale = 1.0 / math.sqrt(self.d_head)
         logits = jnp.einsum(
             'bhqd,bhkd->bhqk', q, k,
@@ -347,8 +372,8 @@ class MultiheadAttention(Module):
             ``(out, cache)`` — (B, Tq, D) output and the updated cache.
         """
         q = self._split(self.q_proj(query))
-        k_new = self._split(self.k_proj(query))
-        v_new = self._split(self.v_proj(query))
+        k_new = self._split(self.k_proj(query), self._kv_heads())
+        v_new = self._split(self.v_proj(query), self._kv_heads())
         if self.rope is not None:
             q = self.rope(q, offset=index)
             k_new = self.rope(k_new, offset=index)
@@ -449,7 +474,8 @@ class TransformerEncoderLayer(Module):
     def __init__(self, d_model, num_heads, d_ff=None, dropout=0.0,
                  use_rope=True, norm='layer_norm', pre_norm=True,
                  cond_dim=None, normalize_skip_connections=False,
-                 pre_activation=False, zero_init=False):
+                 pre_activation=False, zero_init=False,
+                 num_kv_heads=None):
         """``cond_dim``: enable AdaLN conditioning — ``forward`` takes a
         per-example ``cond`` vector, norms become :class:`CondLayerNorm`
         and the residual branches are gated by ``softplus`` of the
@@ -459,7 +485,8 @@ class TransformerEncoderLayer(Module):
         ``|x|`` (reference ``:965-983``)."""
         d_ff = d_ff or 4 * d_model
         self.self_attn = MultiheadAttention(
-            d_model, num_heads, dropout=dropout, use_rope=use_rope)
+            d_model, num_heads, dropout=dropout, use_rope=use_rope,
+            num_kv_heads=num_kv_heads)
         self.ffn = _FFN(d_model, d_ff, dropout=dropout,
                         pre_activation=pre_activation)
         if cond_dim is not None:
@@ -530,7 +557,8 @@ class TransformerEncoder(Module):
                  dropout=0.0, use_rope=True, norm='layer_norm',
                  pre_norm=True, input_size=None, cond_dim=None,
                  normalize_skip_connections=False,
-                 pre_activation=False, zero_init=False):
+                 pre_activation=False, zero_init=False,
+                 num_kv_heads=None):
         self.input_proj = (nn.Linear(input_size, d_model)
                            if input_size and input_size != d_model
                            else None)
@@ -540,7 +568,8 @@ class TransformerEncoder(Module):
                 use_rope=use_rope, norm=norm, pre_norm=pre_norm,
                 cond_dim=cond_dim,
                 normalize_skip_connections=normalize_skip_connections,
-                pre_activation=pre_activation, zero_init=zero_init)
+                pre_activation=pre_activation, zero_init=zero_init,
+                num_kv_heads=num_kv_heads)
             for _ in range(num_layers)
         ]
         self.final_norm = _make_norm(norm, d_model) if pre_norm else None
@@ -561,12 +590,14 @@ class TransformerEncoder(Module):
 class TransformerDecoderLayer(Module):
     def __init__(self, d_model, num_heads, d_ff=None, dropout=0.0,
                  use_rope=True, norm='layer_norm', pre_norm=True,
-                 d_memory=None):
+                 d_memory=None, num_kv_heads=None):
         d_ff = d_ff or 4 * d_model
         self.self_attn = MultiheadAttention(
-            d_model, num_heads, dropout=dropout, use_rope=use_rope)
+            d_model, num_heads, dropout=dropout, use_rope=use_rope,
+            num_kv_heads=num_kv_heads)
         self.cross_attn = MultiheadAttention(
-            d_model, num_heads, dropout=dropout, d_kv=d_memory)
+            d_model, num_heads, dropout=dropout, d_kv=d_memory,
+            num_kv_heads=num_kv_heads)
         self.ffn = _FFN(d_model, d_ff, dropout=dropout)
         self.norm1 = _make_norm(norm, d_model)
         self.norm2 = _make_norm(norm, d_model)
@@ -616,12 +647,12 @@ class TransformerDecoder(Module):
 
     def __init__(self, d_model, num_layers, num_heads, d_ff=None,
                  dropout=0.0, use_rope=True, norm='layer_norm',
-                 pre_norm=True, d_memory=None):
+                 pre_norm=True, d_memory=None, num_kv_heads=None):
         self.layers = [
             TransformerDecoderLayer(
                 d_model, num_heads, d_ff=d_ff, dropout=dropout,
                 use_rope=use_rope, norm=norm, pre_norm=pre_norm,
-                d_memory=d_memory)
+                d_memory=d_memory, num_kv_heads=num_kv_heads)
             for _ in range(num_layers)
         ]
         self.final_norm = _make_norm(norm, d_model) if pre_norm else None

@@ -212,6 +212,18 @@ def _full_spec(t, d):
     return pl.BlockSpec((1, t, d), lambda bh, i: (bh, 0, 0))
 
 
+def _kv_full_spec(t, d, g):
+    # grouped-query attention: K/V carry B*H//g rows; query-head row bh
+    # reads KV row bh // g (heads grouped consecutively), so the
+    # smaller KV tensor is fetched directly — never materialized at
+    # full head count
+    return pl.BlockSpec((1, t, d), lambda bh, i: (bh // g, 0, 0))
+
+
+def _kv_row_spec(block, d, g):
+    return pl.BlockSpec((1, block, d), lambda bh, j: (bh // g, j, 0))
+
+
 def _col_spec(block):
     # (BH, T, 1) per-row scalars: lane dim 1, sublane = the T block
     return pl.BlockSpec((1, block, 1), lambda bh, i: (bh, i, 0))
@@ -222,7 +234,7 @@ def _full_col_spec(t):
 
 
 def _fwd_call(config, lens, q, k, v):
-    causal, window, block_q, block_k, scale, interpret = config
+    causal, window, block_q, block_k, scale, group, interpret = config
     bh, tq, d = q.shape
     tk = k.shape[1]
     kernel = functools.partial(
@@ -233,7 +245,7 @@ def _fwd_call(config, lens, q, k, v):
         grid=(bh, tq // block_q),
         in_specs=[
             _lens_spec(), _row_spec(block_q, d),
-            _full_spec(tk, d), _full_spec(tk, d),
+            _kv_full_spec(tk, d, group), _kv_full_spec(tk, d, group),
         ],
         out_specs=[_row_spec(block_q, d), _col_spec(block_q)],
         out_shape=[
@@ -245,7 +257,7 @@ def _fwd_call(config, lens, q, k, v):
 
 
 def _bwd_call(config, lens, q, k, v, o, lse, do):
-    causal, window, block_q, block_k, scale, interpret = config
+    causal, window, block_q, block_k, scale, group, interpret = config
     bh, tq, d = q.shape
     tk = k.shape[1]
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
@@ -257,7 +269,8 @@ def _bwd_call(config, lens, q, k, v, o, lse, do):
         grid=(bh, tk // block_k),
         in_specs=[
             _lens_spec(), _full_spec(tq, d),
-            _row_spec(block_k, d), _row_spec(block_k, d),
+            _kv_row_spec(block_k, d, group),
+            _kv_row_spec(block_k, d, group),
             _full_spec(tq, d), _full_col_spec(tq), _full_col_spec(tq),
         ],
         out_specs=[
@@ -266,16 +279,23 @@ def _bwd_call(config, lens, q, k, v, o, lse, do):
             # and is accumulated by the kernel (float32: the adds must
             # not round in the storage dtype)
             _full_spec(tq, d),
+            # dk/dv: per QUERY-head rows even under GQA (grid programs
+            # may not safely accumulate into a shared non-consecutive
+            # output block); the group-sum happens outside the kernel
             _row_spec(block_k, d), _row_spec(block_k, d),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, tq, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, tk, d), k.dtype),
-            jax.ShapeDtypeStruct((bh, tk, d), v.dtype),
+            jax.ShapeDtypeStruct((bh, tk, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tk, d), jnp.float32),
         ],
         interpret=interpret,
     )(lens, q, k, v, do, lse, delta)
-    return dq.astype(q.dtype), dk, dv
+    if group > 1:
+        bkv = bh // group
+        dk = dk.reshape(bkv, group, tk, d).sum(axis=1)
+        dv = dv.reshape(bkv, group, tk, d).sum(axis=1)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -310,7 +330,12 @@ def flash_attention(q, k, v, *, causal=False, key_padding_lens=None,
 
     Args:
         q: (B, H, Tq, D) queries.
-        k, v: (B, H, Tk, D) keys/values.
+        k, v: (B, Hkv, Tk, D) keys/values.  ``Hkv`` may divide ``H``
+            (grouped-query / multi-query attention): consecutive groups
+            of ``H // Hkv`` query heads share one KV head.  The kernel
+            fetches the smaller KV rows directly (index map ``bh //
+            group``) — the repeated-KV tensor is never materialized, so
+            serving KV caches stay at ``Hkv`` heads.
         causal: query i attends keys <= i (diagonal-aligned at 0).
         key_padding_lens: (B,) valid key lengths; keys beyond are masked.
         window: optional ``(left, right)`` sliding-window (local /
@@ -329,8 +354,10 @@ def flash_attention(q, k, v, *, causal=False, key_padding_lens=None,
         zero-length sequences) return 0.
     """
     b, h, tq, d = q.shape
-    tk = k.shape[2]
-    assert k.shape == (b, h, tk, d) and v.shape == (b, h, tk, d), (
+    h_kv, tk = k.shape[1], k.shape[2]
+    assert h % h_kv == 0, (h, h_kv)
+    group = h // h_kv
+    assert k.shape == (b, h_kv, tk, d) and v.shape == (b, h_kv, tk, d), (
         q.shape, k.shape, v.shape)
     if window is None:
         window = (None, None)
@@ -348,7 +375,7 @@ def flash_attention(q, k, v, *, causal=False, key_padding_lens=None,
     def prep(x, t_p):
         x = jnp.pad(x, ((0, 0), (0, 0), (0, t_p - x.shape[2]),
                         (0, d_p - d)))
-        return x.reshape(b * h, t_p, d_p)
+        return x.reshape(x.shape[0] * x.shape[1], t_p, d_p)
 
     qp, kp, vp = prep(q, tq_p), prep(k, tk_p), prep(v, tk_p)
     if key_padding_lens is None:
@@ -358,6 +385,6 @@ def flash_attention(q, k, v, *, causal=False, key_padding_lens=None,
     lens = jnp.repeat(lens[:, None], h, axis=1).reshape(b * h)
 
     config = (bool(causal), window, int(block_q), int(block_k),
-              float(scale), bool(interpret))
+              float(scale), int(group), bool(interpret))
     o = _flash(config, lens, qp, kp, vp)
     return o.reshape(b, h, tq_p, d_p)[:, :, :tq, :d]

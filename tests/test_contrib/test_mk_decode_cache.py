@@ -301,3 +301,62 @@ def test_beam_search_length_penalty_reorders():
     sc, lens = np.asarray(b1[1]), np.asarray(b1[2])
     norm = sc / np.maximum(lens, 1) ** 1.0
     assert (np.diff(norm, axis=1) <= 1e-6).all()
+
+
+def test_gqa_cache_is_smaller_and_decode_matches_forward():
+    ptrandom.seed(30)
+    mha = MultiheadAttention(16, 4, num_kv_heads=2, use_rope=True).eval()
+    cache = mha.init_cache(batch_size=2, max_len=12)
+    assert cache['k'].shape == (2, 2, 12, 4)  # Hkv=2, not H=4
+    x = _x((2, 12, 16), seed=31)
+    want = mha(x, causal=True)
+    outs = []
+    for t in range(12):
+        out, cache = mha.decode_step(x[:, t:t + 1], cache, t)
+        outs.append(out)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(outs, 1)), np.asarray(want),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_gqa_flash_backend_matches_dense():
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        set_attention_backend)
+    ptrandom.seed(31)
+    mha = MultiheadAttention(16, 4, num_kv_heads=1).eval()  # MQA
+    x = _x((2, 24, 16), seed=32)
+    want = mha(x, causal=True, key_padding_lens=[24, 17])
+    set_attention_backend(mha, use_flash=True)
+    got = mha(x, causal=True, key_padding_lens=[24, 17])
+    for b, n in enumerate([24, 17]):
+        np.testing.assert_allclose(
+            np.asarray(got[b, :n]), np.asarray(want[b, :n]),
+            rtol=1e-4, atol=1e-5)
+
+
+def test_gqa_decoder_generation():
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        autoregressive_generate)
+    from padertorch_tpu import nn
+    ptrandom.seed(32)
+    dec = TransformerDecoder(
+        d_model=16, num_layers=2, num_heads=4, num_kv_heads=2,
+        use_rope=True).eval()
+    emb_w = _x((9, 16), seed=33)
+    head = nn.Linear(16, 9)
+    memory = _x((2, 4, 16), seed=34)
+    toks, lens = jax.jit(lambda m: autoregressive_generate(
+        dec, m, embed=lambda t: emb_w[t], logits_head=head,
+        bos_id=0, max_len=6, eos_id=1))(memory)
+    assert toks.shape == (2, 6)
+    # chunked decode equals one-shot forward under GQA
+    x = _x((2, 7, 16), seed=35)
+    want = dec(x, memory)
+    cache = dec.init_cache(memory, max_len=7)
+    outs = []
+    for t in range(7):
+        out, cache = dec.decode_step(x[:, t:t + 1], cache, t)
+        outs.append(out)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(outs, 1)), np.asarray(want),
+        rtol=1e-4, atol=1e-5)

@@ -347,3 +347,56 @@ def test_je_transformer_stack_flash_backend():
     out = stack(x, seq_len=[9, 5])[0]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-5)
+
+
+@pytest.mark.parametrize('h_kv', [1, 2])
+def test_flash_gqa_matches_repeated_kv(h_kv):
+    # Hkv KV heads shared by groups of H//Hkv query heads == dense
+    # attention against explicitly repeated KV
+    h = 4
+    q = _rand((2, h, 32, 8), 70)
+    k = _rand((2, h_kv, 32, 8), 71)
+    v = _rand((2, h_kv, 32, 8), 72)
+    lens = [32, 20]
+    out = FLASH(q, k, v, key_padding_lens=lens)
+    rep = h // h_kv
+    ref = naive_attention(
+        q, jnp.repeat(k, rep, 1), jnp.repeat(v, rep, 1),
+        key_padding_lens=lens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+
+
+def test_flash_gqa_gradients_sum_over_groups():
+    h, h_kv = 4, 2
+    q = _rand((1, h, 24, 8), 73)
+    k = _rand((1, h_kv, 24, 8), 74)
+    v = _rand((1, h_kv, 24, 8), 75)
+    t = _rand((1, h, 24, 8), 76)
+
+    def loss_flash(q, k, v):
+        return jnp.sum((FLASH(q, k, v, causal=True) - t) ** 2)
+
+    def loss_ref(q, k, v):
+        out = naive_attention(
+            q, jnp.repeat(k, h // h_kv, 1), jnp.repeat(v, h // h_kv, 1),
+            causal=True)
+        return jnp.sum((out - t) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for f, r, name in zip(gf, gr, 'qkv'):
+        assert f.shape == r.shape, (name, f.shape, r.shape)
+        np.testing.assert_allclose(np.asarray(f), np.asarray(r),
+                                   atol=5e-4, err_msg=name)
+
+
+def test_flash_gqa_with_window():
+    q = _rand((1, 4, 40, 8), 77)
+    k = _rand((1, 2, 40, 8), 78)
+    v = _rand((1, 2, 40, 8), 79)
+    out = FLASH(q, k, v, window=(6, 3))
+    ref = naive_attention(
+        q, jnp.repeat(k, 2, 1), jnp.repeat(v, 2, 1), window=(6, 3))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
