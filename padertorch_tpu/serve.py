@@ -40,7 +40,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ['export_model', 'load_exported', 'dump_exported']
+__all__ = ['export_model', 'export_fn', 'export_generate',
+           'load_exported', 'dump_exported']
 
 
 def _symbolic_specs(example, polymorphic_batch, dynamic_axes):
@@ -109,19 +110,75 @@ def export_model(model, example, polymorphic_batch=True, *,
         bytes — write to disk next to the checkpoint; load anywhere
         with :func:`load_exported` (no model code needed).
     """
-    from jax import export as jax_export
     from padertorch_tpu import random as ptrandom
 
     def fn(batch):
         with ptrandom.key_context(jax.random.PRNGKey(0)):
             return model(batch)
 
+    return export_fn(fn, example, polymorphic_batch,
+                     dynamic_axes=dynamic_axes, platforms=platforms)
+
+
+def export_fn(fn, example, polymorphic_batch=True, *,
+              dynamic_axes=None, platforms=None):
+    """Like :func:`export_model` for an arbitrary jittable callable
+    taking one input pytree (e.g. a generation closure)."""
+    from jax import export as jax_export
     args = _symbolic_specs(example, polymorphic_batch, dynamic_axes)
     kwargs = {}
     if platforms is not None:
         kwargs['platforms'] = tuple(platforms)
     exported = jax_export.export(jax.jit(fn), **kwargs)(args)
     return exported.serialize()
+
+
+def export_generate(decoder, example_memory, *, embed, logits_head,
+                    bos_id, max_len, eos_id=None, memory_seq_len=None,
+                    polymorphic_batch=True, dynamic_axes=None,
+                    platforms=None, **generate_kwargs):
+    """Export a WHOLE greedy generation loop as one StableHLO artifact.
+
+    The artifact maps encoder memory directly to ``(tokens, lengths)``
+    — KV-cache init, every decode step, head, argmax and eos
+    bookkeeping are all inside (the single ``lax.scan`` of
+    ``autoregressive_generate``), so the serving side needs no Python
+    model code and no per-step host loop.
+
+    Args:
+        decoder, embed, logits_head, bos_id, max_len, eos_id: as in
+            :func:`...transformer.autoregressive_generate` (embed and
+            logits_head are baked in as constants).
+        example_memory: (B, S, d_memory) example encoder output.
+        memory_seq_len: optionally a (B,) example — then the artifact
+            takes ``{'memory': ..., 'memory_seq_len': ...}``.
+
+    Returns:
+        bytes for :func:`load_exported`.
+    """
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        autoregressive_generate)
+
+    def run(memory, seq_len=None):
+        return autoregressive_generate(
+            decoder, memory, embed=embed, logits_head=logits_head,
+            bos_id=bos_id, max_len=max_len, eos_id=eos_id,
+            memory_seq_len=seq_len, **generate_kwargs)
+
+    if memory_seq_len is None:
+        example = example_memory
+
+        def fn(memory):
+            return run(memory)
+    else:
+        example = {'memory': example_memory,
+                   'memory_seq_len': np.asarray(memory_seq_len)}
+
+        def fn(batch):
+            return run(batch['memory'], batch['memory_seq_len'])
+
+    return export_fn(fn, example, polymorphic_batch,
+                     dynamic_axes=dynamic_axes, platforms=platforms)
 
 
 def dump_exported(model, example, path, **kwargs):

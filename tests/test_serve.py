@@ -93,3 +93,69 @@ def test_dump_exported_directory_round_trip(tmp_path):
     served = load_exported(path)
     out = served(_batch(3, 12))
     assert np.asarray(out['frames']).shape == (3, 12, 2)
+
+
+def test_export_generate_round_trip(tmp_path):
+    from padertorch_tpu import nn
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        TransformerDecoder)
+    from padertorch_tpu.serve import export_generate, load_exported
+    import jax.numpy as jnp
+
+    ptrandom.seed(40)
+    dec = TransformerDecoder(
+        d_model=16, num_layers=2, num_heads=4, num_kv_heads=2,
+        use_rope=True).eval()
+    emb_w = jnp.asarray(
+        np.random.default_rng(41).normal(size=(9, 16)).astype('f'))
+    head = nn.Linear(16, 9)
+    memory = np.random.default_rng(42).normal(
+        size=(2, 5, 16)).astype('float32')
+
+    blob = export_generate(
+        dec, memory, embed=lambda t: emb_w[t], logits_head=head,
+        bos_id=0, max_len=6, eos_id=1)
+    fn = load_exported(blob)
+
+    # batch-polymorphic: serve a different batch size
+    big = np.random.default_rng(43).normal(
+        size=(3, 5, 16)).astype('float32')
+    tokens, lengths = fn(big)
+    assert tokens.shape == (3, 6) and lengths.shape == (3,)
+
+    # the artifact must agree with in-process generation
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        autoregressive_generate)
+    want_tokens, want_lengths = autoregressive_generate(
+        dec, jnp.asarray(big), embed=lambda t: emb_w[t],
+        logits_head=head, bos_id=0, max_len=6, eos_id=1)
+    np.testing.assert_array_equal(np.asarray(tokens),
+                                  np.asarray(want_tokens))
+    np.testing.assert_array_equal(np.asarray(lengths),
+                                  np.asarray(want_lengths))
+
+
+def test_export_generate_with_memory_lens():
+    from padertorch_tpu import nn
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        TransformerDecoder)
+    from padertorch_tpu.serve import export_generate, load_exported
+    import jax.numpy as jnp
+
+    ptrandom.seed(41)
+    dec = TransformerDecoder(
+        d_model=16, num_layers=1, num_heads=4).eval()
+    emb_w = jnp.asarray(
+        np.random.default_rng(44).normal(size=(7, 16)).astype('f'))
+    head = nn.Linear(16, 7)
+    memory = np.random.default_rng(45).normal(
+        size=(2, 6, 16)).astype('float32')
+    blob = export_generate(
+        dec, memory, embed=lambda t: emb_w[t], logits_head=head,
+        bos_id=0, max_len=5, eos_id=1, memory_seq_len=[4, 6])
+    fn = load_exported(blob)
+    tokens, lengths = fn(
+        {'memory': memory, 'memory_seq_len': np.asarray([3, 5])})
+    assert tokens.shape == (2, 5)
