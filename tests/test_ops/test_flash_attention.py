@@ -400,3 +400,42 @@ def test_flash_gqa_with_window():
         q, jnp.repeat(k, 2, 1), jnp.repeat(v, 2, 1), window=(6, 3))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5)
+
+
+@pytest.mark.parametrize('seed', range(8))
+def test_flash_fuzz_random_configs(seed):
+    # randomized sweep over shape x mask-feature combinations: every
+    # config must match the dense reference (fwd) bit-for-tolerance
+    rng = np.random.RandomState(1000 + seed)
+    b = int(rng.randint(1, 3))
+    h_kv = int(rng.choice([1, 2]))
+    group = int(rng.choice([1, 2, 3]))
+    h = h_kv * group
+    tq = int(rng.randint(1, 70))
+    tk = tq if rng.rand() < 0.7 else int(rng.randint(1, 70))
+    d = int(rng.choice([4, 8, 16]))
+    causal = bool(rng.rand() < 0.5) and tq == tk
+    window = None
+    if rng.rand() < 0.6:
+        left = None if rng.rand() < 0.2 else int(rng.randint(0, 20))
+        right = None if rng.rand() < 0.2 else int(rng.randint(0, 20))
+        if (left, right) != (None, None):
+            window = (left, right)
+    lens = (rng.randint(1, tk + 1, size=b).tolist()
+            if rng.rand() < 0.7 else None)
+
+    q = _rand((b, h, tq, d), seed * 10 + 1)
+    k = _rand((b, h_kv, tk, d), seed * 10 + 2)
+    v = _rand((b, h_kv, tk, d), seed * 10 + 3)
+    out = FLASH(q, k, v, causal=causal, window=window,
+                key_padding_lens=lens)
+    ref = naive_attention(
+        q, jnp.repeat(k, group, 1), jnp.repeat(v, group, 1),
+        causal=causal, window=window, key_padding_lens=lens)
+    got, want = np.asarray(out), np.asarray(ref)
+    # don't-care rows: queries whose whole mask row is empty produce 0
+    # in both (naive_attention zeroes them too)
+    np.testing.assert_allclose(
+        got, want, atol=3e-5,
+        err_msg=f'{b=} {h=} {h_kv=} {tq=} {tk=} {d=} {causal=} '
+                f'{window=} {lens=}')
