@@ -140,3 +140,59 @@ def test_wav2vec2_lora_finetune_surface():
     total = sum(np.asarray(l).size for l in jax.tree_util.tree_leaves(
         partition(m)[1]) if hasattr(l, 'size'))
     assert n_trainable < total * 0.2
+
+
+def test_trainer_trains_only_adapters(tmp_path):
+    # end-to-end: the Trainer's fused step must update A/B only; the
+    # frozen base survives training AND checkpoint round-trip
+    from padertorch_tpu.train import Trainer
+
+    class M(pt.Model):
+        def __init__(self):
+            self.lin = nn.Linear(8, 8)
+            self.head = nn.Linear(8, 2)
+
+        def forward(self, batch):
+            return self.head(jax.nn.relu(self.lin(batch['x'])))
+
+        def review(self, batch, outputs):
+            return {'loss': jnp.mean((outputs - batch['y']) ** 2)}
+
+    ptrandom.seed(5)
+    m = M().eval()
+    apply_lora(m, rank=2)
+    mark_only_lora_trainable(m)
+    base_before = np.asarray(m.lin.weight).copy()
+    b_before = np.asarray(m.lin.lora_b).copy()
+
+    rng = np.random.RandomState(0)
+    data = [{'x': rng.randn(4, 8).astype('f'),
+             'y': rng.randn(4, 2).astype('f')} for _ in range(8)]
+
+    def make_trainer(model):
+        return Trainer(
+            model=model, storage_dir=str(tmp_path),
+            optimizer=pt.SGD(lr=0.1), stop_trigger=(1, 'epoch'),
+            checkpoint_trigger=(1, 'epoch'),
+            summary_trigger=(1, 'epoch'))
+
+    trainer = make_trainer(m)
+    trainer.train(data, resume=False)
+
+    trained = trainer.model
+    np.testing.assert_array_equal(
+        np.asarray(trained.lin.weight), base_before)  # frozen
+    assert np.abs(np.asarray(trained.lin.lora_b) - b_before).max() > 0
+
+    # checkpoint restores both the frozen base and the adapters
+    ptrandom.seed(6)  # different init — restore must overwrite it
+    m2 = M().eval()
+    apply_lora(m2, rank=2)
+    mark_only_lora_trainable(m2)
+    trainer2 = make_trainer(m2)
+    trainer2.load_checkpoint()
+    np.testing.assert_array_equal(
+        np.asarray(trainer2.model.lin.weight), base_before)
+    np.testing.assert_array_equal(
+        np.asarray(trainer2.model.lin.lora_b),
+        np.asarray(trained.lin.lora_b))
