@@ -224,6 +224,12 @@ class MultiheadAttention(Module):
             k = k / jnp.maximum(
                 jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
         if getattr(self, 'linear_attention_bias', False):
+            if getattr(self, 'use_flash', False):
+                import warnings
+                warnings.warn(
+                    'linear_attention_bias is an additive bias: the '
+                    'fused attention backend is bypassed and the dense '
+                    'O(T^2) path runs.', stacklevel=2)
             # symmetric ALiBi-style distance penalty (reference
             # mk/transformer.py:707-724): -|i - j| * slope_h
             dist = -jnp.abs(
@@ -327,19 +333,33 @@ class MultiheadAttention(Module):
 
     def precompute_kv(self, key, value=None):
         """Project encoder memory to K/V once per sequence; reuse every
-        decode step (cross-attention's K/V never change)."""
+        decode step (cross-attention's K/V never change).
+
+        ``add_bias_kv`` composes: the learned bias token is appended to
+        the memory before projection (and stays attendable under
+        padding in :meth:`attend_cached`)."""
         if value is None:
             value = key
+        if getattr(self, 'bias_k', None) is not None:
+            n = key.shape[0]
+            key = jnp.concatenate(
+                [key, jnp.broadcast_to(
+                    self.bias_k, (n, 1, key.shape[-1]))], axis=1)
+            value = jnp.concatenate(
+                [value, jnp.broadcast_to(
+                    self.bias_v, (n, 1, value.shape[-1]))], axis=1)
         return {'k': self._split(self.k_proj(key), self._kv_heads()),
                 'v': self._split(self.v_proj(value), self._kv_heads())}
 
-    def _attend(self, q, k, v, mask):
+    def _attend(self, q, k, v, mask, bias=None):
         k = self._expand_kv(k)
         v = self._expand_kv(v)
         scale = 1.0 / math.sqrt(self.d_head)
         logits = jnp.einsum(
             'bhqd,bhkd->bhqk', q, k,
             preferred_element_type=jnp.float32) * scale
+        if bias is not None:
+            logits = logits + bias
         logits = jnp.where(mask, jnp.finfo(logits.dtype).min, logits)
         weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
         out = jnp.einsum('bhqk,bhkd->bhqd', weights, v)
@@ -347,20 +367,56 @@ class MultiheadAttention(Module):
         return self.out_proj(
             jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, h * d))
 
+    def _qk_normalize(self, q, k, rope_offset=0):
+        """The forward()'s q/k normalization order for the decode path:
+        per-head RMSNorm before RoPE, L2 after.  ``rope_offset`` may be
+        traced (never ``or``-coerced — that breaks under jit)."""
+        if getattr(self, 'qk_norm', None) == 'rms':
+            q = self.q_norm(q)
+            k = self.k_norm(k)
+        if self.rope is not None:
+            q = self.rope(q, offset=rope_offset)
+            k = self.rope(k, offset=rope_offset)
+        if getattr(self, 'qk_norm', None) == 'l2':
+            q = q / jnp.maximum(
+                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+            k = k / jnp.maximum(
+                jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+        return q, k
+
     def attend_cached(self, query, kv, key_padding_lens=None):
         """Cross-attention against :meth:`precompute_kv` output."""
         q = self._split(self.q_proj(query))
         k, v = kv['k'], kv['v']
+        if getattr(self, 'qk_norm', None) == 'rms':
+            # k in the cache is already normalized iff precompute did it
+            # — precompute_kv stores RAW projections, so normalize both
+            # here to mirror forward()
+            q = self.q_norm(q)
+            k = self.k_norm(k)
+        if getattr(self, 'qk_norm', None) == 'l2':
+            q = q / jnp.maximum(
+                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+            k = k / jnp.maximum(
+                jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+        pos = jnp.arange(k.shape[2])
         if key_padding_lens is not None:
             lens = jnp.asarray(key_padding_lens)
-            mask = (jnp.arange(k.shape[2])[None, :]
-                    >= lens[:, None])[:, None, None, :]
+            mask = (pos[None, :] >= lens[:, None])
+            if getattr(self, 'bias_k', None) is not None:
+                mask = mask & (pos[None, :] != k.shape[2] - 1)
+            mask = mask[:, None, None, :]
         else:
             mask = jnp.zeros((1, 1, 1, k.shape[2]), bool)
         return self._attend(q, k, v, mask)
 
     def decode_step(self, query, cache, index):
         """Causal self-attention for new tokens at ``[index, index+Tq)``.
+
+        Mirrors :meth:`forward`'s option set where it is well-defined
+        for incremental decoding: RoPE (absolute offset), ``qk_norm``
+        and ``linear_attention_bias`` compose; ``add_bias_kv`` does not
+        (its extra token has no stable cache position) and is rejected.
 
         Args:
             query: (B, Tq, D) — Tq=1 for stepwise decode; Tq>1 prefills
@@ -371,12 +427,12 @@ class MultiheadAttention(Module):
         Returns:
             ``(out, cache)`` — (B, Tq, D) output and the updated cache.
         """
+        assert getattr(self, 'bias_k', None) is None, \
+            'add_bias_kv is not supported in cached self-attention decode'
         q = self._split(self.q_proj(query))
         k_new = self._split(self.k_proj(query), self._kv_heads())
         v_new = self._split(self.v_proj(query), self._kv_heads())
-        if self.rope is not None:
-            q = self.rope(q, offset=index)
-            k_new = self.rope(k_new, offset=index)
+        q, k_new = self._qk_normalize(q, k_new, rope_offset=index)
         k = jax.lax.dynamic_update_slice_in_dim(
             cache['k'], k_new.astype(cache['k'].dtype), index, axis=2)
         v = jax.lax.dynamic_update_slice_in_dim(
@@ -384,9 +440,16 @@ class MultiheadAttention(Module):
         # causal over global positions; unwritten cache slots are all
         # beyond index + Tq - 1, so the same mask hides them
         rows = index + jnp.arange(q.shape[2])
-        mask = (jnp.arange(k.shape[2])[None, :]
-                > rows[:, None])[None, None]
-        return self._attend(q, k, v, mask), {'k': k, 'v': v}
+        cols = jnp.arange(k.shape[2])
+        mask = (cols[None, :] > rows[:, None])[None, None]
+        bias = None
+        if getattr(self, 'linear_attention_bias', False):
+            dist = -jnp.abs(
+                cols[None, :] - rows[:, None]).astype(jnp.float32)
+            slopes = jnp.linspace(
+                8.0 / self.num_heads, 8.0, self.num_heads)
+            bias = (slopes[:, None, None] * dist[None])[None]
+        return self._attend(q, k, v, mask, bias=bias), {'k': k, 'v': v}
 
 
 class _FFN(Module):
@@ -428,8 +491,12 @@ class CondLayerNorm(Module):
     layer-scale ``alpha(c)`` for the residual branch
     (``softplus(alpha)`` gating in the encoder layer).
 
-    ``zero_init`` zeroes the layer-scale head so conditioning starts as
-    an identity gate (the reference's DiT-style init).
+    ``zero_init`` zeroes the layer-scale head, making the residual gate
+    START input-independent — ``alpha(c) = 0`` for every ``c``, so the
+    gate is the constant ``softplus(0) = ln 2`` until training moves it
+    (the reference's zero-init semantics, ``mk/transformer.py:399``;
+    note this is NOT an identity/zero gate — the branch starts at
+    0.693x, and gamma/beta stay randomly modulated).
     """
 
     def __init__(self, d_model, cond_dim, bias=True, layer_scale=False,
@@ -490,10 +557,14 @@ class TransformerEncoderLayer(Module):
         self.ffn = _FFN(d_model, d_ff, dropout=dropout,
                         pre_activation=pre_activation)
         if cond_dim is not None:
+            # the layer-scale head is only consumed by the PRE-norm
+            # residual gating; post-norm would train dead parameters
             self.norm1 = CondLayerNorm(
-                d_model, cond_dim, layer_scale=True, zero_init=zero_init)
+                d_model, cond_dim, layer_scale=pre_norm,
+                zero_init=zero_init)
             self.norm2 = CondLayerNorm(
-                d_model, cond_dim, layer_scale=True, zero_init=zero_init)
+                d_model, cond_dim, layer_scale=pre_norm,
+                zero_init=zero_init)
         else:
             self.norm1 = _make_norm(norm, d_model)
             self.norm2 = _make_norm(norm, d_model)
@@ -897,7 +968,8 @@ def autoregressive_generate(
     if key is None:
         key = jax.random.PRNGKey(0)  # unused by greedy
     batch = memory.shape[0]
-    cache = decoder.init_cache(memory, max_len)
+    # cache in the memory dtype: a bf16 serving model keeps bf16 caches
+    cache = decoder.init_cache(memory, max_len, dtype=memory.dtype)
     token0 = jnp.full((batch,), bos_id, jnp.int32)
     done0 = jnp.zeros((batch,), bool)
     len0 = jnp.full((batch,), max_len, jnp.int32)
@@ -964,7 +1036,7 @@ def beam_search_generate(
     mem = jnp.repeat(memory, k, axis=0)                  # (B*K, S, D)
     mlens = (None if memory_seq_len is None
              else jnp.repeat(jnp.asarray(memory_seq_len), k))
-    cache = decoder.init_cache(mem, max_len)
+    cache = decoder.init_cache(mem, max_len, dtype=mem.dtype)
     tok0 = jnp.full((batch * k,), bos_id, jnp.int32)
     # only beam 0 is live at t=0 (all beams start identical)
     scores0 = jnp.tile(

@@ -44,6 +44,7 @@ import jax
 import jax.numpy as jnp
 
 from padertorch_tpu.base import Module
+from padertorch_tpu.module import swap_submodules
 from padertorch_tpu import nn
 from padertorch_tpu import random as ptrandom
 
@@ -94,43 +95,6 @@ class LoRALinear(Module):
                 f'out_features={self.out_features}, rank={self.rank}')
 
 
-def _walk_swap(module, predicate, convert):
-    count = 0
-
-    def maybe(item, name):
-        nonlocal count
-        if predicate(item, name):
-            count += 1
-            return convert(item)
-        if isinstance(item, Module):
-            walk(item)
-        return item
-
-    def walk(mod):
-        for name, value in list(vars(mod).items()):
-            if isinstance(value, Module):
-                new = maybe(value, name)
-                if new is not value:
-                    setattr(mod, name, new)
-            elif isinstance(value, list):
-                for i, item in enumerate(value):
-                    if isinstance(item, Module):
-                        value[i] = maybe(item, name)
-            elif isinstance(value, tuple):
-                new = tuple(
-                    maybe(item, name) if isinstance(item, Module)
-                    else item for item in value)
-                if any(a is not b for a, b in zip(new, value)):
-                    setattr(mod, name, new)
-            elif isinstance(value, dict):
-                for k, item in list(value.items()):
-                    if isinstance(item, Module):
-                        value[k] = maybe(item, name)
-
-    walk(module)
-    return count
-
-
 def apply_lora(module, rank=8, alpha=None, dropout=0.0, targets=None):
     """Swap ``nn.Linear`` layers under ``module`` (in place) for
     :class:`LoRALinear`; returns how many were adapted.
@@ -148,7 +112,7 @@ def apply_lora(module, rank=8, alpha=None, dropout=0.0, targets=None):
             return False
         return True
 
-    return _walk_swap(
+    return swap_submodules(
         module, predicate,
         lambda lin: LoRALinear(lin, rank, alpha=alpha, dropout=dropout))
 
@@ -157,7 +121,7 @@ def merge_lora(module):
     """Fold every adapter back into a dense ``nn.Linear`` (in place);
     returns how many were merged.  The result is adapter-free for
     serving/export and matches the adapted forward exactly."""
-    return _walk_swap(
+    return swap_submodules(
         module, lambda item, name: isinstance(item, LoRALinear),
         lambda l: l.merged())
 

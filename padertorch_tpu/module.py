@@ -30,6 +30,7 @@ __all__ = [
     'num_parameters',
     'is_array',
     'is_inexact_array',
+    'swap_submodules',
 ]
 
 
@@ -437,6 +438,49 @@ def inplace_update(module, *trees):
         return obj
 
     return visit(module, *trees)
+
+
+def swap_submodules(module, predicate, convert):
+    """Walk ``module``'s tree in place, replacing every sub-module for
+    which ``predicate(submodule, attr_name)`` is true with
+    ``convert(submodule)``; recurses into attributes, lists, tuples and
+    dicts.  Returns how many were swapped.  (The shared machinery under
+    ``lora.apply_lora``/``merge_lora`` and ``quantize.quantize_module``.)
+    """
+    count = 0
+
+    def maybe(item, name):
+        nonlocal count
+        if predicate(item, name):
+            count += 1
+            return convert(item)
+        if isinstance(item, Module):
+            walk(item)
+        return item
+
+    def walk(mod):
+        for name, value in list(vars(mod).items()):
+            if isinstance(value, Module):
+                new = maybe(value, name)
+                if new is not value:
+                    setattr(mod, name, new)
+            elif isinstance(value, list):
+                for i, item in enumerate(value):
+                    if isinstance(item, Module):
+                        value[i] = maybe(item, name)
+            elif isinstance(value, tuple):
+                new = tuple(
+                    maybe(item, name) if isinstance(item, Module)
+                    else item for item in value)
+                if any(a is not b for a, b in zip(new, value)):
+                    setattr(mod, name, new)
+            elif isinstance(value, dict):
+                for k, item in list(value.items()):
+                    if isinstance(item, Module):
+                        value[k] = maybe(item, name)
+
+    walk(module)
+    return count
 
 
 # Thread-local guard so tree ops inside jit don't accidentally re-enter.

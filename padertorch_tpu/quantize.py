@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from padertorch_tpu.base import Module
+from padertorch_tpu.module import swap_submodules
 from padertorch_tpu import nn
 
 __all__ = ['QuantizedLinear', 'quantize_module', 'quantization_error']
@@ -86,37 +87,11 @@ def quantize_module(module, min_params=256):
     overhead outweighs the saving and small heads are accuracy-
     sensitive).
     """
-    count = 0
-
-    def maybe(item):
-        """Quantize an eligible Linear, recurse into submodules."""
-        nonlocal count
-        if isinstance(item, nn.Linear) and item.weight.size >= min_params:
-            count += 1
-            return QuantizedLinear.from_linear(item)
-        if isinstance(item, Module):
-            walk(item)
-        return item
-
-    def walk(mod):
-        for name, value in list(vars(mod).items()):
-            if isinstance(value, (nn.Linear, Module)):
-                new = maybe(value)
-                if new is not value:
-                    setattr(mod, name, new)
-            elif isinstance(value, list):
-                for i, item in enumerate(value):
-                    value[i] = maybe(item)
-            elif isinstance(value, tuple):
-                new = tuple(maybe(item) for item in value)
-                if any(a is not b for a, b in zip(new, value)):
-                    setattr(mod, name, new)
-            elif isinstance(value, dict):
-                for k, item in list(value.items()):
-                    value[k] = maybe(item)
-
-    walk(module)
-    return count
+    return swap_submodules(
+        module,
+        lambda item, name: (type(item) is nn.Linear
+                            and item.weight.size >= min_params),
+        QuantizedLinear.from_linear)
 
 
 def quantization_error(module, quantized, example):

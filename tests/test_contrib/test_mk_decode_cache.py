@@ -360,3 +360,86 @@ def test_gqa_decoder_generation():
     np.testing.assert_allclose(
         np.asarray(jnp.concatenate(outs, 1)), np.asarray(want),
         rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('opts', [
+    dict(qk_norm='rms', use_rope=True),
+    dict(qk_norm='l2'),
+    dict(linear_attention_bias=True),
+])
+def test_decode_respects_attention_options(opts):
+    # decode_step must mirror forward() for every option it accepts
+    ptrandom.seed(40)
+    mha = MultiheadAttention(16, 4, **opts).eval()
+    x = _x((2, 10, 16), seed=41)
+    want = mha(x, causal=True)
+    cache = mha.init_cache(batch_size=2, max_len=10)
+    outs = []
+    for t in range(10):
+        out, cache = mha.decode_step(x[:, t:t + 1], cache, t)
+        outs.append(out)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(outs, 1)), np.asarray(want),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_cross_attend_cached_respects_options():
+    # cross attention with bias_kv + qk_norm through the cache path
+    ptrandom.seed(41)
+    mha = MultiheadAttention(
+        16, 4, d_kv=8, add_bias_kv=True, qk_norm='l2').eval()
+    q = _x((2, 5, 16), seed=42)
+    mem = _x((2, 7, 8), seed=43)
+    want = mha(q, mem, key_padding_lens=[4, 7])
+    kv = mha.precompute_kv(mem)
+    got = mha.attend_cached(q, kv, key_padding_lens=[4, 7])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_decode_rejects_bias_kv():
+    ptrandom.seed(42)
+    mha = MultiheadAttention(16, 4, add_bias_kv=True).eval()
+    cache = mha.init_cache(batch_size=1, max_len=4)
+    with pytest.raises(AssertionError):
+        mha.decode_step(_x((1, 1, 16), seed=44), cache, 0)
+
+
+def test_generate_cache_uses_memory_dtype():
+    # a bf16 serving model must get bf16 caches, not silent f32
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        autoregressive_generate)
+    from padertorch_tpu import nn
+    ptrandom.seed(43)
+    dec = TransformerDecoder(d_model=16, num_layers=1, num_heads=4).eval()
+    emb_w = _x((7, 16), seed=45)
+    head = nn.Linear(16, 7)
+    memory = _x((2, 3, 16), seed=46).astype(jnp.bfloat16)
+
+    seen = {}
+    orig = dec.init_cache
+
+    def spy(mem, max_len, dtype=jnp.float32):
+        cache = orig(mem, max_len, dtype=dtype)
+        seen['dtype'] = cache['self'][0]['k'].dtype
+        return cache
+
+    dec.init_cache = spy
+    toks, _ = autoregressive_generate(
+        dec, memory, embed=lambda t: emb_w[t].astype(jnp.bfloat16),
+        logits_head=head, bos_id=0, max_len=4)
+    assert seen['dtype'] == jnp.bfloat16
+    assert toks.shape == (2, 4)
+
+
+def test_postnorm_cond_builds_no_dead_layer_scale():
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        TransformerEncoderLayer)
+    ptrandom.seed(44)
+    layer = TransformerEncoderLayer(
+        16, 4, cond_dim=6, pre_norm=False).eval()
+    # post-norm discards alpha, so the layer-scale head must not exist
+    assert not layer.norm1.layer_scale
+    assert layer.norm1.cond_layer.weight.shape == (6, 2 * 16)
+    out = layer(_x((2, 5, 16), seed=47), cond=_x((2, 6), seed=48))
+    assert np.isfinite(np.asarray(out)).all()
