@@ -451,6 +451,52 @@ class MultiheadAttention(Module):
             bias = (slopes[:, None, None] * dist[None])[None]
         return self._attend(q, k, v, mask, bias=bias), {'k': k, 'v': v}
 
+    # ---- rolling (sliding-window) cache: O(W) memory generation ----
+
+    def init_rolling_cache(self, batch_size, window, dtype=jnp.float32):
+        """Cache for LOCAL causal attention: only the last ``window``
+        keys/values are kept (a ring buffer indexed ``t % window``), so
+        generation memory is O(W) instead of O(T_max) — the serving
+        side of ``attn_window=(window - 1, 0)`` local attention."""
+        shape = (batch_size, self._kv_heads(), window, self.d_head)
+        return {'k': jnp.zeros(shape, dtype), 'v': jnp.zeros(shape, dtype)}
+
+    def decode_step_rolling(self, query, cache, index):
+        """One-token local-attention decode against the ring buffer.
+
+        Equals :meth:`forward` with ``causal=True, attn_window=(W-1,
+        0)`` at position ``index`` (tested, incl. RoPE — keys are
+        rotated by their ABSOLUTE position at write time, so rotations
+        stay correct after wraparound).
+        """
+        assert getattr(self, 'bias_k', None) is None, \
+            'add_bias_kv is not supported in cached self-attention decode'
+        assert query.shape[1] == 1, (
+            'rolling decode is one token at a time', query.shape)
+        q = self._split(self.q_proj(query))
+        k_new = self._split(self.k_proj(query), self._kv_heads())
+        v_new = self._split(self.v_proj(query), self._kv_heads())
+        q, k_new = self._qk_normalize(q, k_new, rope_offset=index)
+        w = cache['k'].shape[2]
+        slot = index % w
+        k = jax.lax.dynamic_update_slice_in_dim(
+            cache['k'], k_new.astype(cache['k'].dtype), slot, axis=2)
+        v = jax.lax.dynamic_update_slice_in_dim(
+            cache['v'], v_new.astype(cache['v'].dtype), slot, axis=2)
+        # absolute position held by each slot after this write; slots
+        # not yet written resolve to negative positions and are masked
+        cols = jnp.arange(w)
+        pos = index - ((index - cols) % w)
+        mask = (pos < 0)[None, None, None, :]
+        bias = None
+        if getattr(self, 'linear_attention_bias', False):
+            dist = -(index - pos).astype(jnp.float32)     # <= 0
+            slopes = jnp.linspace(
+                8.0 / self.num_heads, 8.0, self.num_heads)
+            bias = (slopes[:, None, None]
+                    * dist[None, None, :][None])
+        return self._attend(q, k, v, mask, bias=bias), {'k': k, 'v': v}
+
 
 class _FFN(Module):
     def __init__(self, d_model, d_ff, dropout=0.0, activation='gelu',
@@ -661,8 +707,13 @@ class TransformerEncoder(Module):
 class TransformerDecoderLayer(Module):
     def __init__(self, d_model, num_heads, d_ff=None, dropout=0.0,
                  use_rope=True, norm='layer_norm', pre_norm=True,
-                 d_memory=None, num_kv_heads=None):
+                 d_memory=None, num_kv_heads=None,
+                 self_attn_window=None):
         d_ff = d_ff or 4 * d_model
+        # local (sliding-window) causal self-attention: each position
+        # attends the previous `self_attn_window` tokens only — decode
+        # then runs on an O(W) rolling cache instead of O(T_max)
+        self.self_attn_window = self_attn_window
         self.self_attn = MultiheadAttention(
             d_model, num_heads, dropout=dropout, use_rope=use_rope,
             num_kv_heads=num_kv_heads)
@@ -680,13 +731,17 @@ class TransformerDecoderLayer(Module):
         def drop(h):
             return self.dropout(h) if self.dropout is not None else h
 
+        win = (None if getattr(self, 'self_attn_window', None) is None
+               else (self.self_attn_window, 0))
         if self.pre_norm:
-            x = x + drop(self.self_attn(self.norm1(x), causal=True))
+            x = x + drop(self.self_attn(
+                self.norm1(x), causal=True, attn_window=win))
             x = x + drop(self.cross_attn(
                 self.norm2(x), memory, key_padding_lens=memory_seq_len))
             x = x + drop(self.ffn(self.norm3(x)))
         else:
-            x = self.norm1(x + drop(self.self_attn(x, causal=True)))
+            x = self.norm1(x + drop(self.self_attn(
+                x, causal=True, attn_window=win)))
             x = self.norm2(x + drop(self.cross_attn(
                 x, memory, key_padding_lens=memory_seq_len)))
             x = self.norm3(x + drop(self.ffn(x)))
@@ -696,16 +751,17 @@ class TransformerDecoderLayer(Module):
                     memory_seq_len=None):
         """One incremental step; mirrors :meth:`forward` with the
         self-attention KV cache and precomputed cross K/V."""
+        step = (self.self_attn.decode_step_rolling
+                if getattr(self, 'self_attn_window', None) is not None
+                else self.self_attn.decode_step)
         if self.pre_norm:
-            h, self_cache = self.self_attn.decode_step(
-                self.norm1(x), self_cache, index)
+            h, self_cache = step(self.norm1(x), self_cache, index)
             x = x + h
             x = x + self.cross_attn.attend_cached(
                 self.norm2(x), cross_kv, key_padding_lens=memory_seq_len)
             x = x + self.ffn(self.norm3(x))
         else:
-            h, self_cache = self.self_attn.decode_step(
-                x, self_cache, index)
+            h, self_cache = step(x, self_cache, index)
             x = self.norm1(x + h)
             x = self.norm2(x + self.cross_attn.attend_cached(
                 x, cross_kv, key_padding_lens=memory_seq_len))
@@ -718,12 +774,15 @@ class TransformerDecoder(Module):
 
     def __init__(self, d_model, num_layers, num_heads, d_ff=None,
                  dropout=0.0, use_rope=True, norm='layer_norm',
-                 pre_norm=True, d_memory=None, num_kv_heads=None):
+                 pre_norm=True, d_memory=None, num_kv_heads=None,
+                 self_attn_window=None):
+        self.self_attn_window = self_attn_window
         self.layers = [
             TransformerDecoderLayer(
                 d_model, num_heads, d_ff=d_ff, dropout=dropout,
                 use_rope=use_rope, norm=norm, pre_norm=pre_norm,
-                d_memory=d_memory, num_kv_heads=num_kv_heads)
+                d_memory=d_memory, num_kv_heads=num_kv_heads,
+                self_attn_window=self_attn_window)
             for _ in range(num_layers)
         ]
         self.final_norm = _make_norm(norm, d_model) if pre_norm else None
@@ -745,9 +804,19 @@ class TransformerDecoder(Module):
         loop compiles to one XLA program.
         """
         batch_size = memory.shape[0]
+        window = getattr(self, 'self_attn_window', None)
+        if window is not None:
+            # local attention: O(W) ring buffers instead of O(max_len)
+            slots = min(window + 1, max_len)
+            self_caches = [
+                l.self_attn.init_rolling_cache(batch_size, slots, dtype)
+                for l in self.layers]
+        else:
+            self_caches = [
+                l.self_attn.init_cache(batch_size, max_len, dtype)
+                for l in self.layers]
         return {
-            'self': [l.self_attn.init_cache(batch_size, max_len, dtype)
-                     for l in self.layers],
+            'self': self_caches,
             'cross': [l.cross_attn.precompute_kv(memory)
                       for l in self.layers],
         }

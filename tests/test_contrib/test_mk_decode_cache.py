@@ -443,3 +443,67 @@ def test_postnorm_cond_builds_no_dead_layer_scale():
     assert layer.norm1.cond_layer.weight.shape == (6, 2 * 16)
     out = layer(_x((2, 5, 16), seed=47), cond=_x((2, 6), seed=48))
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize('opts', [
+    dict(use_rope=True),
+    dict(qk_norm='rms', use_rope=True),
+    dict(linear_attention_bias=True),
+    dict(num_kv_heads=2),
+])
+def test_rolling_cache_equals_windowed_forward(opts):
+    # O(W) ring buffer == full causal + window(W-1, 0) attention,
+    # exercised past the wraparound point (T >> W)
+    ptrandom.seed(50)
+    mha = MultiheadAttention(16, 4, **opts).eval()
+    x = _x((2, 17, 16), seed=51)
+    w = 5  # ring slots; left reach = 4
+    want = mha(x, causal=True, attn_window=(w - 1, 0))
+    cache = mha.init_rolling_cache(batch_size=2, window=w)
+    assert cache['k'].shape[2] == w
+    outs = []
+    for t in range(17):
+        out, cache = mha.decode_step_rolling(x[:, t:t + 1], cache, t)
+        outs.append(out)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(outs, 1)), np.asarray(want),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_decoder_local_attention_rolling_decode():
+    ptrandom.seed(51)
+    dec = TransformerDecoder(
+        d_model=16, num_layers=2, num_heads=4, use_rope=True,
+        self_attn_window=4).eval()
+    x = _x((2, 15, 16), seed=52)
+    memory = _x((2, 5, 16), seed=53)
+    want = dec(x, memory)   # forward applies the (4, 0) window
+
+    cache = dec.init_cache(memory, max_len=15)
+    # O(W): 5 ring slots, not 15
+    assert cache['self'][0]['k'].shape[2] == 5
+    outs = []
+    for t in range(15):
+        out, cache = dec.decode_step(x[:, t:t + 1], cache, t)
+        outs.append(out)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(outs, 1)), np.asarray(want),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_local_attention_generation_scan():
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        autoregressive_generate)
+    from padertorch_tpu import nn
+    ptrandom.seed(52)
+    dec = TransformerDecoder(
+        d_model=16, num_layers=1, num_heads=4, use_rope=True,
+        self_attn_window=3).eval()
+    emb_w = _x((9, 16), seed=54)
+    head = nn.Linear(16, 9)
+    memory = _x((2, 4, 16), seed=55)
+    toks, lens = jax.jit(lambda m: autoregressive_generate(
+        dec, m, embed=lambda t: emb_w[t], logits_head=head,
+        bos_id=0, max_len=12, eos_id=1))(memory)
+    assert toks.shape == (2, 12)
+    assert np.isfinite(np.asarray(lens)).all()
