@@ -14,6 +14,8 @@ from padertorch_tpu import utils
 from padertorch_tpu import io
 from padertorch_tpu import cli
 from padertorch_tpu import serve
+from padertorch_tpu import quantize
+from padertorch_tpu import lora
 from padertorch_tpu import random
 from padertorch_tpu import nn
 from padertorch_tpu import data
