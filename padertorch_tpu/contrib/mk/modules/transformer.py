@@ -37,6 +37,7 @@ __all__ = [
     'set_attention_backend',
     'autoregressive_generate',
     'beam_search_generate',
+    'speculative_generate',
 ]
 
 
@@ -1168,3 +1169,97 @@ def beam_search_generate(
     return (jnp.take_along_axis(hist, order[..., None], 1),
             jnp.take_along_axis(scores, order, 1),
             jnp.take_along_axis(lengths, order, 1))
+
+
+def speculative_generate(
+        decoder, draft_decoder, memory, *, embed, logits_head,
+        draft_embed, draft_logits_head, bos_id, max_len,
+        num_draft=4, memory_seq_len=None, draft_memory=None):
+    """Greedy speculative decoding: EXACTLY the target decoder's greedy
+    output, produced faster when a cheap draft agrees with it.
+
+    Each round the draft decoder proposes ``num_draft`` tokens one by
+    one; the target then scores all of them in ONE ``Tq = num_draft +
+    1`` KV-cache decode (a single MXU-friendly batched step instead of
+    ``num_draft`` sequential ones) and the longest agreeing prefix plus
+    one correction token is accepted.  Acceptance is truncated to the
+    batch minimum so the decode position stays a scalar — still exact,
+    because an accepted draft token IS the target's greedy choice.
+
+    Cache rollback is free by construction: a KV slot beyond the
+    accepted position is causally masked for every query row until the
+    loop has advanced past it — and by then it has been overwritten —
+    so rejected speculative writes are never visible.
+
+    Args:
+        decoder / draft_decoder: target and draft
+            :class:`TransformerDecoder` (or same protocol).
+        embed / logits_head, draft_embed / draft_logits_head: the two
+            models' token embeddings and output heads.
+        draft_memory: the draft's encoder memory if it differs from the
+            target's (defaults to ``memory``).
+        num_draft: draft tokens proposed per verification step.
+
+    Note: decoders with ``self_attn_window`` (rolling caches) are not
+    supported — verification needs multi-token decode steps, which the
+    one-token ring buffer rejects.
+
+    Returns:
+        (B, max_len) int32 tokens — bit-identical to
+        ``autoregressive_generate(decoder, ..., temperature=0,
+        eos_id=None)`` (tested).
+    """
+    k = num_draft
+    batch = memory.shape[0]
+    if draft_memory is None:
+        draft_memory = memory
+    budget = max_len + k + 1
+    t_cache = decoder.init_cache(memory, budget, dtype=memory.dtype)
+    d_cache = draft_decoder.init_cache(
+        draft_memory, budget, dtype=draft_memory.dtype)
+    tokens0 = jnp.zeros((batch, budget), jnp.int32)
+    last0 = jnp.full((batch,), bos_id, jnp.int32)
+
+    def round_(carry):
+        t, tokens, last, t_cache, d_cache = carry
+
+        # 1. draft k tokens sequentially (the cheap model)
+        def draft_step(carry, i):
+            tok, cache = carry
+            out, cache = draft_decoder.decode_step(
+                draft_embed(tok)[:, None], cache, t + i,
+                memory_seq_len=memory_seq_len)
+            nxt = jnp.argmax(
+                draft_logits_head(out[:, 0]), axis=-1).astype(jnp.int32)
+            return (nxt, cache), nxt
+
+        (_, d_cache), drafts = jax.lax.scan(
+            draft_step, (last, d_cache), jnp.arange(k))
+        drafts = jnp.transpose(drafts, (1, 0))        # (B, k)
+
+        # 2. target verifies all k+1 positions in ONE decode
+        inputs = jnp.concatenate([last[:, None], drafts], axis=1)
+        x = jax.vmap(embed)(inputs)                   # (B, k+1, D)
+        out, t_cache = decoder.decode_step(
+            x, t_cache, t, memory_seq_len=memory_seq_len)
+        greedy = jnp.argmax(
+            logits_head(out.reshape(batch * (k + 1), -1)),
+            axis=-1).astype(jnp.int32).reshape(batch, k + 1)
+
+        # 3. batch-min acceptance: longest prefix where draft == target
+        agree = jnp.cumprod(
+            (drafts == greedy[:, :k]).astype(jnp.int32), axis=1)
+        accept = jnp.min(jnp.sum(agree, axis=1))      # scalar
+        # write the target's choices for positions t..t+k; rows past
+        # accept get overwritten by later rounds
+        tokens = jax.lax.dynamic_update_slice(tokens, greedy, (0, t))
+        last = jax.lax.dynamic_slice(
+            greedy, (0, accept), (batch, 1))[:, 0]
+        return t + accept + 1, tokens, last, t_cache, d_cache
+
+    def cond(carry):
+        return carry[0] < max_len
+
+    _, tokens, _, _, _ = jax.lax.while_loop(
+        cond, round_, (jnp.asarray(0), tokens0, last0, t_cache, d_cache))
+    return tokens[:, :max_len]

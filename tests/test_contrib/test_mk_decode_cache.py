@@ -507,3 +507,69 @@ def test_local_attention_generation_scan():
         bos_id=0, max_len=12, eos_id=1))(memory)
     assert toks.shape == (2, 12)
     assert np.isfinite(np.asarray(lens)).all()
+
+
+def test_speculative_equals_plain_greedy():
+    # speculative decoding must be BIT-identical to the target's plain
+    # greedy generation — with a perfect draft (the target itself,
+    # every proposal accepted) and with an unrelated random draft
+    # (most proposals rejected)
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        autoregressive_generate, speculative_generate)
+    from padertorch_tpu import nn
+    ptrandom.seed(60)
+    target = TransformerDecoder(
+        d_model=16, num_layers=2, num_heads=4, use_rope=True).eval()
+    emb_w = _x((13, 16), seed=61)
+    head = nn.Linear(16, 13)
+    ptrandom.seed(61)
+    draft = TransformerDecoder(
+        d_model=16, num_layers=1, num_heads=2).eval()
+    demb_w = _x((13, 16), seed=62)
+    dhead = nn.Linear(16, 13)
+    memory = _x((3, 4, 16), seed=63)
+    lens = [2, 4, 3]
+
+    want, _ = autoregressive_generate(
+        target, memory, embed=lambda t: emb_w[t], logits_head=head,
+        bos_id=0, max_len=9, memory_seq_len=lens)
+
+    # perfect draft: the target drafts for itself
+    got = speculative_generate(
+        target, target, memory, embed=lambda t: emb_w[t],
+        logits_head=head, draft_embed=lambda t: emb_w[t],
+        draft_logits_head=head, bos_id=0, max_len=9, num_draft=3,
+        memory_seq_len=lens)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # unrelated draft: rejections exercise the rollback path
+    got = jax.jit(lambda m: speculative_generate(
+        target, draft, m, embed=lambda t: emb_w[t], logits_head=head,
+        draft_embed=lambda t: demb_w[t], draft_logits_head=dhead,
+        bos_id=0, max_len=9, num_draft=3, memory_seq_len=lens))(memory)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_speculative_with_gqa():
+    # composes with grouped-query caches (local-attention/rolling
+    # decoders are incompatible: verification needs Tq>1 decode)
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        autoregressive_generate, speculative_generate)
+    from padertorch_tpu import nn
+    ptrandom.seed(62)
+    target = TransformerDecoder(
+        d_model=16, num_layers=2, num_heads=4, num_kv_heads=2).eval()
+    emb_w = _x((9, 16), seed=64)
+    head = nn.Linear(16, 9)
+    ptrandom.seed(63)
+    draft = TransformerDecoder(
+        d_model=16, num_layers=1, num_heads=2).eval()
+    memory = _x((2, 3, 16), seed=65)
+    want, _ = autoregressive_generate(
+        target, memory, embed=lambda t: emb_w[t], logits_head=head,
+        bos_id=0, max_len=7)
+    got = speculative_generate(
+        target, draft, memory, embed=lambda t: emb_w[t],
+        logits_head=head, draft_embed=lambda t: emb_w[t],
+        draft_logits_head=head, bos_id=0, max_len=7, num_draft=2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
