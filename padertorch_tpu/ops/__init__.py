@@ -1,4 +1,5 @@
 from padertorch_tpu.ops._stft import STFT, HostSTFT
+from padertorch_tpu.ops.streaming import StreamingSTFT, StreamingISTFT
 from padertorch_tpu.ops.einsum import einsum
 from padertorch_tpu.ops.mu_law import mu_law_encode, mu_law_decode
 from padertorch_tpu.ops.tensor import (
