@@ -575,6 +575,11 @@ class ValidationHook(SummaryHook):
         if trainer.iteration == self.last_validation:
             ckpt_dir = trainer.checkpoint_dir
             ckpt_path = trainer.default_checkpoint_path()
+            # async checkpointing: the CheckpointHook's save may still
+            # be writing in the background; the contract below (the
+            # ranked checkpoint exists on disk) needs it committed
+            getattr(trainer, 'wait_for_checkpoint_writes',
+                    lambda: None)()
             if not ckpt_path.exists():
                 raise RuntimeError(
                     'Before each validation the CheckpointHook has to '

@@ -145,6 +145,7 @@ class Trainer(Configurable):
             jit=True,
             sharding=None,
             checkpoint_format='ptt',
+            async_checkpointing=False,
             precision=None,
     ):
         if not isinstance(model, ptmodule.Module):
@@ -175,6 +176,9 @@ class Trainer(Configurable):
         assert checkpoint_format in ('ptt', 'orbax'), \
             checkpoint_format
         self.checkpoint_format = checkpoint_format
+        self.async_checkpointing = bool(async_checkpointing)
+        self._ckpt_writer = None
+        self._ckpt_writer_error = None
         self.writer = None
         self.train_timer = ContextTimerDict()
         self.validate_timer = ContextTimerDict()
@@ -643,6 +647,9 @@ class Trainer(Configurable):
             try:
                 for hook in hooks:
                     hook.close(self)
+                # the final (hook-close) checkpoint may still be in
+                # flight — train() must not return before it committed
+                self.wait_for_checkpoint_writes()
             except Exception:
                 print('Exception in finally. May hide actual exception!!!\n'
                       'You may comment this finally block for debugging.')
@@ -862,22 +869,70 @@ class Trainer(Configurable):
                 state['hooks'][hook.uid] = hook_state
         return state
 
+    def wait_for_checkpoint_writes(self):
+        """Block until a pending async checkpoint write has committed.
+
+        No-op for synchronous checkpointing.  Re-raises (once) an error
+        from the writer thread so failures cannot pass silently.
+        """
+        writer = self._ckpt_writer
+        if writer is not None:
+            writer.join()
+            self._ckpt_writer = None
+        error = self._ckpt_writer_error
+        if error is not None:
+            self._ckpt_writer_error = None
+            raise RuntimeError(
+                'Asynchronous checkpoint write failed') from error
+
     def save_checkpoint(self, checkpoint_path=None):
         if checkpoint_path is None:
             checkpoint_path = self.default_checkpoint_path()
         checkpoint_path = Path(checkpoint_path)
+        # at most ONE write in flight: serializes async saves and makes
+        # file pruning/reading after this call race-free
+        self.wait_for_checkpoint_writes()
+        state = self.state_dict()
+        if not self.async_checkpointing:
+            self._write_checkpoint(state, checkpoint_path, self.iteration)
+            return
+        # Synchronous device->host snapshot before returning control:
+        # the next jitted step DONATES parameter/optimizer buffers, so
+        # the writer thread must never touch live device arrays.  The
+        # tree_map also rebuilds every container, so later mutation of
+        # hook state dicts cannot race the serialization.
+        import jax
+        state = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+            state)
+        iteration = self.iteration
+
+        def _write():
+            try:
+                self._write_checkpoint(state, checkpoint_path, iteration)
+            except BaseException as e:  # surfaced on the next wait
+                self._ckpt_writer_error = e
+
+        import threading
+        self._ckpt_writer = threading.Thread(
+            target=_write, name='ckpt-writer', daemon=True)
+        self._ckpt_writer.start()
+
+    def _write_checkpoint(self, state, checkpoint_path, iteration):
+        """Dump ``state`` and repoint ``ckpt_latest`` (atomic via the
+        backends' tmp+rename; the symlink moves only after commit)."""
         if self.checkpoint_format == 'orbax':
             from padertorch_tpu.serialize import dump_state_orbax
-            dump_state_orbax(self.state_dict(), checkpoint_path)
+            dump_state_orbax(state, checkpoint_path)
         else:
-            dump_state(self.state_dict(), checkpoint_path)
+            dump_state(state, checkpoint_path)
         latest = (checkpoint_path.parent
                   / f'ckpt_latest{self.ckpt_ext}').absolute()
         if latest.is_symlink():
             latest.unlink()
         latest.symlink_to(checkpoint_path.name)
         print(f'Saved model and optimizer state at iteration '
-              f'{self.iteration} to {checkpoint_path}')
+              f'{iteration} to {checkpoint_path}')
 
     @staticmethod
     def _restore_shardings(old_tree, new_tree):
@@ -919,6 +974,7 @@ class Trainer(Configurable):
 
     def load_checkpoint(self, map_location=None):
         del map_location
+        self.wait_for_checkpoint_writes()
         # clean up partial writes of an interrupted save (tmp+rename
         # means a *.tmp* path is by definition incomplete); orbax tmp
         # writes are DIRECTORIES
