@@ -21,7 +21,7 @@ from padertorch_tpu import nn
 from padertorch_tpu import data
 from padertorch_tpu import train
 from padertorch_tpu.train import (
-    Trainer, Optimizer, Adam, AdamW, SGD, Adadelta,
+    Trainer, Optimizer, Adam, AdamW, SGD, Adadelta, Adafactor, Lion,
 )
 from padertorch_tpu import modules
 from padertorch_tpu import ops

@@ -303,3 +303,85 @@ class Adadelta(Optimizer):
         return optax.adadelta(
             learning_rate, rho=self.rho, eps=self.eps,
             weight_decay=self.weight_decay)
+
+
+class Adafactor(Optimizer):
+    """Memory-efficient optimizer for large TPU models (Shazeer & Stern
+    2018).  The second moment of a (d1, d2) weight is stored as two
+    factored vectors (d1,) + (d2,) instead of the full matrix — for a
+    transformer this shrinks optimizer state from 2x to ~epsilon of the
+    parameter bytes (vs Adam), which matters when parameters are
+    replicated or when FSDP shards are HBM-bound.
+
+    Beyond the reference's optimizer set (``padertorch/train/
+    optimizer.py`` stops at Adam/SGD/Adadelta); exposed through the
+    same clipping/state_dict/hyperparam-injection wrapper, so lr
+    scheduling and checkpoint resume work unchanged.
+
+    With ``lr=None`` Adafactor's original relative step size schedule
+    is used (``min(1/sqrt(step), 1e-2)``, scaled by parameter norm when
+    ``multiply_by_parameter_scale`` is on).
+    """
+
+    def __init__(
+            self,
+            gradient_clipping=1e10,
+            lr=1e-3,
+            min_dim_size_to_factor=128,
+            decay_rate=0.8,
+            decay_offset=0,
+            multiply_by_parameter_scale=True,
+            clipping_threshold=1.0,
+            momentum=None,
+            weight_decay=0,
+            eps=1e-30,
+            factored=True,
+    ):
+        super().__init__(gradient_clipping, learning_rate=lr)
+        self.min_dim_size_to_factor = min_dim_size_to_factor
+        self.decay_rate = decay_rate
+        self.decay_offset = decay_offset
+        self.multiply_by_parameter_scale = multiply_by_parameter_scale
+        self.clipping_threshold = clipping_threshold
+        self.momentum = momentum
+        self.weight_decay = weight_decay
+        self.eps = eps
+        self.factored = factored
+
+    def _make_optax(self, learning_rate):
+        return optax.adafactor(
+            learning_rate,
+            min_dim_size_to_factor=self.min_dim_size_to_factor,
+            decay_rate=self.decay_rate,
+            decay_offset=self.decay_offset,
+            multiply_by_parameter_scale=self.multiply_by_parameter_scale,
+            clipping_threshold=self.clipping_threshold,
+            momentum=self.momentum,
+            weight_decay_rate=self.weight_decay or None,
+            eps=self.eps,
+            factored=self.factored,
+        )
+
+
+class Lion(Optimizer):
+    """Sign-momentum optimizer (Chen et al. 2023): one momentum buffer,
+    sign updates — half of Adam's optimizer memory and strong results
+    on vision/language at 3-10x smaller lr with 3-10x larger decoupled
+    weight decay.  Beyond-reference addition."""
+
+    def __init__(
+            self,
+            gradient_clipping=1e10,
+            lr=1e-4,
+            betas=(0.9, 0.99),
+            weight_decay=0,
+    ):
+        super().__init__(gradient_clipping, learning_rate=lr)
+        self.betas = tuple(betas)
+        self.weight_decay = weight_decay
+
+    def _make_optax(self, learning_rate):
+        b1, b2 = self.betas
+        return optax.lion(
+            learning_rate, b1=b1, b2=b2,
+            weight_decay=self.weight_decay)
