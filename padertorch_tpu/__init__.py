@@ -8,7 +8,7 @@ idiomatically on JAX/XLA/Pallas/pjit. Import as::
 __version__ = '0.1.0'
 
 from padertorch_tpu.configurable import Configurable
-from padertorch_tpu.module import Module
+from padertorch_tpu.module import Module, partition, combine
 from padertorch_tpu.base import Model, pt_dataclass
 from padertorch_tpu import utils
 from padertorch_tpu import io

@@ -19,6 +19,7 @@ from padertorch_tpu.models.tasnet import (
 )
 from padertorch_tpu.modules.convnet import ConvNet
 from padertorch_tpu.modules.dual_path_rnn import DPRNN
+from padertorch_tpu.modules.dual_path_transformer import DualPathTransformer
 from padertorch_tpu.train.trainer import Trainer
 from padertorch_tpu.utils.nested import nested_merge
 
@@ -37,6 +38,14 @@ VARIANTS = {
             'factory': ConvNet,
             'input_size': 256, 'num_blocks': 8, 'num_repeats': 4,
             'hidden_channels': 512,
+        },
+    },
+    'sepformer': {
+        'separator': {
+            'factory': DualPathTransformer,
+            'input_size': 128, 'window_length': 100, 'hop_size': 50,
+            'num_blocks': 4, 'num_layers_intra': 2,
+            'num_layers_inter': 2, 'num_heads': 8,
         },
     },
     'win2': {
@@ -83,6 +92,10 @@ def main():
         choices=['scan', 'pallas'],
         help='LSTM time-loop backend; the Pallas fused cell-scan '
              'kernel is ~1.2x faster for DPRNN training on TPU')
+    parser.add_argument(
+        '--flash', action='store_true',
+        help='use the fused Pallas attention backend for the '
+             'sepformer variant (ops/pallas/attention.py)')
     parser.add_argument('--segment_length', type=int, default=32000)
     parser.add_argument('--num_examples', type=int, default=None,
                         help='synthetic training-set size '
@@ -100,12 +113,20 @@ def main():
 
     updates = {'stop_trigger': (args.epochs, 'epoch')}
     if args.small:
-        updates['model'] = {
-            'encoder': {'feature_size': 32},
-            'separator': {
+        if args.variant == 'sepformer':
+            sep_small = {
+                'input_size': 16, 'window_length': 10, 'hop_size': 5,
+                'num_blocks': 1, 'num_layers_intra': 1,
+                'num_layers_inter': 1, 'num_heads': 2,
+            }
+        else:
+            sep_small = {
                 'input_size': 16, 'rnn_size': 8,
                 'window_length': 10, 'hop_size': 5, 'num_blocks': 2,
-            },
+            }
+        updates['model'] = {
+            'encoder': {'feature_size': 32},
+            'separator': sep_small,
         }
 
     ptrandom.seed(0)
@@ -128,6 +149,10 @@ def main():
         set_rnn_backend(trainer.model, args.rnn_backend)
     except AssertionError:
         pass  # convnet variant has no RNNs
+    if args.flash:
+        from padertorch_tpu.contrib.mk.modules.transformer import \
+            set_attention_backend
+        set_attention_backend(trainer.model, True)
 
     if args.synthetic or args.database is None:
         n_train = args.num_examples or max(32, 4 * args.batch_size)

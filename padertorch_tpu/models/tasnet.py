@@ -23,6 +23,7 @@ from padertorch_tpu.ops import STFT
 from padertorch_tpu.ops.mappings import ACTIVATION_FN_MAP
 from padertorch_tpu.ops.losses.source_separation import pit_loss
 from padertorch_tpu.modules.dual_path_rnn import DPRNN
+from padertorch_tpu.modules.dual_path_transformer import DualPathTransformer
 from padertorch_tpu.modules.convnet import ConvNet
 
 __all__ = ['TasNet', 'TasEncoder', 'TasDecoder', 'StftEncoder',
@@ -166,6 +167,11 @@ class TasNet(Model):
                 hop_size=50, num_blocks=6)
         elif config['separator']['factory'] == ConvNet:
             config['separator']['input_size'] = 256
+        elif config['separator']['factory'] == DualPathTransformer:
+            config['separator'].update(
+                input_size=128, window_length=100, hop_size=50,
+                num_blocks=4, num_layers_intra=2, num_layers_inter=2,
+                num_heads=8)
         config['decoder'] = {'factory': TasDecoder}
         if config['encoder']['factory'] == TasEncoder:
             config['decoder']['window_length'] = \

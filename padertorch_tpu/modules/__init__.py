@@ -5,3 +5,6 @@ from padertorch_tpu.modules.normalization import (
 from padertorch_tpu.modules.recurrent import LSTM, GRU, StatefulLSTM
 from padertorch_tpu.modules.convnet import ConvNet
 from padertorch_tpu.modules.dual_path_rnn import DPRNN, DPRNNBlock
+from padertorch_tpu.modules.dual_path_transformer import (
+    DualPathTransformer, DualPathTransformerBlock,
+)
