@@ -80,6 +80,21 @@ def test_audio_tagging_train_then_evaluate(tmp_path):
 
 
 @pytest.mark.slow
+def test_tasnet_sepformer_train_then_evaluate(tmp_path):
+    """The dual-path transformer (SepFormer-style) separator variant
+    trains and evaluates end-to-end like the DPRNN one."""
+    _run(f'{PKG}.source_separation.tasnet.train',
+         '--storage_root', str(tmp_path), '--synthetic',
+         '--epochs', '1', '--variant', 'sepformer', '--small',
+         '--batch_size', '2', '--num_examples', '8')
+    storage_dir = tmp_path / 'tasnet' / '1'
+    _run(f'{PKG}.source_separation.tasnet.evaluate',
+         '--model_path', str(storage_dir), '--synthetic')
+    means = json.loads((storage_dir / 'eval' / 'means.json').read_text())
+    assert any('si_sdr' in k for k in means), means
+
+
+@pytest.mark.slow
 def test_mask_estimator_train_then_evaluate(tmp_path):
     _run(f'{PKG}.speech_enhancement.mask_estimator.train',
          '--storage_root', str(tmp_path), '--synthetic',
