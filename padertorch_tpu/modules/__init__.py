@@ -8,3 +8,6 @@ from padertorch_tpu.modules.dual_path_rnn import DPRNN, DPRNNBlock
 from padertorch_tpu.modules.dual_path_transformer import (
     DualPathTransformer, DualPathTransformerBlock,
 )
+from padertorch_tpu.modules.conformer import (
+    ConformerBlock, ConformerConvModule, ConformerEncoder,
+)
