@@ -10,3 +10,6 @@ from padertorch_tpu.ops.losses.classification import (
     softmax_cross_entropy, IGNORE_INDEX,
 )
 from padertorch_tpu.ops.losses.kl_divergence import gaussian_kl_divergence
+from padertorch_tpu.ops.losses.ctc import (
+    ctc_loss, ctc_greedy_decode, edit_distance,
+)
