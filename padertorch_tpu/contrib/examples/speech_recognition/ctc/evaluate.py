@@ -1,0 +1,79 @@
+"""Evaluate the Conformer-CTC recognizer: greedy decode + token error rate.
+
+Shares the evaluation shape of the other recipes (multi-process
+``split_managed`` fan-out, master-side merge, ``eval/means.json`` +
+per-example artifacts).
+
+Run (synthetic smoke, after train.py --synthetic):
+    python -m padertorch_tpu.contrib.examples.speech_recognition.ctc.evaluate \
+        --model_path /path/to/storage_dir --synthetic
+"""
+import argparse
+import json
+from pathlib import Path
+
+from padertorch_tpu.evaluation import (
+    split_managed, gather_merged, is_master,
+)
+
+from . import data
+from .model import ConformerCTC
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--model_path', required=True)
+    parser.add_argument('--database', default=None)
+    parser.add_argument('--synthetic', action='store_true')
+    parser.add_argument('--dataset', default='test')
+    parser.add_argument('--batch_size', type=int, default=8)
+    parser.add_argument('--num_examples', type=int, default=None)
+    parser.add_argument('--checkpoint', default='ckpt_best_loss.ptt')
+    args = parser.parse_args()
+
+    model_path = Path(args.model_path)
+    try:
+        model = ConformerCTC.from_storage_dir(
+            model_path, checkpoint_name=args.checkpoint)
+    except FileNotFoundError:
+        model = ConformerCTC.from_storage_dir(
+            model_path, checkpoint_name='ckpt_latest.ptt')
+    model = model.eval()
+
+    if args.synthetic or args.database is None:
+        # held-out split: fresh seed -> unseen tone sequences
+        dataset = data.synthetic_database(
+            num_examples=args.num_examples or 32,
+            vocab_size=model.vocab_size, seed=1)
+    else:
+        from padertorch_tpu.data.database import JsonDatabase
+        dataset = JsonDatabase(args.database).get_dataset(args.dataset)
+    dataset = data.prepare_dataset(
+        dataset, batch_size=args.batch_size, shuffle=False,
+        prefetch=False)
+
+    results = {}
+    for batch in split_managed(dataset, progress_bar=True):
+        results.update(model.decode(batch))
+
+    merged = gather_merged(results)
+    if is_master():
+        out_dir = model_path / 'eval'
+        out_dir.mkdir(exist_ok=True)
+        errors = sum(v['num_errors'] for v in merged.values())
+        tokens = sum(v['num_tokens'] for v in merged.values())
+        exact = sum(v['num_errors'] == 0 for v in merged.values())
+        summary = {
+            'wer': errors / max(tokens, 1),
+            'ser': 1.0 - exact / max(len(merged), 1),
+            'num_examples': len(merged),
+            'num_tokens': tokens,
+        }
+        (out_dir / 'transcriptions.json').write_text(
+            json.dumps(merged, indent=2, sort_keys=True))
+        (out_dir / 'means.json').write_text(json.dumps(summary, indent=2))
+        print(json.dumps(summary, indent=2))
+
+
+if __name__ == '__main__':
+    main()

@@ -62,7 +62,7 @@ def ctc_greedy_decode(logits, logit_lengths=None, blank=0):
 
     >>> import numpy as np
     >>> logits = np.zeros((1, 5, 3))
-    >>> logits[0, :, [1, 1, 0, 2, 2]] = 5.0
+    >>> logits[0, np.arange(5), [1, 1, 0, 2, 2]] = 5.0
     >>> ctc_greedy_decode(logits)
     [[1, 2]]
     """

@@ -1,0 +1,141 @@
+"""Conformer-CTC speech recognition recipe tests.
+
+Fast unit tests for the model (shapes, subsample arithmetic, loss and
+gradients, greedy decode bookkeeping) plus a slow-marked subprocess
+smoke of train.py -> evaluate.py like the other recipes
+(``test_recipe_evaluate.py``).
+"""
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax
+import pytest
+
+import padertorch_tpu as pt
+from padertorch_tpu import random as ptrandom
+from padertorch_tpu.contrib.examples.speech_recognition.ctc import data
+from padertorch_tpu.contrib.examples.speech_recognition.ctc.model import (
+    ConformerCTC,
+)
+
+REPO_ROOT = Path(__file__).resolve().parents[2]
+
+
+def _tiny_model(**updates):
+    ptrandom.seed(0)
+    return ConformerCTC.from_config(ConformerCTC.get_config({
+        'vocab_size': 10, 'd_model': 32, 'num_layers': 1,
+        'num_heads': 2, 'kernel_size': 7, 'subsample_channels': 8,
+        **updates,
+    }))
+
+
+def _batch(batch_size=4, num_examples=8):
+    ds = data.synthetic_database(num_examples=num_examples)
+    return next(iter(data.prepare_dataset(
+        ds, batch_size=batch_size, shuffle=False, prefetch=False)))
+
+
+def test_forward_shapes_and_subsample_lengths():
+    model = _tiny_model().eval()
+    batch = _batch()
+    out = model(batch)
+    b, t, v = out['logits'].shape
+    assert b == 4 and v == 11
+    # conv subsampling: two stride-2 convs => ceil(ceil(T/2)/2)
+    t_in = batch['stft'].shape[2]  # (B, C, T, F, 2)
+    assert t == -(-(-(-t_in // 2)) // 2)
+    np.testing.assert_array_equal(
+        np.asarray(out['logit_lengths']),
+        -(-(-(-np.asarray(batch['seq_len']) // 2)) // 2))
+    # CTC is only defined when the path is long enough
+    assert (np.asarray(out['logit_lengths'])
+            >= np.asarray(batch['label_lengths'])).all()
+
+
+def test_review_loss_and_gradients():
+    model = _tiny_model()
+    batch = _batch()
+
+    from padertorch_tpu.module import partition, combine
+    params, static = partition(model)
+
+    def loss_fn(p):
+        m = combine(p, static)
+        with ptrandom.key_context(jax.random.PRNGKey(0)):
+            return m.review(batch, m(batch))['loss']
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert leaves and all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # at least one nontrivial gradient in the head and the frontend side
+    assert any(float(np.abs(np.asarray(g)).max()) > 0 for g in leaves)
+
+
+def test_specaugment_only_in_train_mode():
+    model = _tiny_model()
+    batch = _batch()
+    with ptrandom.key_context(jax.random.PRNGKey(0)):
+        out1 = model.eval()(batch)['logits']
+    with ptrandom.key_context(jax.random.PRNGKey(1)):
+        out2 = model.eval()(batch)['logits']
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out2), rtol=0, atol=0)
+    with ptrandom.key_context(jax.random.PRNGKey(0)):
+        t1 = model.train()(batch)['logits']
+    with ptrandom.key_context(jax.random.PRNGKey(1)):
+        t2 = model.train()(batch)['logits']
+    assert np.abs(np.asarray(t1) - np.asarray(t2)).max() > 0
+
+
+def test_decode_bookkeeping():
+    model = _tiny_model().eval()
+    batch = _batch()
+    results = model.decode(batch)
+    assert set(results) == set(batch['example_id'])
+    for example_id, r in results.items():
+        assert r['num_tokens'] == len(r['reference'])
+        assert r['num_errors'] <= max(
+            len(r['reference']), len(r['hypothesis']))
+        assert all(1 <= tok <= 10 for tok in r['reference'])
+
+
+def _run(module, *args, timeout=560):
+    env = {
+        **os.environ,
+        'JAX_PLATFORMS': 'cpu',
+        'PYTHONPATH': str(REPO_ROOT),
+    }
+    proc = subprocess.run(
+        [sys.executable, '-m', module, *args],
+        env=env, capture_output=True, text=True, timeout=timeout,
+        cwd=str(REPO_ROOT),
+    )
+    assert proc.returncode == 0, (
+        f'{module} failed\nstdout: {proc.stdout[-3000:]}\n'
+        f'stderr: {proc.stderr[-3000:]}')
+    return proc.stdout
+
+
+@pytest.mark.slow
+def test_ctc_asr_train_then_evaluate(tmp_path):
+    pkg = 'padertorch_tpu.contrib.examples.speech_recognition.ctc'
+    _run(f'{pkg}.train',
+         '--storage_root', str(tmp_path), '--synthetic',
+         '--epochs', '2', '--batch_size', '4', '--num_examples', '24',
+         '--d_model', '32', '--num_layers', '1', '--num_heads', '2')
+    storage_dir = tmp_path / 'ctc_asr' / '1'
+    _run(f'{pkg}.evaluate',
+         '--model_path', str(storage_dir), '--synthetic',
+         '--num_examples', '8', '--batch_size', '4')
+    means = json.loads((storage_dir / 'eval' / 'means.json').read_text())
+    assert 0.0 <= means['wer'] and 0.0 <= means['ser'] <= 1.0
+    assert means['num_examples'] == 8
+    transcriptions = json.loads(
+        (storage_dir / 'eval' / 'transcriptions.json').read_text())
+    assert len(transcriptions) == 8
