@@ -24,6 +24,7 @@ from padertorch_tpu.train import (
     Trainer, Optimizer, Adam, AdamW, SGD, Adadelta, Adafactor, Lion,
 )
 from padertorch_tpu import modules
+from padertorch_tpu import migrate
 from padertorch_tpu import ops
 from padertorch_tpu import summary
 from padertorch_tpu import models
