@@ -14,6 +14,7 @@ a CTC head — assembled from the framework's primitives:
 - loss: :func:`padertorch_tpu.ops.losses.ctc_loss` (pure-XLA lattice
   forward — the whole train step is one compiled program).
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,13 +60,16 @@ class ConformerCTC(Model):
         self.feature_extractor = feature_extractor
         c = subsample_channels
         # two stride-2 convs over (mel, time): 4x frame-rate reduction,
-        # the standard conformer front (kernel 3, padding 1 => ceil(T/2))
-        self.subsample = nn.Sequential(
-            nn.Conv2d(1, c, 3, stride=(2, 2), padding=1),
-            nn.ReLU(),
-            nn.Conv2d(c, c, 3, stride=(2, 2), padding=1),
-            nn.ReLU(),
-        )
+        # the standard conformer front.  Padding is applied explicitly in
+        # forward: kernel 3 / stride 2 / total time pad 2 gives ceil(T/2)
+        # either way, but the causal variant puts both pad frames on the
+        # LEFT so no output frame sees the future (exact prefix property,
+        # like the encoder's left-padded depthwise convs).
+        self.subsample_convs = [
+            nn.Conv2d(1, c, 3, stride=(2, 2), padding=0),
+            nn.Conv2d(c, c, 3, stride=(2, 2), padding=0),
+        ]
+        self.causal = causal
         mels = feature_extractor.mel_transform.number_of_filters
         reduced_mels = -(-(-(-mels // 2)) // 2)  # ceil(ceil(M/2)/2)
         self.encoder = ConformerEncoder(
@@ -82,7 +86,12 @@ class ConformerCTC(Model):
         seq_len = inputs.get('seq_len')
         x, seq_len = self.feature_extractor(
             inputs['stft'], seq_len=seq_len)  # (B, 1, M, T)
-        h = self.subsample(x)  # (B, C, M', T')
+        t_pad = (2, 0) if self.causal else (1, 1)
+        h = x
+        for conv in self.subsample_convs:
+            h = jnp.pad(h, ((0, 0), (0, 0), (1, 1), t_pad))
+            h = jax.nn.relu(conv(h))
+        # h: (B, C, M', T')
         b, c, m, t = h.shape
         h = jnp.transpose(h, (0, 3, 1, 2)).reshape(b, t, c * m)
         if seq_len is not None:

@@ -93,6 +93,30 @@ def test_specaugment_only_in_train_mode():
     assert np.abs(np.asarray(t1) - np.asarray(t2)).max() > 0
 
 
+def test_causal_variant_exact_prefix_property():
+    """Streaming contract: for --causal, logits of a truncated input
+    prefix equal the corresponding prefix of the full-input logits
+    (left-padded subsample convs + causal encoder)."""
+    model = _tiny_model(causal=True).eval()
+    batch = _batch(batch_size=2)
+    full = np.asarray(model(batch)['logits'])
+    t_in = batch['stft'].shape[2]
+    t_prefix = t_in // 2 + 3
+    prefix_batch = dict(batch)
+    prefix_batch['stft'] = batch['stft'][:, :, :t_prefix]
+    prefix_batch['seq_len'] = np.minimum(
+        np.asarray(batch['seq_len']), t_prefix)
+    prefix = np.asarray(model(prefix_batch)['logits'])
+    n = -(-(-(-t_prefix // 2)) // 2)
+    # only frames within both runs' valid lengths are comparable
+    valid = np.minimum(
+        n, np.asarray(model(prefix_batch)['logit_lengths']))
+    for b in range(2):
+        np.testing.assert_allclose(
+            prefix[b, :valid[b]], full[b, :valid[b]], atol=1e-5,
+            err_msg=f'example {b}')
+
+
 def test_decode_bookkeeping():
     model = _tiny_model().eval()
     batch = _batch()
