@@ -13,3 +13,4 @@ from padertorch_tpu.ops.losses.kl_divergence import gaussian_kl_divergence
 from padertorch_tpu.ops.losses.ctc import (
     ctc_loss, ctc_greedy_decode, edit_distance,
 )
+from padertorch_tpu.ops.losses.rnnt import rnnt_loss, rnnt_greedy_decode

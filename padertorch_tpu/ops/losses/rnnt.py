@@ -1,0 +1,160 @@
+"""RNN-T (transducer) loss and greedy decoding.
+
+Beyond-reference ops (padertorch ships no ASR ops): the transducer
+lattice forward (Graves 2012, "Sequence Transduction with RNNs") as a
+pure-XLA program.  TPU-native design: the textbook recurrence
+
+    alpha[t, u] = logaddexp(alpha[t-1, u] + blank[t-1, u],
+                            alpha[t, u-1] + label[t, u-1])
+
+has a sequential dependency in BOTH t and u; a naive double scan is
+O(T*U) sequential steps.  Here only t is scanned: for fixed t the
+u-recursion is a first-order linear recurrence in the log semiring,
+
+    a[u] = logaddexp(h[u], a[u-1] + c[u-1]),
+    h[u] = alpha[t-1, u] + blank[t-1, u],  c[u] = label[t, u],
+
+whose closed form  a[u] = C[u] + logcumsumexp_u(h - C),
+C = exclusive-cumsum(c), vectorizes over the whole label axis with
+``lax.cumlogsumexp`` — one scan of length T with O(U)-parallel work
+per step, U sequential steps removed.  Gradients come from autodiff
+through the scan (the classic hand-derived beta recursion is the
+transpose XLA generates anyway).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ['rnnt_loss', 'rnnt_greedy_decode']
+
+# Blocked transitions get a large-but-finite penalty instead of -inf:
+# the closed-form inner recurrence exponentiates h - cumsum(c), and a
+# true -inf in c would turn that difference into inf/nan inside the
+# scan transpose (0-cotangent * nan = nan).  exp(-1e4) underflows to
+# exactly 0 in f32, so blocked paths still contribute nothing.
+_NEG_INF = -1e4
+
+
+def rnnt_loss(logits, logit_lengths, labels, label_lengths, blank=0):
+    """Per-example transducer negative log likelihood.
+
+    Args:
+        logits: (B, T, U+1, V) joint-network outputs (log-softmax is
+            internal), where U is the padded label length: position
+            ``(t, u)`` scores the next symbol after emitting ``u``
+            labels and consuming ``t`` frames.
+        logit_lengths: (B,) valid frames per example.
+        labels: (B, U) padded label ids (values != ``blank``).
+        label_lengths: (B,) valid labels per example.
+        blank: blank label id.
+
+    Returns:
+        (B,) negative log likelihood (sum over the lattice).
+
+    >>> import jax.numpy as jnp
+    >>> logits = jnp.zeros((1, 3, 3, 5))
+    >>> nll = rnnt_loss(logits, jnp.array([3]), jnp.array([[1, 2]]),
+    ...                 jnp.array([2]))
+    >>> nll.shape
+    (1,)
+    >>> # uniform logits: every lattice path has T+U emissions of
+    >>> # prob 1/V, and there are C(T-1+U, U) = C(4, 2) = 6 paths
+    >>> float(jnp.round(nll[0] - (5 * jnp.log(5.0) - jnp.log(6.0)), 4))
+    0.0
+    """
+    logits = jnp.asarray(logits)
+    b, t_max, u_plus_1, v = logits.shape
+    u_max = u_plus_1 - 1
+    logit_lengths = jnp.asarray(logit_lengths)
+    label_lengths = jnp.asarray(label_lengths)
+    labels = jnp.asarray(labels)
+    assert labels.shape == (b, u_max), (labels.shape, logits.shape)
+
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    blank_lp = lp[..., blank]  # (B, T, U+1)
+    # label transition u -> u+1 emits labels[:, u]
+    label_lp = jnp.take_along_axis(
+        lp[:, :, :u_max, :], labels[:, None, :, None], axis=-1
+    )[..., 0]  # (B, T, U)
+    # forbid label transitions beyond each example's label length
+    u_idx = jnp.arange(u_max)[None, None, :]
+    label_lp = jnp.where(
+        u_idx < label_lengths[:, None, None], label_lp, _NEG_INF)
+
+    # c[u] = label_lp[t, u] for u < U; C = exclusive cumsum over u
+    def step(alpha_prev, lps_t):
+        # alpha_prev: (B, U+1) = alpha[t-1, :]
+        blank_prev, label_t = lps_t
+        h = alpha_prev + blank_prev  # horizontal moves from t-1
+        c = jnp.pad(label_t, ((0, 0), (0, 1)), constant_values=0.0)
+        cum_c = jnp.cumsum(c, axis=1) - c  # exclusive cumsum, (B, U+1)
+        # a[u] = C[u] + logcumsumexp(h - C)[u]
+        alpha = cum_c + jax.lax.cumlogsumexp(h - cum_c, axis=1)
+        return alpha, alpha_prev
+
+    # alpha[0] column: alpha[0,0]=0; alpha[0,u] = sum of first u label
+    # log-probs at t=0 (vertical moves before any frame is consumed are
+    # not allowed in this (T, U) convention — the joint consumes a frame
+    # per blank only, labels advance within a frame, so alpha[0, u] IS
+    # reachable via u label moves at t=0)
+    init = jnp.concatenate([
+        jnp.zeros((b, 1), logits.dtype),
+        jnp.cumsum(label_lp[:, 0, :], axis=1),
+    ], axis=1)
+
+    # scan over t = 1..T-1; inputs at step t carry blank_lp[t-1], label_lp[t]
+    xs = (
+        jnp.moveaxis(blank_lp[:, :-1, :], 1, 0),   # (T-1, B, U+1)
+        jnp.moveaxis(label_lp[:, 1:, :], 1, 0),    # (T-1, B, U)
+    )
+    alpha_last, alpha_hist = jax.lax.scan(step, init, xs)
+    # alpha_hist[t] = alpha[t-1] for t in 1..T-1; stack full history
+    alphas = jnp.concatenate(
+        [jnp.moveaxis(alpha_hist, 0, 1), alpha_last[:, None, :]],
+        axis=1)  # (B, T, U+1) = alpha[t, u]
+
+    # NLL = -(alpha[T_b - 1, U_b] + blank[T_b - 1, U_b])
+    t_last = jnp.clip(logit_lengths - 1, 0, t_max - 1)
+    alpha_final = jnp.take_along_axis(
+        jnp.take_along_axis(
+            alphas, t_last[:, None, None], axis=1)[:, 0, :],
+        label_lengths[:, None], axis=1)[:, 0]
+    blank_final = jnp.take_along_axis(
+        jnp.take_along_axis(
+            blank_lp, t_last[:, None, None], axis=1)[:, 0, :],
+        label_lengths[:, None], axis=1)[:, 0]
+    return -(alpha_final + blank_final)
+
+
+def rnnt_greedy_decode(joint_fn, encoder_out, logit_lengths=None,
+                       blank=0, max_symbols_per_frame=4):
+    """Greedy (best-path) transducer decoding.  Host-side (numpy).
+
+    Args:
+        joint_fn: ``joint_fn(enc_frame, emitted_prefix) -> (V,) scores``
+            — the caller closes over its prediction network and joint.
+        encoder_out: (B, T, E) encoder frames.
+        logit_lengths: (B,) valid frames.
+        blank: blank id.
+        max_symbols_per_frame: cap on label emissions per frame
+            (standard loop guard).
+
+    Returns:
+        list of B label-id lists.
+    """
+    encoder_out = np.asarray(encoder_out)
+    b, t_max = encoder_out.shape[:2]
+    out = []
+    for i in range(b):
+        t_len = int(logit_lengths[i]) if logit_lengths is not None \
+            else t_max
+        seq = []
+        for t in range(t_len):
+            for _ in range(max_symbols_per_frame):
+                scores = np.asarray(joint_fn(encoder_out[i, t], seq))
+                token = int(scores.argmax())
+                if token == blank:
+                    break
+                seq.append(token)
+        out.append(seq)
+    return out
