@@ -1,9 +1,10 @@
-"""Conformer-CTC speech recognizer.
+"""Conformer speech recognizers: CTC and RNN-T (transducer).
 
-Beyond-reference recipe model (padertorch ships no ASR example): the
-canonical speech-recognition stack — normalized log-mel frontend with
-SpecAugment, 4x convolutional time subsampling, conformer encoder, and
-a CTC head — assembled from the framework's primitives:
+Beyond-reference recipe models (padertorch ships no ASR example): the
+two canonical speech-recognition stacks over a shared acoustic encoder
+— normalized log-mel frontend with SpecAugment, 4x convolutional time
+subsampling, conformer encoder — assembled from the framework's
+primitives:
 
 - frontend: :class:`padertorch_tpu.contrib.je.modules.features.
   NormalizedLogMelExtractor` (jit-safe SpecAugment in train mode);
@@ -11,51 +12,48 @@ a CTC head — assembled from the framework's primitives:
   (masked batch norm, RoPE attention; rides the fused Pallas attention
   kernel via ``set_attention_backend``, and supports causal/windowed
   variants for streaming);
-- loss: :func:`padertorch_tpu.ops.losses.ctc_loss` (pure-XLA lattice
-  forward — the whole train step is one compiled program).
+- losses: :func:`padertorch_tpu.ops.losses.ctc_loss` /
+  :func:`padertorch_tpu.ops.losses.rnnt_loss` (pure-XLA lattice
+  forwards — each train step is one compiled program).
 """
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from padertorch_tpu.base import Model
+from padertorch_tpu.module import Module
 from padertorch_tpu import nn
 from padertorch_tpu.contrib.je.modules.features import (
     NormalizedLogMelExtractor,
 )
 from padertorch_tpu.modules.conformer import ConformerEncoder
+from padertorch_tpu.modules.recurrent import LSTM
 from padertorch_tpu.ops.losses.ctc import (
     ctc_loss, ctc_greedy_decode, edit_distance,
 )
+from padertorch_tpu.ops.losses.rnnt import rnnt_loss
 
-__all__ = ['ConformerCTC']
+__all__ = ['AcousticEncoder', 'ConformerCTC', 'TransducerASR']
+
+_FRONTEND_DEFAULTS = {
+    'factory': NormalizedLogMelExtractor,
+    'sample_rate': 8000,
+    'stft_size': 256,
+    'number_of_filters': 40,
+    # SpecAugment (train mode only; jit-safe)
+    'n_time_masks': 2,
+    'max_masked_time_steps': 20,
+    'n_frequency_masks': 1,
+    'max_masked_frequency_bands': 8,
+}
 
 
-class ConformerCTC(Model):
-    """Log-mel -> conv subsample (4x) -> conformer -> CTC logits.
+class AcousticEncoder(Module):
+    """Log-mel frames -> conv subsample (4x) -> conformer states."""
 
-    ``vocab_size`` counts real tokens; the head has ``vocab_size + 1``
-    outputs with blank = 0 (labels are ids in ``1..vocab_size``).
-    """
-
-    @classmethod
-    def finalize_dogmatic_config(cls, config):
-        config['feature_extractor'] = {
-            'factory': NormalizedLogMelExtractor,
-            'sample_rate': 8000,
-            'stft_size': 256,
-            'number_of_filters': 40,
-            # SpecAugment (train mode only; jit-safe)
-            'n_time_masks': 2,
-            'max_masked_time_steps': 20,
-            'n_frequency_masks': 1,
-            'max_masked_frequency_bands': 8,
-        }
-
-    def __init__(self, feature_extractor, vocab_size,
-                 d_model=96, num_layers=2, num_heads=4, d_ff=None,
-                 kernel_size=15, dropout=0.0, conv_norm='batch_norm',
-                 causal=False, attn_window=None,
+    def __init__(self, feature_extractor, d_model=96, num_layers=2,
+                 num_heads=4, d_ff=None, kernel_size=15, dropout=0.0,
+                 conv_norm='batch_norm', causal=False, attn_window=None,
                  subsample_channels=32):
         self.feature_extractor = feature_extractor
         c = subsample_channels
@@ -78,27 +76,82 @@ class ConformerCTC(Model):
             conv_norm=conv_norm, causal=causal, attn_window=attn_window,
             input_size=c * reduced_mels,
         )
-        self.head = nn.Linear(d_model, vocab_size + 1)
-        self.vocab_size = vocab_size
-        self.blank = 0
+        self.d_model = d_model
 
-    def forward(self, inputs):
-        seq_len = inputs.get('seq_len')
+    def forward(self, stft, seq_len=None):
+        """(B, 1, T, F, 2) stacked STFT -> ((B, T', d_model), (B,))."""
         x, seq_len = self.feature_extractor(
-            inputs['stft'], seq_len=seq_len)  # (B, 1, M, T)
+            stft, seq_len=seq_len)  # (B, 1, M, T)
         t_pad = (2, 0) if self.causal else (1, 1)
         h = x
         for conv in self.subsample_convs:
             h = jnp.pad(h, ((0, 0), (0, 0), (1, 1), t_pad))
             h = jax.nn.relu(conv(h))
-        # h: (B, C, M', T')
         b, c, m, t = h.shape
         h = jnp.transpose(h, (0, 3, 1, 2)).reshape(b, t, c * m)
         if seq_len is not None:
             seq_len = jnp.asarray(seq_len)
             seq_len = -(-seq_len // 2)
             seq_len = -(-seq_len // 2)
-        h = self.encoder(h, seq_len=seq_len)
+        return self.encoder(h, seq_len=seq_len), seq_len
+
+
+def _decode_results(batch, hyps):
+    """Per-example reference/hypothesis bookkeeping shared by both
+    decoders (WER = Levenshtein distance / reference length)."""
+    results = {}
+    labels = np.asarray(batch['labels'])
+    label_lengths = np.asarray(batch['label_lengths'])
+    for i, example_id in enumerate(batch['example_id']):
+        ref = labels[i, :label_lengths[i]].tolist()
+        hyp = list(hyps[i])
+        results[example_id] = {
+            'reference': ref,
+            'hypothesis': hyp,
+            'num_errors': edit_distance(ref, hyp),
+            'num_tokens': len(ref),
+        }
+    return results
+
+
+class ConformerCTC(Model):
+    """Acoustic encoder -> linear CTC head.
+
+    ``vocab_size`` counts real tokens; the head has ``vocab_size + 1``
+    outputs with blank = 0 (labels are ids in ``1..vocab_size``).
+    """
+
+    @classmethod
+    def finalize_dogmatic_config(cls, config):
+        config['feature_extractor'] = dict(_FRONTEND_DEFAULTS)
+
+    def __init__(self, feature_extractor, vocab_size,
+                 d_model=96, num_layers=2, num_heads=4, d_ff=None,
+                 kernel_size=15, dropout=0.0, conv_norm='batch_norm',
+                 causal=False, attn_window=None,
+                 subsample_channels=32):
+        self.acoustic = AcousticEncoder(
+            feature_extractor, d_model=d_model, num_layers=num_layers,
+            num_heads=num_heads, d_ff=d_ff, kernel_size=kernel_size,
+            dropout=dropout, conv_norm=conv_norm, causal=causal,
+            attn_window=attn_window,
+            subsample_channels=subsample_channels)
+        self.head = nn.Linear(d_model, vocab_size + 1)
+        self.vocab_size = vocab_size
+        self.blank = 0
+
+    # recipe helpers reach the frontend through the model
+    @property
+    def feature_extractor(self):
+        return self.acoustic.feature_extractor
+
+    @property
+    def causal(self):
+        return self.acoustic.causal
+
+    def forward(self, inputs):
+        h, seq_len = self.acoustic(
+            inputs['stft'], seq_len=inputs.get('seq_len'))
         logits = self.head(h)  # (B, T', V+1)
         return {'logits': logits, 'logit_lengths': seq_len}
 
@@ -124,26 +177,114 @@ class ConformerCTC(Model):
         }
 
     def decode(self, batch):
-        """Greedy transcriptions + token error rates for a batch.
-
-        Host-side helper for evaluation (argmax path collapse; WER =
-        Levenshtein distance / reference length).
-        """
+        """Greedy transcriptions + token error rates for a batch."""
         outputs = self(batch)
         hyps = ctc_greedy_decode(
             np.asarray(outputs['logits']),
             np.asarray(outputs['logit_lengths']),
             blank=self.blank)
-        results = {}
-        labels = np.asarray(batch['labels'])
-        label_lengths = np.asarray(batch['label_lengths'])
-        for i, example_id in enumerate(batch['example_id']):
-            ref = labels[i, :label_lengths[i]].tolist()
-            hyp = hyps[i]
-            results[example_id] = {
-                'reference': ref,
-                'hypothesis': hyp,
-                'num_errors': edit_distance(ref, hyp),
-                'num_tokens': len(ref),
-            }
-        return results
+        return _decode_results(batch, hyps)
+
+
+class TransducerASR(Model):
+    """Acoustic encoder + LSTM prediction network + additive joint,
+    trained with the RNN-T loss (streaming-capable architecture: with
+    ``causal=True`` both networks are causal and decoding is
+    frame-synchronous).
+
+    The joint is computed for the full (T', U+1) lattice during
+    training — one compiled step, no per-(t, u) host loop.
+    """
+
+    @classmethod
+    def finalize_dogmatic_config(cls, config):
+        config['feature_extractor'] = dict(_FRONTEND_DEFAULTS)
+
+    def __init__(self, feature_extractor, vocab_size,
+                 d_model=96, num_layers=2, num_heads=4, d_ff=None,
+                 kernel_size=15, dropout=0.0, conv_norm='batch_norm',
+                 causal=False, attn_window=None, subsample_channels=32,
+                 pred_hidden=96, joint_dim=96):
+        self.acoustic = AcousticEncoder(
+            feature_extractor, d_model=d_model, num_layers=num_layers,
+            num_heads=num_heads, d_ff=d_ff, kernel_size=kernel_size,
+            dropout=dropout, conv_norm=conv_norm, causal=causal,
+            attn_window=attn_window,
+            subsample_channels=subsample_channels)
+        # prediction network: blank-started label history -> states
+        self.embed = nn.Embedding(vocab_size + 1, pred_hidden)
+        self.pred_rnn = LSTM(pred_hidden, pred_hidden)
+        # additive joint
+        self.enc_proj = nn.Linear(d_model, joint_dim)
+        self.pred_proj = nn.Linear(pred_hidden, joint_dim)
+        self.joint_out = nn.Linear(joint_dim, vocab_size + 1)
+        self.vocab_size = vocab_size
+        self.blank = 0
+
+    @property
+    def feature_extractor(self):
+        return self.acoustic.feature_extractor
+
+    def _predict(self, label_history):
+        """(B, U+1) blank-started ids -> (B, U+1, H) states."""
+        h = self.embed(label_history)
+        out, _ = self.pred_rnn(h)
+        return out
+
+    def _joint(self, enc, pred):
+        """(B, T', E), (B, U+1, H) -> (B, T', U+1, V+1)."""
+        e = self.enc_proj(enc)[:, :, None, :]
+        p = self.pred_proj(pred)[:, None, :, :]
+        return self.joint_out(jnp.tanh(e + p))
+
+    def forward(self, inputs):
+        enc, seq_len = self.acoustic(
+            inputs['stft'], seq_len=inputs.get('seq_len'))
+        labels = jnp.asarray(inputs['labels'])
+        history = jnp.pad(
+            labels, ((0, 0), (1, 0)), constant_values=self.blank)
+        pred = self._predict(history)  # (B, U+1, H)
+        logits = self._joint(enc, pred)
+        return {'logits': logits, 'logit_lengths': seq_len}
+
+    def review(self, inputs, outputs):
+        logits = outputs['logits']
+        logit_lengths = outputs['logit_lengths']
+        if logit_lengths is None:
+            logit_lengths = jnp.full(
+                (logits.shape[0],), logits.shape[1], dtype='int32')
+        label_lengths = jnp.asarray(inputs['label_lengths'])
+        nll = rnnt_loss(
+            logits, logit_lengths, jnp.asarray(inputs['labels']),
+            label_lengths, blank=self.blank)
+        per_token = nll / jnp.maximum(label_lengths, 1)
+        return {
+            'loss': jnp.mean(per_token),
+            'scalars': {'per_utt_nll': jnp.mean(nll)},
+        }
+
+    def decode(self, batch, max_symbols_per_frame=4):
+        """Greedy frame-synchronous transducer decoding (host loop over
+        frames; the prediction network is re-run on the emitted prefix —
+        prefix lengths are few and small, so each shape compiles once)."""
+        model = self.eval()
+        enc, seq_len = model.acoustic(
+            batch['stft'], seq_len=batch.get('seq_len'))
+        enc = np.asarray(enc)
+        seq_len = np.asarray(seq_len)
+        hyps = []
+        for i in range(enc.shape[0]):
+            seq = []
+            for t in range(int(seq_len[i])):
+                for _ in range(max_symbols_per_frame):
+                    history = jnp.asarray(
+                        [[model.blank] + seq], dtype='int32')
+                    pred = model._predict(history)[:, -1:, :]
+                    scores = model._joint(
+                        jnp.asarray(enc[i:i + 1, t:t + 1]), pred)
+                    token = int(np.asarray(scores).ravel().argmax())
+                    if token == model.blank:
+                        break
+                    seq.append(token)
+            hyps.append(seq)
+        return _decode_results(batch, hyps)

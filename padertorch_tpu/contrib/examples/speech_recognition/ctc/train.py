@@ -18,7 +18,7 @@ from padertorch_tpu.io import dump_config
 from padertorch_tpu.train.trainer import Trainer
 
 from . import data
-from .model import ConformerCTC
+from .model import ConformerCTC, TransducerASR
 
 
 def main():
@@ -34,6 +34,10 @@ def main():
     parser.add_argument('--num_layers', type=int, default=2)
     parser.add_argument('--num_heads', type=int, default=4)
     parser.add_argument('--kernel_size', type=int, default=15)
+    parser.add_argument(
+        '--model', choices=('ctc', 'transducer'), default='ctc',
+        help='ctc: linear head + CTC loss; transducer: LSTM prediction '
+             'network + additive joint + RNN-T loss')
     parser.add_argument(
         '--causal', action='store_true',
         help='streaming variant: causal attention + left-padded '
@@ -63,7 +67,8 @@ def main():
     ptrandom.seed(0)
     config = Trainer.get_config({
         'model': {
-            'factory': ConformerCTC,
+            'factory': (TransducerASR if args.model == 'transducer'
+                        else ConformerCTC),
             'vocab_size': args.vocab_size,
             'd_model': args.d_model,
             'num_layers': args.num_layers,

@@ -129,6 +129,54 @@ def test_decode_bookkeeping():
         assert all(1 <= tok <= 10 for tok in r['reference'])
 
 
+def _tiny_transducer(**updates):
+    from padertorch_tpu.contrib.examples.speech_recognition.ctc.model \
+        import TransducerASR
+    ptrandom.seed(0)
+    return TransducerASR.from_config(TransducerASR.get_config({
+        'vocab_size': 10, 'd_model': 32, 'num_layers': 1,
+        'num_heads': 2, 'kernel_size': 7, 'subsample_channels': 8,
+        'pred_hidden': 16, 'joint_dim': 16,
+        **updates,
+    }))
+
+
+def test_transducer_forward_review_and_gradients():
+    model = _tiny_transducer()
+    batch = _batch()
+    out = model.eval()(batch)
+    b, t, u1, v = out['logits'].shape
+    assert b == 4 and v == 11
+    assert u1 == batch['labels'].shape[1] + 1
+
+    from padertorch_tpu.module import partition, combine
+    params, static = partition(model)
+
+    def loss_fn(p):
+        m = combine(p, static)
+        with ptrandom.key_context(jax.random.PRNGKey(0)):
+            return m.review(batch, m(batch))['loss']
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert leaves and all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # the prediction network must receive gradient (lattice label moves)
+    emb_grad = np.asarray(jax.tree_util.tree_leaves(
+        grads.embed)[0]) if hasattr(grads, 'embed') else None
+    assert emb_grad is None or np.abs(emb_grad).max() > 0
+
+
+def test_transducer_decode_bookkeeping():
+    model = _tiny_transducer().eval()
+    batch = _batch(batch_size=2)
+    results = model.decode(batch)
+    assert set(results) == set(batch['example_id'])
+    for r in results.values():
+        assert r['num_tokens'] == len(r['reference'])
+        assert all(tok != 0 for tok in r['hypothesis'])
+
+
 def _run(module, *args, timeout=560):
     env = {
         **os.environ,
@@ -163,3 +211,19 @@ def test_ctc_asr_train_then_evaluate(tmp_path):
     transcriptions = json.loads(
         (storage_dir / 'eval' / 'transcriptions.json').read_text())
     assert len(transcriptions) == 8
+
+
+@pytest.mark.slow
+def test_transducer_asr_train_then_evaluate(tmp_path):
+    pkg = 'padertorch_tpu.contrib.examples.speech_recognition.ctc'
+    _run(f'{pkg}.train',
+         '--storage_root', str(tmp_path), '--synthetic',
+         '--model', 'transducer',
+         '--epochs', '2', '--batch_size', '4', '--num_examples', '24',
+         '--d_model', '32', '--num_layers', '1', '--num_heads', '2')
+    storage_dir = tmp_path / 'ctc_asr' / '1'
+    _run(f'{pkg}.evaluate',
+         '--model_path', str(storage_dir), '--synthetic',
+         '--num_examples', '4', '--batch_size', '4')
+    means = json.loads((storage_dir / 'eval' / 'means.json').read_text())
+    assert means['num_examples'] == 4 and 0.0 <= means['ser'] <= 1.0
