@@ -21,7 +21,7 @@ from padertorch_tpu import nn
 from padertorch_tpu import data
 from padertorch_tpu import train
 from padertorch_tpu.train import (
-    Trainer, Optimizer, Adam, AdamW, SGD, Adadelta, Adafactor, Lion,
+    Trainer, Optimizer, Adam, AdamW, SGD, Adadelta, Adafactor, Lion, Muon,
 )
 from padertorch_tpu import modules
 from padertorch_tpu import migrate

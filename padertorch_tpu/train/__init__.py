@@ -4,7 +4,7 @@ from padertorch_tpu.train import hooks
 from padertorch_tpu.train.trainer import Trainer, ContextTimerDict
 from padertorch_tpu.train.precision import Precision
 from padertorch_tpu.train.optimizer import (
-    Optimizer, Adam, AdamW, SGD, Adadelta, Adafactor, Lion,
+    Optimizer, Adam, AdamW, SGD, Adadelta, Adafactor, Lion, Muon,
 )
 from padertorch_tpu.train.hooks import (
     SummaryHook, CheckpointHook, ValidationHook, BackOffValidationHook,

@@ -19,7 +19,8 @@ import optax
 from padertorch_tpu.configurable import Configurable
 from padertorch_tpu import module as ptmodule
 
-__all__ = ['Optimizer', 'Adam', 'AdamW', 'SGD', 'Adadelta']
+__all__ = ['Optimizer', 'Adam', 'AdamW', 'SGD', 'Adadelta',
+           'Adafactor', 'Lion', 'Muon']
 
 
 def _scale_by_amsgrad_torch(b1=0.9, b2=0.999, eps=1e-8):
@@ -360,6 +361,66 @@ class Adafactor(Optimizer):
             weight_decay_rate=self.weight_decay or None,
             eps=self.eps,
             factored=self.factored,
+        )
+
+
+class Muon(Optimizer):
+    """Momentum orthogonalized by Newton-Schulz (Jordan 2024).
+
+    A TPU-natural optimizer: the whole update is five quintic
+    Newton-Schulz iterations — pure (m, n) x (n, m) matmuls that run on
+    the MXU — applied to the momentum of every 2-D weight, yielding an
+    approximately orthogonal update direction (steepest descent under
+    the spectral norm).  Non-2-D parameters (biases, norm scales,
+    embeddings) fall back to AdamW inside the same transformation.
+
+    Beyond the reference's optimizer set (``padertorch/train/
+    optimizer.py`` stops at Adam/SGD/Adadelta); exposed through the
+    same clipping/state_dict/hyperparam-injection wrapper, so lr
+    scheduling, annealing hooks, and checkpoint resume work unchanged.
+    Verified against an independent numpy re-execution of the update
+    math in ``tests/test_train/test_muon.py``.
+
+    Note on learning rates: Muon updates have roughly unit RMS per
+    element (orthogonal matrices scaled by sqrt(max(1, n_out/n_in))),
+    so good lrs are much smaller than Adam's for the same model; the
+    0.02 default follows the modded-nanogpt recipe.
+    """
+
+    def __init__(
+            self,
+            gradient_clipping=1e10,
+            lr=2e-2,
+            beta=0.95,
+            ns_steps=5,
+            nesterov=True,
+            weight_decay=0,
+            eps=1e-8,
+            adam_betas=(0.9, 0.999),
+            adam_weight_decay=0,
+    ):
+        super().__init__(gradient_clipping, learning_rate=lr)
+        self.beta = beta
+        self.ns_steps = ns_steps
+        self.nesterov = nesterov
+        self.weight_decay = weight_decay
+        self.eps = eps
+        self.adam_betas = tuple(adam_betas)
+        self.adam_weight_decay = adam_weight_decay
+
+    def _make_optax(self, learning_rate):
+        import optax.contrib
+        b1, b2 = self.adam_betas
+        return optax.contrib.muon(
+            learning_rate,
+            ns_steps=self.ns_steps,
+            beta=self.beta,
+            eps=self.eps,
+            weight_decay=self.weight_decay,
+            nesterov=self.nesterov,
+            adam_b1=b1,
+            adam_b2=b2,
+            adam_weight_decay=self.adam_weight_decay,
         )
 
 
