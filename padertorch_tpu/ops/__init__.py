@@ -20,4 +20,6 @@ from padertorch_tpu.ops.losses import (
     source_aggregated_sdr_loss, deep_clustering_loss, pit_loss,
     compute_pairwise_losses, pit_loss_from_loss_matrix,
     softmax_cross_entropy, gaussian_kl_divergence,
+    spectral_convergence_loss, log_stft_magnitude_loss,
+    stft_magnitude_loss, multi_resolution_stft_loss,
 )

@@ -137,6 +137,7 @@ class Trainer(Configurable):
             storage_dir,
             optimizer,
             loss_weights=None,
+            adversarial=False,
             summary_trigger=(1, 'epoch'),
             checkpoint_trigger=(1, 'epoch'),
             stop_trigger=(1, 'epoch'),
@@ -156,6 +157,13 @@ class Trainer(Configurable):
             )
         self.model = model
 
+        self.adversarial = bool(adversarial)
+        if self.adversarial and not isinstance(optimizer, dict):
+            raise TypeError(
+                'adversarial=True requires a dict of optimizers keyed by '
+                'submodule name (e.g. {"generator": ..., '
+                '"discriminator": ...}), got ' + repr(type(optimizer))
+            )
         if isinstance(optimizer, dict):
             # Per-submodule optimizers: keys must name direct submodules.
             optimizer = {
@@ -225,14 +233,24 @@ class Trainer(Configurable):
     # ------------------------------------------------------------------ #
     def _loss_and_review(self, model, example, loss_weights):
         """forward + review + loss weighting (traced)."""
+        loss, _, model_out, review = self._losses_and_review(
+            model, example, loss_weights)
+        return loss, model_out, review
+
+    def _losses_and_review(self, model, example, loss_weights):
+        """Like :meth:`_loss_and_review` but also returns the dict of
+        *weighted* per-key losses (``None`` for single-loss reviews) —
+        the adversarial step differentiates each key separately."""
         model_out = model(example)
         review = dict(model.review(example, model_out))
         review.setdefault('scalars', {})
         review['scalars'] = dict(review['scalars'])
+        weighted = None
         if 'losses' in review:
             assert 'loss' not in review, review
             losses = review.pop('losses')
-            if len(losses) != 1 and loss_weights is None:
+            if (len(losses) != 1 and loss_weights is None
+                    and not self.adversarial):
                 raise Exception(
                     'You can not have multiple losses without specifying '
                     f'loss_weights. losses: {losses}'
@@ -245,10 +263,12 @@ class Trainer(Configurable):
                     f'loss_weights: {loss_weights}'
                 )
             loss = 0.0
+            weighted = {}
             for key, value in losses.items():
                 weight = (loss_weights[key]
                           if loss_weights is not None else 1.0)
                 loss = loss + weight * value
+                weighted[key] = weight * value
                 review['scalars'][key] = value
                 review['scalars'][f'{key}_loss_weight'] = jnp.asarray(
                     weight, dtype=jnp.float32)
@@ -257,9 +277,72 @@ class Trainer(Configurable):
             loss = review.pop('loss')
         assert jnp.ndim(loss) == 0, loss
         review['scalars']['loss'] = loss
-        return loss, model_out, review
+        return loss, weighted, model_out, review
+
+    def _make_adversarial_grad_fn(self):
+        """Per-optimizer-key objectives (GAN-style training).
+
+        The review must return ``losses`` with exactly the optimizer
+        dict's keys.  For each key ``k`` the step takes the gradient of
+        ``loss_weights[k] * losses[k]`` with respect to the parameters
+        of submodule ``k`` only — so e.g. the discriminator never
+        receives the generator's adversarial gradient and no manual
+        ``stop_gradient`` bookkeeping is needed in the model.  All
+        objectives are differentiated inside ONE jitted step (XLA
+        dedupes the shared forward work); each pass replays the same
+        PRNG stream so both objectives see identical noise/dropout.
+        """
+        prec = self.precision
+        opt_keys = tuple(self.optimizer.keys())
+
+        def grad_fn(params, static, example, key, loss_weights):
+            if prec is not None and prec.cast_examples:
+                example = prec.cast_floating(example)
+            fwd_static = (prec.cast_floating(static)
+                          if prec is not None and prec.cast_buffers
+                          else static)
+
+            def make_loss_fn(k):
+                def loss_fn(p_k):
+                    p = ptmodule._clone_with(params, {k: p_k})
+                    if prec is not None:
+                        p = prec.cast_floating(p)
+                    model = combine(p, fwd_static)
+                    # fresh context per pass -> identical draws
+                    with ptrandom.key_context(key):
+                        loss, weighted, model_out, review = \
+                            self._losses_and_review(
+                                model, example, loss_weights)
+                    if weighted is None or set(weighted) != set(opt_keys):
+                        raise Exception(
+                            'adversarial=True requires review["losses"] '
+                            'keyed exactly like the optimizer dict.\n'
+                            f'optimizer keys: {sorted(opt_keys)}\n'
+                            'losses keys: '
+                            f'{sorted(weighted or {})}'
+                        )
+                    loss_k = weighted[k]
+                    if prec is not None:
+                        loss_k = jnp.asarray(loss_k, jnp.float32)
+                    return loss_k, (loss, model_out, review, model)
+                return loss_fn
+
+            grads = {}
+            aux = None
+            for k in opt_keys:
+                (_, aux), g_k = jax.value_and_grad(
+                    make_loss_fn(k), has_aux=True)(getattr(params, k))
+                grads[k] = g_k
+            loss, model_out, review, model2 = aux
+            _, new_static = partition(model2)  # buffers updated in forward
+            if prec is not None and prec.cast_buffers:
+                new_static = prec.restore_dtypes(new_static, static)
+            return loss, model_out, review, grads, new_static
+        return grad_fn
 
     def _make_grad_fn(self):
+        if self.adversarial:
+            return self._make_adversarial_grad_fn()
         prec = self.precision
 
         def grad_fn(params, static, example, key, loss_weights):
@@ -298,7 +381,10 @@ class Trainer(Configurable):
             norms = {}
             for key, opt in self.optimizer.items():
                 p_k = getattr(params, key)
-                g_k = getattr(grads, key)
+                # adversarial grad_fn returns a plain {key: grads} dict;
+                # the joint-loss path returns a module-shaped pytree
+                g_k = (grads[key] if isinstance(grads, dict)
+                       else getattr(grads, key))
                 np_k, ns_k, norm = opt.step(p_k, g_k, opt_states[key])
                 overrides[key] = np_k
                 new_states[key] = ns_k

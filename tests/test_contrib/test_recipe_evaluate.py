@@ -119,3 +119,19 @@ def test_distance_estimator_train_then_evaluate(tmp_path):
     summary = result['summary']
     assert summary['num_examples'] == 32
     assert summary['pseudo_accuracy'] >= summary['accuracy']
+
+
+@pytest.mark.slow
+def test_gan_vocoder_train_then_evaluate(tmp_path):
+    _run(f'{PKG}.audio_synthesis.gan_vocoder.train',
+         '--storage_root', str(tmp_path), '--synthetic',
+         '--epochs', '1', '--small', '--batch_size', '2')
+    storage_dir = tmp_path / 'gan_vocoder' / '1'
+    out = _run(f'{PKG}.audio_synthesis.gan_vocoder.evaluate',
+               '--model_path', str(storage_dir), '--synthetic',
+               '--num_synthetic_examples', '2',
+               '--synthetic_samples', '2000')
+    means = json.loads((storage_dir / 'eval' / 'means.json').read_text())
+    assert 'stft_loss' in means and means['num_examples'] == 2, (means, out)
+    assert (storage_dir / 'eval' / 'stft_loss.json').exists()
+    assert list((storage_dir / 'eval' / 'audio').glob('*.wav'))
