@@ -45,6 +45,8 @@ __all__ = [
     'config_to_instance',
     'fix_doctext_import_class',
     'NestedChainMap',
+    'resolve_main_python_path',
+    'get_module_name_from_file',
 ]
 
 
@@ -80,6 +82,25 @@ def resolve_main_python_path() -> str:
         name = spec.name
         return name[:-len('.__main__')] if name.endswith('.__main__') else name
     return '__main__'
+
+
+def get_module_name_from_file(file):
+    """Importable module path of a source file, by walking up while
+    ``__init__.py`` exists (reference: ``configurable.py:944``).
+
+    >>> get_module_name_from_file(__file__)
+    'padertorch_tpu.configurable'
+    """
+    import os
+    file = os.path.normcase(os.path.abspath(file))
+    file, module_path = os.path.split(file)
+    module_path = os.path.splitext(module_path)[0]
+    while file:
+        if not os.path.isfile(os.path.join(file, '__init__.py')):
+            break
+        file, part = os.path.split(file)
+        module_path = part + '.' + module_path
+    return module_path if '.' in module_path else '__main__'
 
 
 def class_to_str(cls) -> str:

@@ -34,6 +34,7 @@ __all__ = [
     'ProgressBarHook',
     'JaxProfilerHook',
     'EnergyEstimateHook',
+    'EmissionsTrackerHook',
     'StopTrainingHook',
     'StopTraining',
     'AnnealingHook',
@@ -1117,3 +1118,8 @@ class EMAHook(Hook):
             self.ema_params = jax.tree_util.tree_unflatten(
                 treedef, [jnp.asarray(l) for l in leaves])
             self._loaded_leaves = None
+
+
+#: reference name for :class:`EnergyEstimateHook` (there
+#: ``EmissionsTrackerHook``, ``train/hooks.py:893``)
+EmissionsTrackerHook = EnergyEstimateHook
