@@ -29,6 +29,8 @@ def main():
     parser.add_argument('--batch_size', type=int, default=8)
     parser.add_argument('--num_examples', type=int, default=None)
     parser.add_argument('--checkpoint', default='ckpt_best_loss.ptt')
+    parser.add_argument('--beam_width', type=int, default=None,
+                        help='beam search width (default: greedy)')
     args = parser.parse_args()
 
     model_path = Path(args.model_path)
@@ -54,7 +56,7 @@ def main():
 
     results = {}
     for batch in split_managed(dataset, progress_bar=True):
-        results.update(model.decode(batch))
+        results.update(model.decode(batch, beam_width=args.beam_width))
 
     merged = gather_merged(results)
     if is_master():

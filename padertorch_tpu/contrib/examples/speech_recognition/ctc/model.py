@@ -176,13 +176,24 @@ class ConformerCTC(Model):
             },
         }
 
-    def decode(self, batch):
-        """Greedy transcriptions + token error rates for a batch."""
+    def decode(self, batch, beam_width=None, lm_fn=None, lm_weight=0.0):
+        """Transcriptions + token error rates for a batch.
+
+        ``beam_width=None`` -> greedy best-path; otherwise prefix beam
+        search (sums over alignments, optional LM shallow fusion via
+        ``lm_fn(prefix, token) -> logp``)."""
         outputs = self(batch)
-        hyps = ctc_greedy_decode(
-            np.asarray(outputs['logits']),
-            np.asarray(outputs['logit_lengths']),
-            blank=self.blank)
+        logits = np.asarray(outputs['logits'])
+        logit_lengths = np.asarray(outputs['logit_lengths'])
+        if beam_width is None:
+            hyps = ctc_greedy_decode(
+                logits, logit_lengths, blank=self.blank)
+        else:
+            from padertorch_tpu.ops.losses.ctc import \
+                ctc_beam_search_decode
+            hyps = ctc_beam_search_decode(
+                logits, logit_lengths, blank=self.blank,
+                beam_width=beam_width, lm_fn=lm_fn, lm_weight=lm_weight)
         return _decode_results(batch, hyps)
 
 
@@ -263,15 +274,36 @@ class TransducerASR(Model):
             'scalars': {'per_utt_nll': jnp.mean(nll)},
         }
 
-    def decode(self, batch, max_symbols_per_frame=4):
-        """Greedy frame-synchronous transducer decoding (host loop over
+    def decode(self, batch, max_symbols_per_frame=4, beam_width=None):
+        """Frame-synchronous transducer decoding (host loop over
         frames; the prediction network is re-run on the emitted prefix —
-        prefix lengths are few and small, so each shape compiles once)."""
+        prefix lengths are few and small, so each shape compiles once).
+
+        ``beam_width=None`` -> greedy; otherwise depth-synchronous beam
+        search (:func:`padertorch_tpu.ops.losses.rnnt.rnnt_beam_search`).
+        """
         model = self.eval()
         enc, seq_len = model.acoustic(
             batch['stft'], seq_len=batch.get('seq_len'))
         enc = np.asarray(enc)
         seq_len = np.asarray(seq_len)
+        if beam_width is not None:
+            from padertorch_tpu.ops.losses.rnnt import rnnt_beam_search
+
+            def joint_fn(frame, prefix):
+                history = jnp.asarray(
+                    [[model.blank] + list(prefix)], dtype='int32')
+                pred = model._predict(history)[:, -1:, :]
+                scores = model._joint(
+                    jnp.asarray(frame, dtype=enc.dtype)[None, None],
+                    pred)
+                return np.asarray(scores).ravel()
+
+            hyps = rnnt_beam_search(
+                joint_fn, enc, logit_lengths=seq_len, blank=model.blank,
+                beam_width=beam_width,
+                max_symbols_per_frame=max_symbols_per_frame)
+            return _decode_results(batch, hyps)
         hyps = []
         for i in range(enc.shape[0]):
             seq = []

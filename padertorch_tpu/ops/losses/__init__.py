@@ -11,9 +11,12 @@ from padertorch_tpu.ops.losses.classification import (
 )
 from padertorch_tpu.ops.losses.kl_divergence import gaussian_kl_divergence
 from padertorch_tpu.ops.losses.ctc import (
-    ctc_loss, ctc_greedy_decode, edit_distance,
+    ctc_loss, ctc_greedy_decode, ctc_beam_search_decode,
+    edit_distance,
 )
-from padertorch_tpu.ops.losses.rnnt import rnnt_loss, rnnt_greedy_decode
+from padertorch_tpu.ops.losses.rnnt import (
+    rnnt_loss, rnnt_greedy_decode, rnnt_beam_search,
+)
 from padertorch_tpu.ops.losses.stft import (
     spectral_convergence_loss, log_stft_magnitude_loss,
     stft_magnitude_loss, multi_resolution_stft_loss,

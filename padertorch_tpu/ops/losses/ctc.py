@@ -12,7 +12,8 @@ import numpy as np
 import jax.numpy as jnp
 import optax
 
-__all__ = ['ctc_loss', 'ctc_greedy_decode', 'edit_distance']
+__all__ = ['ctc_loss', 'ctc_greedy_decode',
+           'ctc_beam_search_decode', 'edit_distance']
 
 
 def ctc_loss(logits, logit_lengths, labels, label_lengths, blank=0):
@@ -103,3 +104,121 @@ def edit_distance(reference, hypothesis):
             )
             prev_diag, d[j] = d[j], cur
     return int(d[-1])
+
+
+def ctc_beam_search_decode(
+        logits, logit_lengths=None, blank=0, beam_width=16,
+        lm_fn=None, lm_weight=0.0, prune_log_threshold=-12.0,
+):
+    """CTC prefix beam search (Hannun et al. 2014).  Host-side (numpy).
+
+    Sums the posterior over ALL alignments of each label prefix (the
+    thing greedy best-path decoding gets wrong) by tracking per-prefix
+    blank/non-blank ending probabilities in log space, with optional
+    shallow fusion of an external language model.
+
+    Args:
+        logits: (B, T, V) unnormalized scores.
+        logit_lengths: (B,) valid frames.
+        blank: blank id.
+        beam_width: number of prefixes kept per frame.
+        lm_fn: optional ``lm_fn(prefix_tuple, next_token) -> logp`` —
+            conditional LM log-probability used when a prefix is
+            EXTENDED by ``next_token`` (shallow fusion).
+        lm_weight: weight of the LM term in the beam score.
+        prune_log_threshold: per-frame emission pruning — tokens with
+            log-posterior below ``max - |threshold|`` are skipped
+            (speed; set to ``None`` to disable).
+
+    Returns:
+        list of B label-id lists (the best prefix per example).
+
+    >>> import numpy as np
+    >>> logits = np.zeros((1, 5, 3))
+    >>> logits[0, np.arange(5), [1, 1, 0, 2, 2]] = 5.0
+    >>> ctc_beam_search_decode(logits, beam_width=4)
+    [[1, 2]]
+    """
+    logits = np.asarray(logits, dtype=np.float64)
+    assert logits.ndim == 3, logits.shape
+    log_probs = logits - _logsumexp(logits, axis=-1, keepdims=True)
+    b, t_max, vocab = log_probs.shape
+    neg_inf = -np.inf
+
+    def lse(a, bb):
+        if a == neg_inf:
+            return bb
+        if bb == neg_inf:
+            return a
+        m = max(a, bb)
+        return m + np.log(np.exp(a - m) + np.exp(bb - m))
+
+    out = []
+    for i in range(b):
+        t_len = int(logit_lengths[i]) if logit_lengths is not None \
+            else t_max
+        # prefix -> [log P(prefix, ends in blank), log P(..., non-blank)]
+        beams = {(): [0.0, neg_inf]}
+        lm_scores = {(): 0.0}  # accumulated LM log-prob per prefix
+        for t in range(t_len):
+            frame = log_probs[i, t]
+            if prune_log_threshold is not None:
+                keep = np.flatnonzero(
+                    frame >= frame.max() - abs(prune_log_threshold))
+            else:
+                keep = np.arange(vocab)
+            nxt = {}
+            nxt_lm = {}
+
+            def _get(prefix):
+                if prefix not in nxt:
+                    nxt[prefix] = [neg_inf, neg_inf]
+                return nxt[prefix]
+
+            for prefix, (pb, pnb) in beams.items():
+                p_tot = lse(pb, pnb)
+                for k in keep:
+                    k = int(k)
+                    pk = frame[k]
+                    if k == blank:
+                        cell = _get(prefix)
+                        cell[0] = lse(cell[0], p_tot + pk)
+                        nxt_lm.setdefault(prefix, lm_scores[prefix])
+                    elif prefix and k == prefix[-1]:
+                        # repeat: collapses unless a blank separated it
+                        cell = _get(prefix)
+                        cell[1] = lse(cell[1], pnb + pk)
+                        nxt_lm.setdefault(prefix, lm_scores[prefix])
+                        ext = prefix + (k,)
+                        cell = _get(ext)
+                        cell[1] = lse(cell[1], pb + pk)
+                        if ext not in nxt_lm:
+                            nxt_lm[ext] = lm_scores[prefix] + (
+                                float(lm_fn(prefix, k)) if lm_fn else 0.0)
+                    else:
+                        ext = prefix + (k,)
+                        cell = _get(ext)
+                        cell[1] = lse(cell[1], p_tot + pk)
+                        if ext not in nxt_lm:
+                            nxt_lm[ext] = lm_scores[prefix] + (
+                                float(lm_fn(prefix, k)) if lm_fn else 0.0)
+
+            def score(item):
+                prefix, (pb, pnb) = item
+                return lse(pb, pnb) + lm_weight * nxt_lm[prefix]
+
+            ranked = sorted(nxt.items(), key=score, reverse=True)
+            beams = dict(ranked[:beam_width])
+            lm_scores = {p: nxt_lm[p] for p in beams}
+        best = max(
+            beams.items(),
+            key=lambda kv: lse(kv[1][0], kv[1][1])
+            + lm_weight * lm_scores[kv[0]])
+        out.append(list(best[0]))
+    return out
+
+
+def _logsumexp(x, axis=None, keepdims=False):
+    m = np.max(x, axis=axis, keepdims=True)
+    s = m + np.log(np.sum(np.exp(x - m), axis=axis, keepdims=True))
+    return s if keepdims else np.squeeze(s, axis=axis)

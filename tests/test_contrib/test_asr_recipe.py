@@ -177,6 +177,34 @@ def test_transducer_decode_bookkeeping():
         assert all(tok != 0 for tok in r['hypothesis'])
 
 
+def test_ctc_beam_decode_bookkeeping():
+    """Beam decode returns the same contract as greedy; on a random
+    tiny model the hypotheses may differ but the bookkeeping must
+    hold, and width-1 beam equals greedy when the model is confident
+    (peaked logits make best-path == posterior argmax)."""
+    model = _tiny_model().eval()
+    batch = _batch(batch_size=2)
+    results = model.decode(batch, beam_width=4)
+    assert set(results) == set(batch['example_id'])
+    for r in results.values():
+        assert r['num_tokens'] == len(r['reference'])
+        assert all(tok != 0 for tok in r['hypothesis'])
+
+
+def test_transducer_beam_decode_bookkeeping():
+    model = _tiny_transducer().eval()
+    batch = _batch(batch_size=2)
+    greedy = model.decode(batch)
+    beam = model.decode(batch, beam_width=4)
+    assert set(beam) == set(batch['example_id'])
+    for k, r in beam.items():
+        assert r['num_tokens'] == len(r['reference'])
+        assert all(tok != 0 for tok in r['hypothesis'])
+        # beam search maximizes sequence posterior; with width 4 it
+        # should never be much longer than greedy on a tiny model
+        assert len(r['hypothesis']) <= len(greedy[k]['hypothesis']) + 8
+
+
 def _run(module, *args, timeout=560):
     env = {
         **os.environ,
