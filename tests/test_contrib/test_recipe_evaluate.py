@@ -8,6 +8,8 @@ contract (train.py + evaluate.py, SURVEY.md section 2.6).
 """
 import json
 import os
+
+import numpy as np
 import subprocess
 import sys
 from pathlib import Path
@@ -135,3 +137,19 @@ def test_gan_vocoder_train_then_evaluate(tmp_path):
     assert 'stft_loss' in means and means['num_examples'] == 2, (means, out)
     assert (storage_dir / 'eval' / 'stft_loss.json').exists()
     assert list((storage_dir / 'eval' / 'audio').glob('*.wav'))
+
+
+@pytest.mark.slow
+def test_fastspeech_train_then_evaluate(tmp_path):
+    _run(f'{PKG}.audio_synthesis.fastspeech.train',
+         '--storage_root', str(tmp_path), '--synthetic',
+         '--epochs', '2', '--d_model', '32', '--num_layers', '1',
+         '--num_examples', '16', '--batch_size', '4')
+    storage_dir = tmp_path / 'fastspeech' / '1'
+    out = _run(f'{PKG}.audio_synthesis.fastspeech.evaluate',
+               '--model_path', str(storage_dir), '--synthetic',
+               '--num_examples', '4')
+    means = json.loads((storage_dir / 'eval' / 'means.json').read_text())
+    assert means['num_examples'] == 4, (means, out)
+    for key in ('mel_l1', 'mel_rmse', 'duration_mae'):
+        assert np.isfinite(means[key]), means
