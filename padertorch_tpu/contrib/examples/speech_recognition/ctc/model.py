@@ -289,20 +289,41 @@ class TransducerASR(Model):
         seq_len = np.asarray(seq_len)
         if beam_width is not None:
             from padertorch_tpu.ops.losses.rnnt import rnnt_beam_search
+            import jax
 
-            def joint_fn(frame, prefix):
-                history = jnp.asarray(
-                    [[model.blank] + list(prefix)], dtype='int32')
-                pred = model._predict(history)[:, -1:, :]
-                scores = model._joint(
-                    jnp.asarray(frame, dtype=enc.dtype)[None, None],
-                    pred)
-                return np.asarray(scores).ravel()
+            @jax.jit
+            def _score_level(frame, history, last_idx):
+                # history: (K, L+1) blank-started padded prefixes
+                pred = model._predict(history)  # (K, L+1, H)
+                last = jnp.take_along_axis(
+                    pred, last_idx[:, None, None], axis=1)  # (K, 1, H)
+                k = history.shape[0]
+                e = jnp.broadcast_to(
+                    frame[None, None, :], (k, 1, frame.shape[-1]))
+                return model._joint(e, last)[:, 0, 0, :]  # (K, V+1)
+
+            def _bucket(n, multiple):
+                return -(-max(n, 1) // multiple) * multiple
+
+            def joint_batch_fn(frame, prefixes):
+                # bucket (K, L) to bound recompiles to a handful
+                k_pad = _bucket(len(prefixes), 8)
+                l_pad = _bucket(max(len(p) for p in prefixes) + 1, 8)
+                history = np.full((k_pad, l_pad), model.blank, 'int32')
+                last_idx = np.zeros((k_pad,), 'int32')
+                for j, p in enumerate(prefixes):
+                    history[j, 1:1 + len(p)] = p
+                    last_idx[j] = len(p)
+                scores = _score_level(
+                    jnp.asarray(frame, dtype=enc.dtype),
+                    jnp.asarray(history), jnp.asarray(last_idx))
+                return np.asarray(scores)[:len(prefixes)]
 
             hyps = rnnt_beam_search(
-                joint_fn, enc, logit_lengths=seq_len, blank=model.blank,
+                None, enc, logit_lengths=seq_len, blank=model.blank,
                 beam_width=beam_width,
-                max_symbols_per_frame=max_symbols_per_frame)
+                max_symbols_per_frame=max_symbols_per_frame,
+                joint_batch_fn=joint_batch_fn)
             return _decode_results(batch, hyps)
         hyps = []
         for i in range(enc.shape[0]):

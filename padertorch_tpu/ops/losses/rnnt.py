@@ -161,7 +161,8 @@ def rnnt_greedy_decode(joint_fn, encoder_out, logit_lengths=None,
 
 
 def rnnt_beam_search(joint_fn, encoder_out, logit_lengths=None,
-                     blank=0, beam_width=8, max_symbols_per_frame=4):
+                     blank=0, beam_width=8, max_symbols_per_frame=4,
+                     joint_batch_fn=None):
     """Transducer beam search, depth-synchronous per frame.
 
     Within each frame, hypotheses are expanded breadth-first by the
@@ -187,6 +188,11 @@ def rnnt_beam_search(joint_fn, encoder_out, logit_lengths=None,
         blank: blank id.
         beam_width: hypotheses kept per expansion level and per frame.
         max_symbols_per_frame: cap on labels emitted per frame.
+        joint_batch_fn: optional ``(frame, [prefix, ...]) -> (K, V)``
+            batched scorer — scores ALL hypotheses of an expansion
+            level in ONE call (one TPU dispatch per level instead of
+            per hypothesis; the depth-synchronous structure exists for
+            exactly this).
 
     Returns:
         list of B label-id lists.
@@ -221,11 +227,25 @@ def rnnt_beam_search(joint_fn, encoder_out, logit_lengths=None,
                         m + np.log(np.exp(scores - m).sum()))
                 return lp_cache[prefix]
 
+            def fill_cache_batched(prefixes):
+                missing = [p for p in prefixes if p not in lp_cache]
+                if not missing:
+                    return
+                scores = np.asarray(
+                    joint_batch_fn(frame, missing), dtype=np.float64)
+                m = scores.max(-1, keepdims=True)
+                lps = scores - (m + np.log(
+                    np.exp(scores - m).sum(-1, keepdims=True)))
+                for p, lp in zip(missing, lps):
+                    lp_cache[p] = lp
+
             done = {}
             level = hyps
             for depth in range(max_symbols_per_frame + 1):
                 if not level:
                     break
+                if joint_batch_fn is not None:
+                    fill_cache_batched(list(level))
                 nxt = {}
                 for y, p in level.items():
                     lp = log_probs(y)

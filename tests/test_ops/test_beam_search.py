@@ -182,3 +182,26 @@ def test_rnnt_beam_search_ragged_batch():
     assert len(out) == 2
     alone = rnnt_beam_search(joint_fn, enc[1:2, :2], beam_width=8)[0]
     assert out[1] == alone
+
+
+@pytest.mark.parametrize('seed', range(3))
+def test_rnnt_beam_search_batched_scorer_equivalent(seed):
+    """joint_batch_fn (one call per expansion level) must reproduce the
+    per-hypothesis path exactly."""
+    rng = np.random.RandomState(200 + seed)
+    enc = rng.randn(1, 3, 4) * 1.5
+    joint_fn = _make_joint(seed)
+
+    calls = {'batched': 0}
+
+    def joint_batch_fn(frame, prefixes):
+        calls['batched'] += 1
+        return np.stack([joint_fn(frame, list(p)) for p in prefixes])
+
+    ref = rnnt_beam_search(joint_fn, enc, beam_width=16,
+                           max_symbols_per_frame=3)[0]
+    got = rnnt_beam_search(None, enc, beam_width=16,
+                           max_symbols_per_frame=3,
+                           joint_batch_fn=joint_batch_fn)[0]
+    assert got == ref
+    assert calls['batched'] > 0
