@@ -24,15 +24,33 @@ VOCAB_SIZE = 10  # token ids 1..VOCAB_SIZE; 0 is the CTC blank
 
 def synthetic_database(num_examples=96, vocab_size=VOCAB_SIZE,
                        min_tokens=3, max_tokens=8, seed=0,
-                       noise_level=0.05):
-    """Tone-sequence utterances with token-id transcriptions."""
+                       noise_level=0.05, markov=0.0):
+    """Tone-sequence utterances with token-id transcriptions.
+
+    ``markov`` > 0 draws each next token as ``prev + 1`` (wrapping)
+    with that probability instead of uniformly — structured
+    transcripts that an n-gram LM can exploit (shallow fusion demo,
+    ``evaluate.py --lm_order``).
+    """
     rng = np.random.RandomState(seed)
     # token v -> tone at 200 + 170*v Hz (well below Nyquist = 4 kHz)
     freqs = 200.0 + 170.0 * np.arange(1, vocab_size + 1)
+
+    def draw_labels(n):
+        if markov <= 0:
+            return rng.randint(1, vocab_size + 1, n)
+        labels = [int(rng.randint(1, vocab_size + 1))]
+        for _ in range(n - 1):
+            if rng.rand() < markov:
+                labels.append(labels[-1] % vocab_size + 1)
+            else:
+                labels.append(int(rng.randint(1, vocab_size + 1)))
+        return np.asarray(labels)
+
     examples = {}
     for i in range(num_examples):
         n_tokens = int(rng.randint(min_tokens, max_tokens + 1))
-        labels = rng.randint(1, vocab_size + 1, n_tokens)
+        labels = draw_labels(n_tokens)
         pieces = [np.zeros(rng.randint(100, 300), dtype='float32')]
         for v in labels:
             dur = int(rng.randint(900, 1500))

@@ -31,6 +31,13 @@ def main():
     parser.add_argument('--checkpoint', default='ckpt_best_loss.ptt')
     parser.add_argument('--beam_width', type=int, default=None,
                         help='beam search width (default: greedy)')
+    parser.add_argument('--markov', type=float, default=0.0,
+                        help='must match the training --markov')
+    parser.add_argument('--lm_order', type=int, default=None,
+                        help='fit an add-k n-gram LM of this order on '
+                             'the training transcripts and fuse it '
+                             '(CTC beam search only)')
+    parser.add_argument('--lm_weight', type=float, default=0.5)
     args = parser.parse_args()
 
     model_path = Path(args.model_path)
@@ -46,17 +53,39 @@ def main():
         # held-out split: fresh seed -> unseen tone sequences
         dataset = data.synthetic_database(
             num_examples=args.num_examples or 32,
-            vocab_size=model.vocab_size, seed=1)
+            vocab_size=model.vocab_size, seed=1, markov=args.markov)
     else:
         from padertorch_tpu.data.database import JsonDatabase
         dataset = JsonDatabase(args.database).get_dataset(args.dataset)
+
+    lm_fn = None
+    if args.lm_order is not None:
+        from .model import TransducerASR
+        if isinstance(model, TransducerASR):
+            raise SystemExit('--lm_order supports the CTC head only')
+        if args.beam_width is None:
+            raise SystemExit('--lm_order requires --beam_width')
+        from padertorch_tpu.evaluation import NGramLM
+        if args.synthetic or args.database is None:
+            lm_corpus = data.synthetic_database(
+                num_examples=96, vocab_size=model.vocab_size, seed=0,
+                markov=args.markov)
+        else:
+            from padertorch_tpu.data.database import JsonDatabase
+            lm_corpus = JsonDatabase(args.database).get_dataset('train')
+        lm_fn = NGramLM(order=args.lm_order).fit(
+            [ex['labels'] for ex in lm_corpus])
     dataset = data.prepare_dataset(
         dataset, batch_size=args.batch_size, shuffle=False,
         prefetch=False)
 
     results = {}
     for batch in split_managed(dataset, progress_bar=True):
-        results.update(model.decode(batch, beam_width=args.beam_width))
+        kwargs = {}
+        if lm_fn is not None:
+            kwargs = {'lm_fn': lm_fn, 'lm_weight': args.lm_weight}
+        results.update(model.decode(
+            batch, beam_width=args.beam_width, **kwargs))
 
     merged = gather_merged(results)
     if is_master():

@@ -42,6 +42,10 @@ def main():
         '--causal', action='store_true',
         help='streaming variant: causal attention + left-padded '
              'depthwise convs (exact prefix property)')
+    parser.add_argument(
+        '--markov', type=float, default=0.0,
+        help='synthetic transcripts follow a +1 bigram chain with '
+             'this probability (enables the LM fusion demo)')
     args = parser.parse_args()
 
     if args.storage_root:
@@ -54,7 +58,7 @@ def main():
     if args.synthetic or args.database is None:
         full = data.synthetic_database(
             num_examples=max(args.num_examples, 6 * args.batch_size),
-            vocab_size=args.vocab_size)
+            vocab_size=args.vocab_size, markov=args.markov)
         n = len(full)
         train_ds = full[[i for i in range(n) if i % 5 != 0]]
         dev_ds = full[[i for i in range(n) if i % 5 == 0]]

@@ -6,3 +6,4 @@ from padertorch_tpu.evaluation.parallel import (
     split_managed, gather, gather_merged, bcast, is_master, RANK, SIZE,
 )
 from padertorch_tpu.evaluation.stoi import stoi
+from padertorch_tpu.evaluation.ngram_lm import NGramLM

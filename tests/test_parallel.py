@@ -356,3 +356,48 @@ def test_fsdp_full_training_with_checkpoints(tmp_path):
     trainer.register_validation_hook(dt)
     trainer.train(tr)
     assert (tmp_path / 'checkpoints' / 'ckpt_latest.ptt').exists()
+
+
+def test_adversarial_data_parallel_step_equals_single_device(tmp_path):
+    """GAN-style per-key objectives compose with DP sharding: the
+    sharded adversarial step computes the same per-submodule updates
+    as the unsharded one."""
+    from padertorch_tpu.train.trainer import Trainer
+    from tests.test_train.test_adversarial import LinearGAN
+
+    mesh = make_mesh()
+    dp = DataParallel(mesh)
+
+    def run(sharding):
+        ptrandom.seed(0)
+        model = LinearGAN()
+        if sharding is not None:
+            model = replicate(model, mesh)
+        trainer = Trainer(
+            model=model, storage_dir=tmp_path / 'x',
+            optimizer={
+                'generator': pt.SGD(lr=0.1),
+                'discriminator': pt.SGD(lr=0.1),
+            },
+            adversarial=True, sharding=sharding)
+        trainer.iteration = 0
+        rng = np.random.RandomState(0)
+        batch = {
+            'z': rng.randn(16).astype('float32'),
+            'x': rng.randn(16).astype('float32') + 3.0,
+        }
+        batch = trainer._example_to_device(batch)
+        params, static = partition(trainer.model)
+        step = trainer._get_fn('train', trainer._make_train_step)
+        out = step(params, static, trainer._opt_states, batch,
+                   jax.random.PRNGKey(0), None)
+        new_params = out[0]
+        return (np.asarray(out[3]),
+                np.asarray(new_params.generator.a),
+                np.asarray(new_params.discriminator.w))
+
+    loss_dp, a_dp, w_dp = run(dp)
+    loss_single, a_single, w_single = run(None)
+    np.testing.assert_allclose(loss_dp, loss_single, rtol=1e-5)
+    np.testing.assert_allclose(a_dp, a_single, rtol=1e-5)
+    np.testing.assert_allclose(w_dp, w_single, rtol=1e-5)
