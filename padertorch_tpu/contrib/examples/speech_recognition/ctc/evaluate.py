@@ -60,8 +60,7 @@ def main():
 
     lm_fn = None
     if args.lm_order is not None:
-        from .model import TransducerASR
-        if isinstance(model, TransducerASR):
+        if not isinstance(model, ConformerCTC):
             raise SystemExit('--lm_order supports the CTC head only')
         if args.beam_width is None:
             raise SystemExit('--lm_order requires --beam_width')

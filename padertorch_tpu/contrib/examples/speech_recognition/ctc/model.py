@@ -33,7 +33,8 @@ from padertorch_tpu.ops.losses.ctc import (
 )
 from padertorch_tpu.ops.losses.rnnt import rnnt_loss
 
-__all__ = ['AcousticEncoder', 'ConformerCTC', 'TransducerASR']
+__all__ = ['AcousticEncoder', 'ConformerCTC', 'TransducerASR',
+           'AttentionASR']
 
 _FRONTEND_DEFAULTS = {
     'factory': NormalizedLogMelExtractor,
@@ -340,4 +341,152 @@ class TransducerASR(Model):
                         break
                     seq.append(token)
             hyps.append(seq)
+        return _decode_results(batch, hyps)
+
+
+class AttentionASR(Model):
+    """Attention encoder-decoder (AED / LAS-style) recognizer.
+
+    The third canonical speech-recognition head next to CTC and the
+    transducer: the shared acoustic encoder feeds a KV-cache
+    transformer decoder through cross-attention.  Training is
+    teacher-forced label-smoothed cross-entropy; decoding rides the
+    framework's single-program generation loops
+    (:func:`..mk.modules.transformer.autoregressive_generate` /
+    :func:`..mk.modules.transformer.beam_search_generate`) — the whole
+    greedy or beam search compiles to ONE ``lax.scan``.
+
+    Token ids are shared with the other heads: real tokens are
+    ``1..vocab_size``.  ``0`` doubles as BOS (it is never a target)
+    and ``vocab_size + 1`` is EOS, so the output head has
+    ``vocab_size + 2`` classes.
+    """
+
+    @classmethod
+    def finalize_dogmatic_config(cls, config):
+        config['feature_extractor'] = dict(_FRONTEND_DEFAULTS)
+
+    def __init__(self, feature_extractor, vocab_size,
+                 d_model=96, num_layers=2, num_heads=4, d_ff=None,
+                 kernel_size=15, dropout=0.0, conv_norm='batch_norm',
+                 causal=False, attn_window=None, subsample_channels=32,
+                 decoder_layers=2, label_smoothing=0.1,
+                 max_decode_len=32):
+        from padertorch_tpu.contrib.mk.modules.transformer import (
+            TransformerDecoder,
+        )
+        self.acoustic = AcousticEncoder(
+            feature_extractor, d_model=d_model, num_layers=num_layers,
+            num_heads=num_heads, d_ff=d_ff, kernel_size=kernel_size,
+            dropout=dropout, conv_norm=conv_norm, causal=causal,
+            attn_window=attn_window,
+            subsample_channels=subsample_channels)
+        self.embed = nn.Embedding(vocab_size + 2, d_model)
+        self.decoder = TransformerDecoder(
+            d_model, decoder_layers, num_heads, d_ff=d_ff,
+            dropout=dropout, d_memory=d_model)
+        self.head = nn.Linear(d_model, vocab_size + 2)
+        self.vocab_size = vocab_size
+        self.bos = 0
+        self.eos = vocab_size + 1
+        self.label_smoothing = label_smoothing
+        self.max_decode_len = max_decode_len
+
+    @property
+    def feature_extractor(self):
+        return self.acoustic.feature_extractor
+
+    def forward(self, inputs):
+        enc, seq_len = self.acoustic(
+            inputs['stft'], seq_len=inputs.get('seq_len'))
+        labels = jnp.asarray(inputs['labels'])
+        # teacher forcing: decoder input = [BOS, y_1 .. y_U]; padding
+        # rows sit after every valid target, so causal self-attention
+        # of valid positions never sees them
+        history = jnp.pad(
+            labels, ((0, 0), (1, 0)), constant_values=self.bos)
+        h = self.decoder(
+            self.embed(history), enc, memory_seq_len=seq_len)
+        return {'logits': self.head(h),        # (B, U+1, V+2)
+                'encoder_lengths': seq_len}
+
+    def _targets_and_mask(self, inputs, num_positions):
+        """Shift-by-one targets with EOS appended at ``label_length``.
+
+        Returns ``(targets, mask)``: (B, U+1) int32 target ids and a
+        float mask selecting positions ``0 .. label_length`` (the EOS
+        prediction is a real target — the model must learn to stop).
+        """
+        labels = jnp.asarray(inputs['labels'])
+        label_lengths = jnp.asarray(inputs['label_lengths'])
+        positions = jnp.arange(num_positions)[None, :]
+        targets = jnp.pad(labels, ((0, 0), (0, 1)))[:, :num_positions]
+        targets = jnp.where(
+            positions == label_lengths[:, None], self.eos, targets)
+        mask = (positions <= label_lengths[:, None]).astype('float32')
+        return targets.astype('int32'), mask
+
+    def review(self, inputs, outputs):
+        logits = outputs['logits']
+        targets, mask = self._targets_and_mask(inputs, logits.shape[1])
+        logp = jax.nn.log_softmax(logits.astype('float32'), axis=-1)
+        nll = -jnp.take_along_axis(
+            logp, targets[..., None], axis=-1)[..., 0]
+        if self.label_smoothing:
+            eps = self.label_smoothing
+            # uniform smoothing over all classes (standard AED recipe)
+            nll = (1.0 - eps) * nll + eps * (-jnp.mean(logp, axis=-1))
+        # per-utterance token mean, then batch mean (matches the other
+        # heads' per-token normalization)
+        per_utt = jnp.sum(nll * mask, 1) / jnp.maximum(mask.sum(1), 1.0)
+        correct = (jnp.argmax(logits, -1) == targets).astype('float32')
+        return {
+            'loss': jnp.mean(per_utt),
+            'scalars': {
+                'teacher_forced_accuracy':
+                    jnp.sum(correct * mask) / jnp.maximum(mask.sum(), 1.0),
+            },
+        }
+
+    def decode(self, batch, beam_width=None, max_len=None,
+               length_penalty=0.0):
+        """Transcriptions + token error rates for a batch.
+
+        ``beam_width=None`` -> greedy; otherwise KV-cache beam search.
+        Both run as one compiled ``lax.scan`` over ``max_len`` steps
+        (default: the model's static ``max_decode_len``, so every batch
+        reuses one program).
+        """
+        from padertorch_tpu.contrib.mk.modules.transformer import (
+            autoregressive_generate, beam_search_generate,
+        )
+        model = self.eval()
+        if max_len is None:
+            max_len = model.max_decode_len
+        enc, seq_len = model.acoustic(
+            batch['stft'], seq_len=batch.get('seq_len'))
+        if beam_width is None:
+            tokens, lengths = autoregressive_generate(
+                model.decoder, enc, embed=model.embed,
+                logits_head=model.head, bos_id=model.bos,
+                max_len=max_len, memory_seq_len=seq_len,
+                eos_id=model.eos)
+        else:
+            tokens, _, lengths = beam_search_generate(
+                model.decoder, enc, embed=model.embed,
+                logits_head=model.head, bos_id=model.bos,
+                max_len=max_len, beam_size=beam_width,
+                eos_id=model.eos, memory_seq_len=seq_len,
+                length_penalty=length_penalty)
+            tokens, lengths = tokens[:, 0], lengths[:, 0]
+        tokens = np.asarray(tokens)
+        lengths = np.asarray(lengths)
+        hyps = []
+        for i in range(tokens.shape[0]):
+            n = int(lengths[i])
+            seq = tokens[i, :n].tolist()
+            if seq and seq[-1] == model.eos:  # strip the stop token
+                seq = seq[:-1]
+            hyps.append([t for t in seq
+                         if 1 <= t <= model.vocab_size])
         return _decode_results(batch, hyps)

@@ -18,7 +18,7 @@ from padertorch_tpu.io import dump_config
 from padertorch_tpu.train.trainer import Trainer
 
 from . import data
-from .model import ConformerCTC, TransducerASR
+from .model import AttentionASR, ConformerCTC, TransducerASR
 
 
 def main():
@@ -35,9 +35,11 @@ def main():
     parser.add_argument('--num_heads', type=int, default=4)
     parser.add_argument('--kernel_size', type=int, default=15)
     parser.add_argument(
-        '--model', choices=('ctc', 'transducer'), default='ctc',
+        '--model', choices=('ctc', 'transducer', 'aed'), default='ctc',
         help='ctc: linear head + CTC loss; transducer: LSTM prediction '
-             'network + additive joint + RNN-T loss')
+             'network + additive joint + RNN-T loss; aed: attention '
+             'encoder-decoder (teacher-forced label-smoothed CE, '
+             'KV-cache beam decoding)')
     parser.add_argument(
         '--causal', action='store_true',
         help='streaming variant: causal attention + left-padded '
@@ -71,8 +73,9 @@ def main():
     ptrandom.seed(0)
     config = Trainer.get_config({
         'model': {
-            'factory': (TransducerASR if args.model == 'transducer'
-                        else ConformerCTC),
+            'factory': {'ctc': ConformerCTC,
+                        'transducer': TransducerASR,
+                        'aed': AttentionASR}[args.model],
             'vocab_size': args.vocab_size,
             'd_model': args.d_model,
             'num_layers': args.num_layers,
