@@ -96,6 +96,47 @@ class AcousticEncoder(Module):
             seq_len = -(-seq_len // 2)
         return self.encoder(h, seq_len=seq_len), seq_len
 
+    # ---- carried-state streaming (online recognition) ---------------
+    # The causal variant's whole stack streams with O(chunk) work per
+    # call: the frontend is per-frame in eval mode (running-stat input
+    # normalization, no deltas), the two stride-2 subsample convs carry
+    # their last 2 input frames (zero-init == the causal left pad), and
+    # the encoder streams on its KV caches + conv left contexts
+    # (``ConformerEncoder.stream_step``).  Chunked == one-shot causal
+    # forward (tested); chunks must be multiples of 4 STFT frames so
+    # the stride-2 convs stay aligned.
+
+    def init_stream(self, batch_size, max_frames, dtype=jnp.float32):
+        """State for :meth:`stream_step`; ``max_frames`` counts INPUT
+        STFT frames (the encoder cache holds ``max_frames / 4``)."""
+        assert self.causal, 'streaming requires the --causal variant'
+        mels = self.feature_extractor.mel_transform.number_of_filters
+        c = self.subsample_convs[0].out_channels
+        m1 = -(-mels // 2)
+        return {
+            'sub1': jnp.zeros((batch_size, 1, mels, 2), dtype),
+            'sub2': jnp.zeros((batch_size, c, m1, 2), dtype),
+            'encoder': self.encoder.init_stream_state(
+                batch_size, -(-max_frames // 4), dtype),
+        }
+
+    def stream_step(self, stft_chunk, state, frame_index):
+        """Encode a chunk of STFT frames at absolute input positions
+        ``[frame_index, frame_index + Tc)`` (``Tc`` and ``frame_index``
+        multiples of 4).  Returns ``(encoder_frames, new_state)``."""
+        x, _ = self.feature_extractor(stft_chunk)  # (B, 1, M, Tc)
+        h = x
+        for conv, key in zip(self.subsample_convs, ('sub1', 'sub2')):
+            cat = jnp.concatenate([state[key], h], axis=-1)
+            state = dict(state, **{key: cat[..., -2:]})
+            cat = jnp.pad(cat, ((0, 0), (0, 0), (1, 1), (0, 0)))
+            h = jax.nn.relu(conv(cat))
+        b, c, m, t = h.shape
+        h = jnp.transpose(h, (0, 3, 1, 2)).reshape(b, t, c * m)
+        h, enc_state = self.encoder.stream_step(
+            h, state['encoder'], frame_index // 4)
+        return h, dict(state, encoder=enc_state)
+
 
 def _decode_results(batch, hyps):
     """Per-example reference/hypothesis bookkeeping shared by both
@@ -342,6 +383,52 @@ class TransducerASR(Model):
                     seq.append(token)
             hyps.append(seq)
         return _decode_results(batch, hyps)
+
+    def stream_decode(self, stft_chunks, max_symbols_per_frame=4,
+                      max_frames=4096):
+        """Online (streaming) greedy recognition of ONE utterance.
+
+        Requires the ``causal=True`` variant.  Each incoming chunk of
+        STFT frames (a multiple of 4, shape ``(Tc, F, 2)`` or
+        ``(1, 1, Tc, F, 2)``) costs O(chunk) encoder work via the
+        carried-state :meth:`AcousticEncoder.stream_step`; emitted
+        tokens are final as soon as their frame arrives (the encoder is
+        strictly causal, so the transcript-so-far never changes).
+        Equal to the offline greedy :meth:`decode` transcript (tested).
+
+        Args:
+            stft_chunks: iterable of chunks.
+            max_symbols_per_frame: transducer expansion bound.
+            max_frames: upper bound on total INPUT frames (sizes the
+                preallocated attention cache).
+
+        Returns:
+            list of token ids.
+        """
+        model = self.eval()
+        state = model.acoustic.init_stream(1, max_frames)
+        seq = []
+        frame_index = 0
+        for chunk in stft_chunks:
+            chunk = jnp.asarray(chunk)
+            if chunk.ndim == 3:
+                chunk = chunk[None, None]
+            enc, state = model.acoustic.stream_step(
+                chunk, state, frame_index)
+            frame_index += chunk.shape[2]
+            enc = np.asarray(enc)
+            for t in range(enc.shape[1]):
+                for _ in range(max_symbols_per_frame):
+                    history = jnp.asarray(
+                        [[model.blank] + seq], dtype='int32')
+                    pred = model._predict(history)[:, -1:, :]
+                    scores = model._joint(
+                        jnp.asarray(enc[:, t:t + 1]), pred)
+                    token = int(np.asarray(scores).ravel().argmax())
+                    if token == model.blank:
+                        break
+                    seq.append(token)
+        return seq
 
 
 class AttentionASR(Model):

@@ -68,6 +68,7 @@ class ConformerConvModule(Module):
     def __init__(self, d_model, kernel_size=31, norm='batch_norm',
                  dropout=0.0, causal=False):
         assert kernel_size % 2 == 1 or causal, kernel_size
+        self.d_model = d_model
         self.norm_in = nn.LayerNorm((d_model,))
         self.pointwise1 = nn.Conv1d(d_model, 2 * d_model, 1)
         self.depthwise = nn.Conv1d(
@@ -117,6 +118,39 @@ class ConformerConvModule(Module):
             h = self.dropout(h)
         return h
 
+    # ---- carried-state streaming (serving) --------------------------
+    def init_stream_state(self, batch_size, dtype=jnp.float32):
+        """Carried left context of the depthwise conv: the last
+        ``kernel_size - 1`` frames of the GLU output.  Zero-init
+        reproduces the causal left padding exactly."""
+        assert self.causal, 'streaming requires the causal conv module'
+        return jnp.zeros(
+            (batch_size, self.d_model, self.kernel_size - 1), dtype)
+
+    def stream_step(self, x, state):
+        """Process one chunk with carried conv state; in eval mode the
+        batch norm applies running statistics (stateless per frame), so
+        chunked output == the causal one-shot forward (tested)."""
+        h = self.norm_in(x)
+        h = jnp.swapaxes(h, 1, 2)  # (B, C, T)
+        h = self.pointwise1(h)
+        a, b = jnp.split(h, 2, axis=1)
+        h = a * jax.nn.sigmoid(b)
+        h_cat = jnp.concatenate([state, h], axis=-1)
+        new_state = h_cat[..., -(self.kernel_size - 1):]
+        h = self.depthwise(h_cat)
+        if self.norm_kind == 'batch_norm':
+            h = self.norm_conv(h, sequence_lengths=None)
+        else:
+            h = jnp.swapaxes(
+                self.norm_conv(jnp.swapaxes(h, 1, 2)), 1, 2)
+        h = jax.nn.silu(h)
+        h = self.pointwise2(h)
+        h = jnp.swapaxes(h, 1, 2)
+        if self.dropout is not None:
+            h = self.dropout(h)
+        return h, new_state
+
 
 class ConformerBlock(Module):
     """FFN/2 -> MHSA -> conv module -> FFN/2 -> LN (Gulati et al. eq. 1-5).
@@ -157,6 +191,39 @@ class ConformerBlock(Module):
         x = x + 0.5 * self.ffn2(x)
         return self.final_norm(x)
 
+    # ---- carried-state streaming (serving) --------------------------
+    def init_stream_state(self, batch_size, max_len, dtype=jnp.float32):
+        """Per-block streaming state: the self-attention K/V cache
+        (preallocated to ``max_len``, updated at a traced position — the
+        same serving machinery as the transformer decoder) plus the conv
+        module's carried left context."""
+        assert self.causal, 'streaming requires a causal block'
+        assert self.attn_window is None, (
+            'chunked streaming with sliding-window attention is not '
+            'wired up; use the full causal cache')
+        return {
+            'attn': self.self_attn.init_cache(batch_size, max_len, dtype),
+            'conv': self.conv.init_stream_state(batch_size, dtype),
+        }
+
+    def stream_step(self, x, state, index):
+        """One chunk at absolute positions ``[index, index + Tc)``.
+
+        Cost is O(chunk) per call (the attention reads the cache, the
+        conv reads ``kernel_size - 1`` carried frames) — no prefix
+        recompute.  Equal to the causal one-shot :meth:`forward` on the
+        concatenated chunks (tested)."""
+        x = x + 0.5 * self.ffn1(x)
+        h = self.attn_norm(x)
+        h, attn_state = self.self_attn.decode_step(
+            h, state['attn'], index)
+        x = x + h
+        h, conv_state = self.conv.stream_step(x, state['conv'])
+        x = x + h
+        x = x + 0.5 * self.ffn2(x)
+        return self.final_norm(x), {'attn': attn_state,
+                                    'conv': conv_state}
+
 
 class ConformerEncoder(Module):
     """Stack of conformer blocks with an optional input projection.
@@ -195,3 +262,26 @@ class ConformerEncoder(Module):
         if seq_len is not None:
             x = x * compute_mask(x, seq_len, 0, 1)
         return x
+
+    # ---- carried-state streaming (serving) --------------------------
+    def init_stream_state(self, batch_size, max_len, dtype=jnp.float32):
+        """State pytree for :meth:`stream_step` (max ``max_len`` total
+        frames across all chunks)."""
+        return [layer.init_stream_state(batch_size, max_len, dtype)
+                for layer in self.layers]
+
+    def stream_step(self, x, state, index):
+        """Encode one chunk at absolute positions ``[index, index+Tc)``.
+
+        The state is a pytree of static-shape arrays, so the whole
+        online loop can live in ``lax.scan`` — or one jitted program per
+        chunk size from the host.  Chunked == one-shot causal forward
+        (tested, ``tests/test_modules/test_conformer_streaming.py``).
+        """
+        if self.input_proj is not None:
+            x = self.input_proj(x)
+        new_state = []
+        for layer, s in zip(self.layers, state):
+            x, s = layer.stream_step(x, s, index)
+            new_state.append(s)
+        return x, new_state

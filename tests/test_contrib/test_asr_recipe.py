@@ -13,6 +13,7 @@ from pathlib import Path
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 import padertorch_tpu as pt
@@ -367,3 +368,47 @@ def test_aed_asr_train_then_evaluate(tmp_path):
          '--num_examples', '4', '--batch_size', '4', '--beam_width', '4')
     means = json.loads((storage_dir / 'eval' / 'means.json').read_text())
     assert means['num_examples'] == 4 and 0.0 <= means['ser'] <= 1.0
+
+
+def test_acoustic_encoder_stream_equals_one_shot():
+    """Carried-state streaming (frontend + subsample convs + conformer
+    KV/conv state) reproduces the causal one-shot encoder exactly —
+    O(chunk) work per call, not prefix recompute."""
+    model = _tiny_model(causal=True).eval()
+    batch = _batch(batch_size=2)
+    stft = jnp.asarray(batch['stft'])
+    t_in = (stft.shape[2] // 8) * 8
+    stft = stft[:, :, :t_in]
+    full, _ = model.acoustic(stft)
+    full = np.asarray(full)
+
+    state = model.acoustic.init_stream(2, max_frames=t_in)
+    outs = []
+    for start in range(0, t_in, 8):
+        y, state = model.acoustic.stream_step(
+            stft[:, :, start:start + 8], state, start)
+        outs.append(np.asarray(y))
+    np.testing.assert_allclose(
+        np.concatenate(outs, axis=1), full, atol=1e-4)
+
+
+def test_transducer_stream_decode_equals_offline_greedy():
+    model = _tiny_transducer(causal=True).eval()
+    batch = _batch(batch_size=1)
+    stft = np.asarray(batch['stft'])
+    t_in = (int(batch['seq_len'][0]) // 8) * 8
+    offline_batch = {
+        'example_id': batch['example_id'][:1],
+        'stft': stft[:1, :, :t_in],
+        'seq_len': np.asarray([t_in], dtype='int32'),
+        'labels': batch['labels'][:1],
+        'label_lengths': batch['label_lengths'][:1],
+    }
+    offline = model.decode(offline_batch)
+    offline_hyp = list(offline.values())[0]['hypothesis']
+
+    chunks = [stft[0, :, s:s + 8] for s in range(0, t_in, 8)]
+    # chunks arrive as (C, Tc, F, 2) -> pass (Tc, F, 2)
+    chunks = [c[0] for c in chunks]
+    streamed = model.stream_decode(chunks, max_frames=t_in)
+    assert streamed == offline_hyp
