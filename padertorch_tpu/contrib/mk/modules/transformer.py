@@ -55,8 +55,19 @@ class RoPE(Module):
 
     def forward(self, x, offset=0):
         """x: (B, H, T, D) -> rotated; ``offset`` may be traced (the
-        KV-cache decode position)."""
+        KV-cache decode position), a scalar or a per-row (B,) vector
+        (continuous batching: each batch slot at its own position)."""
         t = x.shape[-2]
+        offset = jnp.asarray(offset)
+        if offset.ndim == 1:  # per-row positions
+            pos = offset[:, None] + jnp.arange(t)[None, :]   # (B, T)
+            angles = pos[..., None] * self.inv_freq          # (B, T, D/2)
+            sin = jnp.sin(angles)[:, None]                   # (B,1,T,D/2)
+            cos = jnp.cos(angles)[:, None]
+            x1, x2 = jnp.split(x, 2, axis=-1)
+            rot1 = x1 * cos - x2 * sin
+            rot2 = x2 * cos + x1 * sin
+            return jnp.concatenate([rot1, rot2], -1).astype(x.dtype)
         pos = (offset + jnp.arange(t))[:, None]  # (T, 1)
         angles = pos * self.inv_freq[None, :]  # (T, D/2)
         sin = jnp.sin(angles)
@@ -423,7 +434,9 @@ class MultiheadAttention(Module):
             query: (B, Tq, D) — Tq=1 for stepwise decode; Tq>1 prefills
                 a whole prompt chunk in one call (still causal).
             cache: from :meth:`init_cache` (or the previous step).
-            index: int or traced scalar — first position of ``query``.
+            index: first position of ``query`` — int/traced scalar, or
+                a per-row (B,) vector (continuous batching: every slot
+                decodes at its own position in one call).
 
         Returns:
             ``(out, cache)`` — (B, Tq, D) output and the updated cache.
@@ -434,22 +447,40 @@ class MultiheadAttention(Module):
         k_new = self._split(self.k_proj(query), self._kv_heads())
         v_new = self._split(self.v_proj(query), self._kv_heads())
         q, k_new = self._qk_normalize(q, k_new, rope_offset=index)
-        k = jax.lax.dynamic_update_slice_in_dim(
-            cache['k'], k_new.astype(cache['k'].dtype), index, axis=2)
-        v = jax.lax.dynamic_update_slice_in_dim(
-            cache['v'], v_new.astype(cache['v'].dtype), index, axis=2)
-        # causal over global positions; unwritten cache slots are all
-        # beyond index + Tq - 1, so the same mask hides them
-        rows = index + jnp.arange(q.shape[2])
-        cols = jnp.arange(k.shape[2])
-        mask = (cols[None, :] > rows[:, None])[None, None]
+        index = jnp.asarray(index)
+        if index.ndim == 1:
+            # per-row cache writes: vmap the slice update over batch
+            def write(buf, new, i):
+                return jax.vmap(
+                    lambda b, n, j: jax.lax.dynamic_update_slice_in_dim(
+                        b, n, j, axis=1)
+                )(buf, new.astype(buf.dtype), i)
+            k = write(cache['k'], k_new, index)
+            v = write(cache['v'], v_new, index)
+            rows = index[:, None] + jnp.arange(q.shape[2])  # (B, Tq)
+            cols = jnp.arange(k.shape[2])
+            mask = (cols[None, None, :]
+                    > rows[:, :, None])[:, None]            # (B,1,Tq,Tk)
+            dist_rows = rows[:, None, :, None]
+        else:
+            k = jax.lax.dynamic_update_slice_in_dim(
+                cache['k'], k_new.astype(cache['k'].dtype), index, axis=2)
+            v = jax.lax.dynamic_update_slice_in_dim(
+                cache['v'], v_new.astype(cache['v'].dtype), index, axis=2)
+            # causal over global positions; unwritten cache slots are
+            # all beyond index + Tq - 1, so the same mask hides them
+            rows = index + jnp.arange(q.shape[2])
+            cols = jnp.arange(k.shape[2])
+            mask = (cols[None, :] > rows[:, None])[None, None]
+            dist_rows = rows[None, None, :, None]
         bias = None
         if getattr(self, 'linear_attention_bias', False):
             dist = -jnp.abs(
-                cols[None, :] - rows[:, None]).astype(jnp.float32)
+                cols[None, None, None, :] - dist_rows
+            ).astype(jnp.float32)                           # (.,1,Tq,Tk)
             slopes = jnp.linspace(
                 8.0 / self.num_heads, 8.0, self.num_heads)
-            bias = (slopes[:, None, None] * dist[None])[None]
+            bias = slopes[None, :, None, None] * dist
         return self._attend(q, k, v, mask, bias=bias), {'k': k, 'v': v}
 
     # ---- rolling (sliding-window) cache: O(W) memory generation ----

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ['export_model', 'export_fn', 'export_generate',
-           'load_exported', 'dump_exported']
+           'load_exported', 'dump_exported', 'ContinuousBatcher']
 
 
 def _symbolic_specs(example, polymorphic_batch, dynamic_axes):
@@ -221,3 +221,166 @@ def load_exported(blob):
     exported = jax_export.deserialize(
         blob if isinstance(blob, bytearray) else bytearray(blob))
     return lambda batch: exported.call(batch)
+
+
+class ContinuousBatcher:
+    """Continuous (in-flight) batching over a KV-cache decoder.
+
+    The production serving pattern: a fixed pool of ``num_slots`` cache
+    rows, each slot decoding ONE request at its own position.  Requests
+    are admitted into free slots as they arrive and leave the moment
+    they emit EOS — no waiting for the whole batch to finish, no
+    per-request recompile.  Every step is one jitted
+    ``TransformerDecoder.decode_step`` call with a per-row position
+    vector (the RoPE/causal-mask/cache-write machinery all accept (B,)
+    positions), so the program is compiled ONCE for the slot pool and
+    reused for the lifetime of the server.
+
+    Slot reuse needs no cache zeroing: a new request restarts at
+    position 0 and overwrites the stale K/V rows it reaches; stale
+    entries past its current position stay hidden by the causal mask.
+
+    Batched greedy output is exactly equal to decoding each request
+    alone (tested against ``autoregressive_generate``).
+
+    Args:
+        decoder: a :class:`TransformerDecoder` (or same protocol).
+        embed: (B,) int32 ids -> (B, d_model).
+        logits_head: (B, d_model) -> (B, vocab).
+        num_slots: concurrent requests (the compiled batch size).
+        max_len: per-request position budget (self-cache length).
+        max_memory_len: encoder-memory budget (cross-cache length).
+        d_memory: encoder feature size.
+        bos_id, eos_id: start / stop token ids.
+        max_new_tokens: per-request output cap (default ``max_len``).
+        dtype: cache/memory dtype.
+    """
+
+    def __init__(self, decoder, *, embed, logits_head, num_slots,
+                 max_len, max_memory_len, d_memory, bos_id, eos_id,
+                 max_new_tokens=None, dtype=jnp.float32):
+        import collections
+        self.num_slots = num_slots
+        self.max_len = max_len
+        self.max_memory_len = max_memory_len
+        self.bos_id = bos_id
+        self.eos_id = eos_id
+        self.max_new_tokens = max_new_tokens or max_len
+        zero_mem = jnp.zeros((num_slots, max_memory_len, d_memory), dtype)
+        self.cache = decoder.init_cache(zero_mem, max_len, dtype=dtype)
+        self.tokens = np.full((num_slots,), bos_id, 'int32')
+        self.positions = np.zeros((num_slots,), 'int32')
+        self.mem_lens = np.zeros((num_slots,), 'int32')
+        self.active = np.zeros((num_slots,), bool)
+        self._prompt = [[] for _ in range(num_slots)]
+        self._output = [[] for _ in range(num_slots)]
+        self._request = [None] * num_slots
+        self.pending = collections.deque()
+        self.finished = {}
+        self._next_id = 0
+
+        @jax.jit
+        def _step(cache, tokens, positions, mem_lens):
+            x = embed(tokens)[:, None, :]
+            out, cache = decoder.decode_step(
+                x, cache, positions, memory_seq_len=mem_lens)
+            return logits_head(out[:, 0]), cache
+
+        @jax.jit
+        def _admit(cache, memory_row, slot):
+            new_cross = []
+            for layer, ck in zip(decoder.layers, cache['cross']):
+                kv = layer.cross_attn.precompute_kv(memory_row)
+                new_cross.append({
+                    'k': jax.lax.dynamic_update_slice_in_dim(
+                        ck['k'], kv['k'].astype(ck['k'].dtype),
+                        slot, axis=0),
+                    'v': jax.lax.dynamic_update_slice_in_dim(
+                        ck['v'], kv['v'].astype(ck['v'].dtype),
+                        slot, axis=0),
+                })
+            return {'self': cache['self'], 'cross': new_cross}
+
+        self._step_fn = _step
+        self._admit_fn = _admit
+
+    def submit(self, memory, memory_len=None, prompt=()):
+        """Queue a request.  ``memory``: (S, d_memory) encoder output
+        (S <= ``max_memory_len``); ``prompt``: token ids forced after
+        BOS before free-running generation.  Returns a request id."""
+        memory = np.asarray(memory)
+        assert memory.ndim == 2, memory.shape
+        s = memory.shape[0]
+        assert s <= self.max_memory_len, (s, self.max_memory_len)
+        request_id = self._next_id
+        self._next_id += 1
+        self.pending.append(
+            (request_id, memory, int(memory_len or s), list(prompt)))
+        return request_id
+
+    @property
+    def num_active(self):
+        return int(self.active.sum())
+
+    def _try_admit(self):
+        while self.pending and not self.active.all():
+            slot = int(np.argmin(self.active))  # first free slot
+            request_id, memory, mem_len, prompt = self.pending.popleft()
+            padded = np.zeros(
+                (1, self.max_memory_len, memory.shape[-1]),
+                memory.dtype)
+            padded[0, :memory.shape[0]] = memory
+            self.cache = self._admit_fn(
+                self.cache, jnp.asarray(padded), slot)
+            self.tokens[slot] = self.bos_id
+            self.positions[slot] = 0
+            self.mem_lens[slot] = mem_len
+            self.active[slot] = True
+            self._prompt[slot] = prompt
+            self._output[slot] = []
+            self._request[slot] = request_id
+
+    def _finish(self, slot):
+        self.finished[self._request[slot]] = list(self._output[slot])
+        self.active[slot] = False
+        self._request[slot] = None
+
+    def step(self):
+        """Admit pending requests, then run ONE decode step for every
+        active slot.  Returns the number of active slots stepped."""
+        self._try_admit()
+        if not self.active.any():
+            return 0
+        logits, self.cache = self._step_fn(
+            self.cache, jnp.asarray(self.tokens),
+            jnp.asarray(self.positions), jnp.asarray(self.mem_lens))
+        greedy = np.asarray(jnp.argmax(logits, axis=-1)).astype('int32')
+        stepped = 0
+        for slot in range(self.num_slots):
+            if not self.active[slot]:
+                continue
+            stepped += 1
+            self.positions[slot] += 1
+            if self._prompt[slot]:
+                # teacher-forced prompt feed (chunkless prefill)
+                self.tokens[slot] = self._prompt[slot].pop(0)
+                continue
+            token = int(greedy[slot])
+            self._output[slot].append(token)
+            self.tokens[slot] = token
+            if (token == self.eos_id
+                    or len(self._output[slot]) >= self.max_new_tokens
+                    or self.positions[slot] >= self.max_len):
+                self._finish(slot)
+        return stepped
+
+    def run_until_done(self, max_steps=100000):
+        """Drive :meth:`step` until every request finished; returns
+        ``{request_id: token list (eos included if emitted)}``."""
+        for _ in range(max_steps):
+            if not self.pending and not self.active.any():
+                break
+            self.step()
+        else:
+            raise RuntimeError('run_until_done: step budget exhausted')
+        return dict(self.finished)
