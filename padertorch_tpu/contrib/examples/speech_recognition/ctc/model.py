@@ -572,8 +572,37 @@ class AttentionASR(Model):
         for i in range(tokens.shape[0]):
             n = int(lengths[i])
             seq = tokens[i, :n].tolist()
-            if seq and seq[-1] == model.eos:  # strip the stop token
-                seq = seq[:-1]
-            hyps.append([t for t in seq
-                         if 1 <= t <= model.vocab_size])
+            hyps.append(self._clean_hyp(seq))
+        return _decode_results(batch, hyps)
+
+    def _clean_hyp(self, seq):
+        if seq and seq[-1] == self.eos:  # strip the stop token
+            seq = seq[:-1]
+        return [t for t in seq if 1 <= t <= self.vocab_size]
+
+    def serve_decode(self, batch, num_slots=4, max_len=None):
+        """Greedy decode through the continuous-batching server path
+        (:class:`padertorch_tpu.serve.ContinuousBatcher`): each
+        utterance is an independent request in a fixed slot pool —
+        short utterances leave early and free their slot, the step
+        program compiles once for the pool.  Transcripts are exactly
+        the greedy :meth:`decode` transcripts (tested)."""
+        from padertorch_tpu.serve import ContinuousBatcher
+        model = self.eval()
+        if max_len is None:
+            max_len = model.max_decode_len
+        enc, seq_len = model.acoustic(
+            batch['stft'], seq_len=batch.get('seq_len'))
+        enc = np.asarray(enc)
+        seq_len = np.asarray(seq_len)
+        batcher = ContinuousBatcher(
+            model.decoder, embed=model.embed, logits_head=model.head,
+            num_slots=num_slots, max_len=max_len,
+            max_memory_len=enc.shape[1], d_memory=enc.shape[-1],
+            bos_id=model.bos, eos_id=model.eos,
+            max_new_tokens=max_len)
+        ids = [batcher.submit(enc[i], memory_len=int(seq_len[i]))
+               for i in range(enc.shape[0])]
+        outputs = batcher.run_until_done()
+        hyps = [self._clean_hyp(outputs[rid]) for rid in ids]
         return _decode_results(batch, hyps)

@@ -412,3 +412,15 @@ def test_transducer_stream_decode_equals_offline_greedy():
     chunks = [c[0] for c in chunks]
     streamed = model.stream_decode(chunks, max_frames=t_in)
     assert streamed == offline_hyp
+
+
+def test_aed_serve_decode_equals_greedy():
+    """The continuous-batching serving path (slot pool smaller than the
+    batch, early-exit slot reuse) yields exactly the greedy decode
+    transcripts."""
+    model = _tiny_aed().eval()
+    batch = _batch(batch_size=4)
+    greedy = model.decode(batch)
+    served = model.serve_decode(batch, num_slots=2)
+    assert {k: v['hypothesis'] for k, v in served.items()} \
+        == {k: v['hypothesis'] for k, v in greedy.items()}
