@@ -1,12 +1,23 @@
 """Complex-array helpers. Reference parity: ``padertorch/contrib/cb/complex.py``."""
 import jax.numpy as jnp
 
-__all__ = ['ComplexTensor_to_Complex', 'is_complex', 'to_complex',
-           'from_real_imag', 'to_real_imag']
+__all__ = ['ComplexTensor_to_Complex', 'is_complex', 'is_torch',
+           'to_complex', 'from_real_imag', 'to_real_imag']
 
 
 def is_complex(x):
     return jnp.iscomplexobj(x)
+
+
+def is_torch(x):
+    """True if ``x`` is a torch tensor (reference cb/complex.py) —
+    useful in migration code that handles both torch checkpoints and
+    jax arrays.  Import-guarded so torch stays optional."""
+    try:
+        import torch
+    except ImportError:
+        return False
+    return isinstance(x, torch.Tensor)
 
 
 def to_complex(x, axis=-1):

@@ -37,6 +37,7 @@ __all__ = [
     'ExampleToDevice',
     'ExampleToDeviceNativeComplex',
     'StackedComplexExampleToDevice',
+    'KamoExampleToDevice',
     'add_batch_dim_to_dataset',
 ]
 
@@ -138,6 +139,13 @@ class ExampleToDeviceNativeComplex(ExampleToDevice):
             Category.ComplexNumpy: self.array,
             **(category_register or {}),
         })
+
+
+# Reference name (cb/data.py:123): there complex numpy became a
+# ``torch_complex.ComplexTensor`` because torch lacked stable native
+# complex; XLA supports complex natively, so the Kamo transfer IS the
+# native-complex transfer here.
+KamoExampleToDevice = ExampleToDeviceNativeComplex
 
 
 class StackedComplexExampleToDevice(ExampleToDevice):

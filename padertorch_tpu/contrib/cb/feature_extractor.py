@@ -10,8 +10,9 @@ from padertorch_tpu.base import Module
 from padertorch_tpu.ops import STFT
 
 __all__ = [
-    'FeatureExtractor', 'AbsSTFT', 'Log1pAbsSTFT', 'LogMel', 'Cepstrum',
-    'KaldiSTFT', 'AbsKaldiSTFT',
+    'FeatureExtractor', 'AbstractFeatureExtractor',
+    'AbsSTFT', 'Log1pAbsSTFT', 'LogMel', 'Cepstrum',
+    'KaldiSTFT', 'AbsKaldiSTFT', 'kaldi_stft', 'kaldi_istft',
     'AbsIPDSTFT', 'AbsRealImagSTFT', 'Log1pCosSinAbsSTFT',
     'ScaleIndependentCepstrum',
     'sign', 'stft_to_cepstrum', 'cepstrum',
@@ -34,6 +35,45 @@ class FeatureExtractor(Module):
 
     def forward(self, signal):
         raise NotImplementedError
+
+
+# Reference name for the Configurable feature-extractor base
+# (cb/feature_extractor.py:222).
+AbstractFeatureExtractor = FeatureExtractor
+
+
+def kaldi_stft(time_signal, size=512, shift=160, *, axis=-1,
+               window_length=400, pad=False, fading=False):
+    """Kaldi-convention host STFT (reference cb/feature_extractor.py:19):
+    512-point FFT over 400-sample blackman windows, 160-sample shift,
+    no padding/fading.  Numpy in, numpy complex out — safe inside data
+    pipeline workers.
+    """
+    from padertorch_tpu.ops._stft import HostSTFT
+    import numpy as np
+    stft = HostSTFT(size=size, shift=shift, window_length=window_length,
+                    fading=fading or None, pad=pad,
+                    complex_representation='complex')
+    x = np.asarray(time_signal)
+    if axis not in (-1, x.ndim - 1):
+        x = np.moveaxis(x, axis, -1)
+    out = np.asarray(stft(x))
+    if axis not in (-1, time_signal.ndim - 1):
+        out = np.moveaxis(out, -2, axis)
+    return out
+
+
+def kaldi_istft(stft_signal, size=512, shift=160, *, axis=-1,
+                window_length=400, pad=False, fading=False):
+    """Inverse of :func:`kaldi_stft` (reference :24).  Expects the
+    frame/frequency axes last."""
+    from padertorch_tpu.ops._stft import HostSTFT
+    import numpy as np
+    assert axis == -1, 'kaldi_istft supports trailing (frames, F) only'
+    stft = HostSTFT(size=size, shift=shift, window_length=window_length,
+                    fading=fading or None, pad=pad,
+                    complex_representation='complex')
+    return np.asarray(stft.inverse(np.asarray(stft_signal)))
 
 
 class AbsSTFT(FeatureExtractor):

@@ -5,8 +5,50 @@ import signal
 from padertorch_tpu.train.hooks import Hook
 from padertorch_tpu.train.hooks import StopTraining
 
-__all__ = ['CPUTimeLimitExceededHook', 'WallClockLimitHook',
-           'SignalStopHook', 'InspectorHook', 'PyroHook']
+__all__ = ['CPUTimeLimitExceededHook', 'CPUTimeLimitExceededHookTrigger',
+           'WallClockLimitHook', 'SignalStopHook', 'InspectorHook',
+           'PyroHook']
+
+
+class CPUTimeLimitExceededHookTrigger:
+    """Trigger firing once the scheduler signals the CPU-time limit
+    (reference cb/hooks.py:6).  SIGXCPU fires at the next iteration;
+    SIGUSR1 fires at the next *epoch* boundary (clean iterator state).
+
+    Implements the framework ``Trigger`` protocol
+    (``__call__(iteration, epoch)`` / ``set_last``) so it composes with
+    ``StopTrainingHook`` and the other trigger combinators.
+    """
+
+    def __init__(self):
+        self._sigxcpu_received = False
+        self._sigusr1_received = False
+        self._last_epoch = None
+        signal.signal(signal.SIGXCPU, self._handler_sigxcpu)
+        signal.signal(signal.SIGUSR1, self._handler_sigusr1)
+
+    def _handler_sigxcpu(self, signum, frame):
+        print('Received SIGXCPU: CPU time limit exceeded.'
+              ' Graceful shutdown after this iteration.')
+        self._sigxcpu_received = True
+
+    def _handler_sigusr1(self, signum, frame):
+        print('Received SIGUSR1.'
+              ' Graceful shutdown after this epoch.')
+        self._sigusr1_received = True
+
+    def __call__(self, iteration, epoch):
+        if self._sigxcpu_received:
+            return True
+        if self._sigusr1_received:
+            # fire at the first step of a new epoch
+            if self._last_epoch is not None and epoch != self._last_epoch:
+                return True
+        self._last_epoch = epoch
+        return False
+
+    def set_last(self, iteration, epoch):
+        self._last_epoch = epoch
 
 
 class CPUTimeLimitExceededHook(Hook):

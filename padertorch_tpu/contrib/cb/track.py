@@ -35,6 +35,11 @@ __all__ = [
     'IOPMemTracker',
     'CPUMemTracker',
     'DeviceMemTracker',
+    'GPUMemTracker',
+    'GPUTotPreMemTracker',
+    'GPUTotPostMemTracker',
+    'tracker_list',
+    'get_ParameterTracker',
 ]
 
 
@@ -217,6 +222,82 @@ class DeviceMemTracker(Tracker):
         except Exception:
             pass
         return f'{self.get_mem() - self._pre_mem:_} B'
+
+
+# Reference names (cb/track.py:565): on TPU "GPU memory" is the
+# accelerator memory tracked by DeviceMemTracker.
+GPUMemTracker = DeviceMemTracker
+
+
+class GPUTotPreMemTracker(Tracker):
+    """Total accelerator memory in use when the module call starts
+    (reference cb/track.py: GPUTotPreMemTracker)."""
+    header = 'tot pre mem'
+
+    def pre(self, module, args, kwargs):
+        self._pre = DeviceMemTracker.get_mem()
+
+    def post(self, module, args, kwargs, output):
+        return f'{self._pre:_} B'
+
+
+class GPUTotPostMemTracker(Tracker):
+    """Total accelerator memory in use after the module call returns
+    (reference cb/track.py: GPUTotPostMemTracker)."""
+    header = 'tot post mem'
+
+    def post(self, module, args, kwargs, output):
+        try:
+            jax.block_until_ready(output)
+        except Exception:
+            pass
+        return f'{DeviceMemTracker.get_mem():_} B'
+
+
+def tracker_list(*tracker_factories):
+    """Instantiate one tracker per factory, for ``track(net, ...)``
+    (reference cb/track.py:273).
+
+    >>> trackers = tracker_list(ShapeTracker, ParameterTracker)
+    >>> [type(t).__name__ for t in trackers]
+    ['ShapeTracker', 'ParameterTracker']
+    """
+    return [factory() for factory in tracker_factories]
+
+
+def get_ParameterTracker(
+        name='#Params',
+        num_or_bytes='num',
+        include_require_grad=True,
+        include_not_require_grad=True,
+):
+    """Build a customized parameter-count tracker class (reference
+    cb/track.py:471).  ``include_require_grad`` counts the trainable
+    partition; ``include_not_require_grad`` counts the frozen leaves
+    (buffers / non-inexact arrays)."""
+    assert num_or_bytes in ('num', 'bytes'), num_or_bytes
+
+    def _measure(tree):
+        leaves = [x for x in jax.tree_util.tree_leaves(tree)
+                  if hasattr(x, 'shape')]
+        if num_or_bytes == 'num':
+            return sum(int(np.prod(np.shape(x))) for x in leaves)
+        return sum(getattr(x, 'nbytes',
+                           int(np.prod(np.shape(x))) * 4) for x in leaves)
+
+    class CustomParameterTracker(Tracker):
+        header = name
+
+        def post(self, module, args, kwargs, output):
+            params, static = partition(module)
+            total = 0
+            if include_require_grad:
+                total += _measure(params)
+            if include_not_require_grad:
+                total += _measure(static)
+            return f'{total:_}'
+
+    return CustomParameterTracker
 
 
 class _TrackedReport:
