@@ -7,9 +7,52 @@ detection) evaluation: ``eval_sad.py:65,120``.
 """
 import numpy as np
 
-from padertorch_tpu.evaluation.beamforming import gev_beamforming
+from padertorch_tpu.evaluation.beamforming import (
+    apply_beamforming_vector,
+    get_mvdr_vector_souden,
+    get_power_spectral_density_matrix,
+    gev_beamforming,
+)
 
-__all__ = ['evaluate_masks', 'smooth_sad', 'evaluate_sad']
+__all__ = ['beamforming', 'evaluate_masks', 'smooth_sad', 'evaluate_sad']
+
+
+def beamforming(observation, speech_mask, noise_mask,
+                speech_image=None, noise_image=None,
+                get_bf_fn=get_mvdr_vector_souden):
+    """Mask-driven beamforming (reference jensheit/evaluation.py:14).
+
+    Args:
+        observation: (C, T, F) complex multi-channel STFT.
+        speech_mask / noise_mask: (C, T, F) per-channel masks; the
+            channel median is used (robust against channel outliers,
+            like the reference).
+        speech_image / noise_image: optional (C, T, F) oracle images
+            whose beamformed contributions are returned for SNR-style
+            decomposition metrics.
+        get_bf_fn: ``(target_psd, noise_psd) -> (F, C)`` beamformer;
+            default MVDR in Souden formulation.
+
+    Returns:
+        (speech_pred, image_contribution, noise_contribution), each
+        (T, F) or None.
+    """
+    observation = np.asarray(observation)
+    assert observation.ndim == 3, observation.shape
+    speech_mask = np.median(np.asarray(speech_mask), axis=-3)
+    noise_mask = np.median(np.asarray(noise_mask), axis=-3)
+    speech_psd = get_power_spectral_density_matrix(
+        observation, speech_mask)
+    noise_psd = get_power_spectral_density_matrix(observation, noise_mask)
+    bf_vec = get_bf_fn(speech_psd, noise_psd)
+    speech_pred = apply_beamforming_vector(bf_vec, observation)
+    image_contribution = (
+        apply_beamforming_vector(bf_vec, np.asarray(speech_image))
+        if speech_image is not None else None)
+    noise_contribution = (
+        apply_beamforming_vector(bf_vec, np.asarray(noise_image))
+        if noise_image is not None else None)
+    return speech_pred, image_contribution, noise_contribution
 
 
 def evaluate_masks(observation_stft, speech_mask, noise_mask, stft,

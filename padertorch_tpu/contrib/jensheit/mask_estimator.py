@@ -14,7 +14,8 @@ from padertorch_tpu.modules.normalization import Normalization
 from padertorch_tpu.modules.recurrent import LSTM
 from padertorch_tpu.models.mask_estimator import binary_cross_entropy
 
-__all__ = ['MaskKeys', 'MaskEstimator', 'MaskEstimatorModel']
+__all__ = ['MaskKeys', 'MaskLossKeys', 'MaskEstimator',
+           'MaskEstimatorModel', 'maybe_remove_channel']
 
 
 class MaskKeys:
@@ -28,7 +29,40 @@ class MaskKeys:
     MASK_ESTIMATOR_STATE = 'mask_estimator_state'
 
 
+class MaskLossKeys:
+    """Loss-name vocabulary for mask-estimator reviews (reference
+    ``mask_estimator_example/model.py:18``)."""
+    NOISE_MASK = 'noise_mask_loss'
+    SPEECH_MASK = 'speech_mask_loss'
+    WEIGHTED_NOISE_MASK = 'power_weighted_noise_mask_loss'
+    WEIGHTED_SPEECH_MASK = 'power_weighted_speech_mask_loss'
+    MASK = 'mask_loss'
+    WEIGHTED_MASK = 'power_weighted_mask_loss'
+    TOTAL_MASK = 'total_mask_loss'
+    VAD = 'VAD_loss'
+    REC = 'reconstruction_loss'
+
+
 M_K = MaskKeys
+
+
+def maybe_remove_channel(signal, exp_dim=1, ref_channel=0):
+    """Drop a leading channel axis if present (reference
+    ``mask_estimator_example/model.py:239``): single-channel recipes
+    accept both (C, ...) multi-channel and (...) single-channel
+    arrays.  Works on numpy and jax arrays.
+    """
+    dim = signal.ndim
+    if dim == exp_dim + 1:
+        assert signal.shape[0] < 20, (
+            f'The first dim is supposed to be the channel dimension, '
+            f'however the shape is {signal.shape}')
+        return signal[ref_channel]
+    elif dim == exp_dim:
+        return signal
+    raise ValueError(
+        f'Either the signal has ndim {exp_dim} or {exp_dim + 1}',
+        signal.shape)
 
 
 class MaskEstimator(Module):
