@@ -72,6 +72,7 @@ class Makefile:
         python -m myexp.train --resume
     <BLANKLINE>
     ckpts := $(wildcard checkpoints/*.ptt)
+    <BLANKLINE>
     """
 
     def __init__(self, data: dict = None):
