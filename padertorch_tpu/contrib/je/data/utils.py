@@ -18,6 +18,7 @@ from padertorch_tpu.utils.misc import to_list
 
 __all__ = [
     'DynamicExtendedBucketDataset',
+    'DynamicExtendedTimeSeriesBucket',
     'batch_dynamic_extended_time_series_bucket',
     'split_dataset',
 ]
@@ -237,3 +238,10 @@ def split_dataset(dataset, fold, nfolds=5, seed=0):
         return [dataset[i] for i in idx]
 
     return [select(training_indices), select(validation_indices)]
+
+
+# Reference class name (je/data/utils.py:6).  The reference's bucket
+# object IS the admission policy (assess/_append over a lazy_dataset
+# bucket); here that policy lives in ``_ExtendedBucket`` with the same
+# contract, so the reference name points at it.
+DynamicExtendedTimeSeriesBucket = _ExtendedBucket

@@ -19,7 +19,9 @@ from padertorch_tpu.modules.normalization import Normalization
 __all__ = ['Conv1d', 'Conv2d', 'ConvTranspose1d', 'ConvTranspose2d',
            'CNN1d', 'CNN2d', 'CNNTranspose1d', 'CNNTranspose2d',
            'Pool1d', 'Pool2d', 'Unpool1d', 'Unpool2d', 'Pad', 'Trim',
-           'compute_transpose_out_size']
+           'compute_transpose_out_size', 'compute_conv_output_shape',
+           'compute_conv_output_sequence_lengths', 'to_pair',
+           'map_activation_fn']
 
 _PAD_MODE_MAP = {  # torch F.pad mode -> jnp.pad mode
     'constant': 'constant',
@@ -133,6 +135,66 @@ def compute_transpose_out_size(in_size, kernel_size, dilation, stride,
     front, end = compute_pad_size(kernel_size, dilation, stride, pad_type)
     end = max(end - stride + 1, 0)
     return out - front - end
+
+
+def to_pair(x):
+    """Broadcast a scalar to a 2-tuple (reference
+    ``je/modules/conv_utils.py:257``)."""
+    return tuple(to_list(x, 2))
+
+
+def map_activation_fn(activation_fn):
+    """String/None/callable -> activation callable (reference
+    ``conv_utils.py:290``)."""
+    if activation_fn in ('linear', None):
+        activation_fn = 'identity'
+    if isinstance(activation_fn, str):
+        return ACTIVATION_FN_MAP[activation_fn]()
+    if not callable(activation_fn):
+        raise ValueError(
+            f'Type {type(activation_fn)} not supported for activation_fn')
+    return activation_fn
+
+
+def compute_conv_output_shape(input_shape, out_channels, kernel_size,
+                              dilation, stride, pad_type,
+                              transpose=False):
+    """(B, C, *spatial) shape after a (transpose) conv (reference
+    ``conv_utils.py:330``); per-axis parameters broadcast."""
+    input_shape = np.asarray(input_shape)
+    n_spatial = len(input_shape) - 2
+    output_shape = np.zeros_like(input_shape)
+    output_shape[0] = input_shape[0]
+    output_shape[1] = out_channels
+    kernel_size = to_list(kernel_size, n_spatial)
+    dilation = to_list(dilation, n_spatial)
+    stride = to_list(stride, n_spatial)
+    pad_type = to_list(pad_type, n_spatial)
+    fn = compute_transpose_out_size if transpose else compute_conv_out_size
+    for d in range(n_spatial):
+        output_shape[2 + d] = fn(
+            input_shape[2 + d], kernel_size[d], dilation[d], stride[d],
+            pad_type[d])
+    assert np.all(output_shape > 0), output_shape
+    return output_shape.astype(np.int64)
+
+
+def compute_conv_output_sequence_lengths(input_sequence_lengths,
+                                         kernel_size, dilation, pad_type,
+                                         stride, transpose=False):
+    """Valid-length bookkeeping through a (transpose) conv's LAST
+    (time) axis (reference ``conv_utils.py:354``; note the reference's
+    argument order — ``pad_type`` before ``stride``)."""
+    kernel_size = to_list(kernel_size)
+    dilation = to_list(dilation)
+    stride = to_list(stride)
+    pad_type = to_list(pad_type)
+    fn = compute_transpose_out_size if transpose else compute_conv_out_size
+    seq_len_out = fn(
+        np.asarray(input_sequence_lengths), kernel_size[-1],
+        dilation[-1], stride[-1], pad_type[-1])
+    assert np.all(seq_len_out > 0), seq_len_out
+    return np.asarray(seq_len_out).astype(np.int64)
 
 
 def _max_pool_indices_1d(x, k, s):

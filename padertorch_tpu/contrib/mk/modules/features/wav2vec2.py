@@ -38,6 +38,8 @@ __all__ = [
     'ConvFeatureEncoder', 'FeatureProjection', 'Wav2Vec2Encoder',
     'Wav2Vec2Model', 'load_hf_wav2vec2', 'load_hf_hubert',
     'alibi_bias', 'kerple_log_bias', 'longformer_bias',
+    'ALiBi', 'RoPEAttention', 'KerpleLogAttention',
+    'LongformerAttention',
 ]
 
 
@@ -81,6 +83,69 @@ def longformer_bias(window_size, length, dtype=jnp.float32):
               & (diff >= -math.ceil(window_size / 2) + 1))
     bias = jnp.where(inside, 0.0, jnp.finfo(dtype).min)
     return bias[None, None].astype(dtype)
+
+
+# Named attention-variant modules (reference ``components.py`` class
+# names).  The encoder consumes them via ``attention_type`` strings +
+# additive ``attn_bias`` (one bias per stack instead of per-layer
+# recomputation); these classes package the same math as standalone
+# drop-ins.
+
+class ALiBi(Module):
+    """ALiBi bias producer (ref ``components.py`` ``ALiBi``): call with
+    a sequence length to get the (1, H, T, T) additive logits bias."""
+
+    def __init__(self, num_heads):
+        self.num_heads = num_heads
+
+    def forward(self, length):
+        return alibi_bias(self.num_heads, length)
+
+
+class RoPEAttention(MultiheadAttention):
+    """MHA with rotary position embeddings (ref ``components.py``
+    ``RoPEAttention``)."""
+
+    def __init__(self, d_model, num_heads, dropout=0.0, **kwargs):
+        super().__init__(d_model, num_heads, dropout=dropout,
+                         use_rope=True, **kwargs)
+
+
+class KerpleLogAttention(MultiheadAttention):
+    """MHA with the learnable KERPLE log-kernel relative-position bias
+    (ref ``components.py:253``)."""
+
+    def __init__(self, d_model, num_heads, dropout=0.0, **kwargs):
+        super().__init__(d_model, num_heads, dropout=dropout, **kwargs)
+        self.kerple_p = 2 * jnp.full((num_heads, 1, 1), 0.5)
+        self.kerple_a = jnp.full((num_heads, 1, 1), 0.5)
+
+    def forward(self, query, key=None, value=None, **kwargs):
+        bias = kerple_log_bias(
+            self.kerple_p, self.kerple_a, query.shape[-2])
+        extra = kwargs.pop('attn_bias', None)
+        if extra is not None:
+            bias = bias + extra
+        return super().forward(query, key, value, attn_bias=bias,
+                               **kwargs)
+
+
+class LongformerAttention(MultiheadAttention):
+    """MHA restricted to a local band of ``window_size`` positions
+    (ref ``components.py:346``); rides the fused kernel's pruned
+    sliding window when the flash backend is enabled."""
+
+    def __init__(self, d_model, num_heads, window_size=128, dropout=0.0,
+                 **kwargs):
+        super().__init__(d_model, num_heads, dropout=dropout, **kwargs)
+        self.window_size = window_size
+
+    def forward(self, query, key=None, value=None, **kwargs):
+        if kwargs.pop('attn_window', None) is None:
+            w = self.window_size
+            kwargs['attn_window'] = (
+                math.ceil(w / 2) - 1, w // 2)
+        return super().forward(query, key, value, **kwargs)
 
 
 # ---- conv feature encoder --------------------------------------------

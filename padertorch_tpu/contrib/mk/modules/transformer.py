@@ -23,6 +23,9 @@ from padertorch_tpu.ops.sequence.mask import compute_mask
 __all__ = [
     'RoPE',
     'MultiheadAttention',
+    'ScaledDotProductAttention',
+    'TransformerNormBlock',
+    'EncoderLayer',
     'TransformerEncoderLayer',
     'TransformerEncoder',
     'TransformerDecoderLayer',
@@ -615,6 +618,76 @@ class CondLayerNorm(Module):
         return y, alpha
 
 
+class ScaledDotProductAttention(Module):
+    """Bare attention kernel as a Module (reference
+    ``mk/transformer.py:273``): ``softmax(q k^T / sqrt(d) + mask) v``.
+
+    The reference's ``enable_flash``/``enable_mem_efficient`` select
+    torch SDPA backends; under XLA the materializing path is already
+    fused, and the Pallas flash kernel is opt-in via
+    :func:`set_attention_backend` on the owning MHA module — so the
+    flags are accepted for signature parity and ignored.
+
+    ``attn_mask``: boolean (True = attend) or additive float mask,
+    broadcastable to (..., Tq, Tk).
+    """
+
+    def __init__(self, *args, enable_flash=None,
+                 enable_mem_efficient=None, magnitude_preserving=False,
+                 **kwargs):
+        del args, kwargs
+        self.enable_flash = enable_flash
+        self.enable_mem_efficient = enable_mem_efficient
+        self.magnitude_preserving = magnitude_preserving
+
+    def forward(self, q, k, v, attn_mask=None, is_causal=False):
+        d = q.shape[-1]
+        if self.magnitude_preserving:
+            q = q / jnp.maximum(
+                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-4)
+            k = k / jnp.maximum(
+                jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-4)
+        logits = jnp.einsum('...qd,...kd->...qk', q, k) / jnp.sqrt(
+            jnp.asarray(d, q.dtype))
+        if is_causal:
+            tq, tk = logits.shape[-2:]
+            causal = jnp.tril(jnp.ones((tq, tk), bool), k=tk - tq)
+            logits = jnp.where(causal, logits, -jnp.inf)
+        if attn_mask is not None:
+            if attn_mask.dtype == jnp.bool_:
+                logits = jnp.where(attn_mask, logits, -jnp.inf)
+            else:
+                logits = logits + attn_mask
+        weights = jax.nn.softmax(logits, axis=-1)
+        # fully-masked rows: softmax of all -inf is nan -> zero output
+        weights = jnp.where(jnp.isnan(weights), 0.0, weights)
+        return jnp.einsum('...qk,...kd->...qd', weights, v)
+
+
+class TransformerNormBlock(Module):
+    """Norm wrapper unifying plain and AdaLN-conditioned norms
+    (reference ``mk/transformer.py:766``): without ``cond`` it returns
+    the normed tensor; with ``cond`` it returns ``(h, layer_scale)``
+    for the residual gate."""
+
+    def __init__(self, norm, d_model, cond_dim=None):
+        if cond_dim is not None:
+            self.norm = CondLayerNorm(
+                d_model, cond_dim, layer_scale=True)
+        else:
+            self.norm = _make_norm(norm, d_model)
+        self._conditional = cond_dim is not None
+
+    def forward(self, inputs, cond=None):
+        if self._conditional:
+            h, layer_scale = self.norm(inputs, cond=cond)
+            if cond is None:
+                return h
+            return h, layer_scale
+        assert cond is None, 'norm built without cond_dim'
+        return self.norm(inputs)
+
+
 class TransformerEncoderLayer(Module):
     def __init__(self, d_model, num_heads, d_ff=None, dropout=0.0,
                  use_rope=True, norm='layer_norm', pre_norm=True,
@@ -688,6 +761,11 @@ class TransformerEncoderLayer(Module):
                 self.norm2, self._residual(x, drop(self.ffn(x))),
                 cond)[0]
         return x
+
+
+# Reference name (mk/transformer.py:787): the MLP+norm encoder
+# micro-layer the reference builds its encoder from.
+EncoderLayer = TransformerEncoderLayer
 
 
 class TransformerEncoder(Module):

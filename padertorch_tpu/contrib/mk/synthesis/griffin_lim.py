@@ -10,7 +10,84 @@ import jax.numpy as jnp
 from padertorch_tpu.contrib.mk.synthesis.base import Synthesis
 from padertorch_tpu.ops._stft import STFT
 
-__all__ = ['GriffinLim', 'FGLA']
+__all__ = ['GriffinLim', 'FGLA', 'reshape_complex', 'griffin_lim_step',
+           'fast_griffin_lim']
+
+
+def reshape_complex(signal, complex_representation):
+    """Complex array -> the given ``complex_representation`` layout
+    (reference parametric/griffin_lim.py:18): 'complex'/None pass
+    through, 'stacked' adds a trailing [real, imag] axis, 'concat'
+    concatenates real and imaginary halves on the last axis."""
+    if complex_representation in (None, 'complex'):
+        return signal
+    if complex_representation == 'stacked':
+        return jnp.stack((signal.real, signal.imag), axis=-1)
+    return jnp.concatenate((signal.real, signal.imag), axis=-1)
+
+
+def _to_complex(stft_signal, complex_representation):
+    if complex_representation in (None, 'complex'):
+        return stft_signal
+    if complex_representation == 'stacked':
+        return stft_signal[..., 0] + 1j * stft_signal[..., 1]
+    size = stft_signal.shape[-1]
+    return stft_signal[..., :size // 2] + 1j * stft_signal[..., size // 2:]
+
+
+def griffin_lim_step(a, reconstruction_stft, stft):
+    """One Griffin-Lim projection (reference :32): take the phase of
+    the current reconstruction, impose the target magnitude ``a``,
+    project onto the set of consistent spectrograms via iSTFT -> STFT.
+
+    Returns ``(stft_signal, audio)`` with ``stft_signal`` complex
+    regardless of the stft's ``complex_representation``.
+    """
+    rep = getattr(stft, 'complex_representation', None)
+    reconstruction_angle = jnp.angle(reconstruction_stft)
+    proposal_spec = a * jnp.exp(1.0j * reconstruction_angle)
+    audio = stft.inverse(reshape_complex(proposal_spec, rep))
+    stft_signal = _to_complex(stft(audio), rep)
+    return stft_signal, audio
+
+
+def fast_griffin_lim(a, stft, alpha=0.95, iterations=100, x=None,
+                     key=None):
+    """Functional fast Griffin-Lim (reference :77; Peer 2022): phase
+    retrieval from a magnitude spectrogram with momentum ``alpha``,
+    the whole iteration compiled as one ``lax.scan``.
+
+    Args:
+        a: magnitude spectrogram (..., frames, F).
+        stft: an :class:`~padertorch_tpu.ops.STFT` instance.
+        x: optional complex STFT initialization (e.g. from another
+            phase-retrieval algorithm); random phase otherwise.
+
+    Returns:
+        The reconstructed time signal (..., T).
+    """
+    rep = getattr(stft, 'complex_representation', None)
+    a = jnp.asarray(a)
+    if x is None:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        phase = jax.random.uniform(
+            key, a.shape, minval=-jnp.pi, maxval=jnp.pi)
+        x = a * jnp.exp(1.0j * phase)
+    else:
+        x = _to_complex(jnp.asarray(x), rep)
+
+    def step(carry, _):
+        spec, prev = carry
+        projected, _ = griffin_lim_step(a, spec, stft)
+        # momentum acceleration (FGLA)
+        accelerated = projected + alpha * (projected - prev)
+        return (accelerated, projected), None
+
+    (spec, projected), _ = jax.lax.scan(
+        step, (x, x), None, length=iterations)
+    final = a * jnp.exp(1.0j * jnp.angle(projected))
+    return stft.inverse(reshape_complex(final, rep))
 
 
 class GriffinLim(Synthesis):

@@ -26,8 +26,8 @@ from padertorch_tpu.base import Module
 from padertorch_tpu import random as ptrandom
 from padertorch_tpu.contrib.mk.synthesis.base import Synthesis
 
-__all__ = ['ParallelWaveGANGenerator', 'PWGVocoder',
-           'load_pwg_generator']
+__all__ = ['ParallelWaveGANGenerator', 'PWGVocoder', 'Vocoder',
+           'load_pwg_generator', 'load_vocoder_model']
 
 
 class _ResidualBlock(Module):
@@ -326,3 +326,56 @@ class PWGVocoder(Synthesis):
         if self.postprocessing is not None:
             y = self.postprocessing(y)
         return y[0] if squeeze else y
+
+
+# Reference name (mk/synthesis/vocoder/pwg.py:179): the kan-bayashi
+# vocoder wrapper.  The download machinery is omitted (zero-egress
+# environment) — point ``checkpoint_dir`` at a local copy instead.
+Vocoder = PWGVocoder
+
+
+def load_vocoder_model(vocoder_base_path, config_name='config.yml',
+                       vocoder_stats='stats.npy',
+                       vocoder_checkpoint=None, consider_mpi=False):
+    """Load a pre-trained kan-bayashi ``parallel_wavegan`` vocoder from
+    a local directory (reference pwg.py:107).
+
+    Args:
+        vocoder_base_path: directory with checkpoint/config/stats.
+        config_name: config filename inside the directory.
+        vocoder_stats: normalization statistics filename (``.npy`` with
+            rows [mean, scale]; the reference's ``stats.h5`` needs h5py,
+            which is optional here).
+        vocoder_checkpoint: checkpoint filename; latest ``*.pkl`` when
+            None.
+        consider_mpi: accepted for signature parity; moot under
+            single-controller JAX (documented in ``doc/parallel.md``).
+
+    Returns:
+        ``(generator, sampling_rate)``.
+    """
+    del consider_mpi
+    base = Path(vocoder_base_path)
+    if vocoder_checkpoint is None:
+        pkls = sorted(base.glob('*.pkl'))
+        assert pkls, f'no *.pkl checkpoint in {base}'
+        checkpoint = pkls[-1]
+    else:
+        checkpoint = base / vocoder_checkpoint
+    config = {}
+    sampling_rate = 22050
+    cfg_file = base / config_name
+    if cfg_file.exists():
+        try:
+            import yaml
+            config = yaml.safe_load(cfg_file.read_text()) or {}
+            sampling_rate = int(config.get('sampling_rate', sampling_rate))
+        except ImportError:
+            pass
+    generator = load_pwg_generator(checkpoint, config)
+    stats_file = base / vocoder_stats
+    if stats_file.exists() and stats_file.suffix == '.npy':
+        stats = np.load(stats_file)
+        generator.register_buffer('mean', jnp.asarray(stats[0]))
+        generator.register_buffer('scale', jnp.asarray(stats[1]))
+    return generator, sampling_rate
