@@ -7,9 +7,12 @@ separation recipes.
 """
 import argparse
 import json
+import re
 from pathlib import Path
 
-__all__ = ['create_database_dict', 'check_audio_files_exist', 'main']
+__all__ = ['create_database_dict', 'check_audio_files_exist', 'main',
+           'get_transcriptions', 'normalize_transcription',
+           'load_spk2gender']
 
 DATASET_NAMES = {
     'tr': 'mix_{k}_spk_min_tr',
@@ -44,6 +47,85 @@ def create_database_dict(mix_root, num_speakers=2, sample_rate=8000):
             }
         datasets[name_template.format(k=num_speakers)] = examples
     return {'datasets': datasets}
+
+
+def normalize_transcription(transcriptions, noise_word='<NOISE>'):
+    """Clean raw WSJ transcripts the way Kaldi does (reference
+    ``create_json.py:76``).  The reference downloads and shells out to
+    Kaldi's ``normalize_transcript.pl``; this is the same rule set
+    executed in-process (no Perl, no network):
+
+    * upcase; drop backslashes; ``%PERCENT``/``.POINT`` -> words
+    * positional noise markers ``[<w]``/``[w>]``/``[w/]``/``[/w]``,
+      the truncation mark ``~`` and the pause mark ``.`` are deleted
+    * other bracketed noises ``[w]`` -> ``noise_word``
+    * verbally-deleted-but-pronounced ``<word>`` -> ``word``
+    * ``--DASH`` -> ``-DASH``
+
+    >>> normalize_transcription({'u1': 'the [loud_breath] ~ <and> . --DASH cat\\\\'})
+    {'u1': 'THE <NOISE> AND -DASH CAT'}
+    """
+    result = {}
+    for utt_id, trans in transcriptions.items():
+        words = []
+        for w in trans.split():
+            w = w.upper().replace('\\', '')
+            if w == '%PERCENT':
+                w = 'PERCENT'
+            elif w == '.POINT':
+                w = 'POINT'
+            if (re.fullmatch(r'\[<\w+\]', w)
+                    or re.fullmatch(r'\[\w+>\]', w)
+                    or re.fullmatch(r'\[\w+/\]', w)
+                    or re.fullmatch(r'\[/\w+\]', w)
+                    or w in ('~', '.')):
+                continue
+            if re.fullmatch(r'\[\w+\]', w):
+                words.append(noise_word)
+                continue
+            m = re.fullmatch(r"<([\w']+)>", w)
+            if m:
+                words.append(m.group(1))
+                continue
+            if w == '--DASH':
+                words.append('-DASH')
+                continue
+            words.append(w)
+        result[utt_id] = ' '.join(words)
+    return result
+
+
+def get_transcriptions(wsj0_root):
+    """Collect per-utterance transcripts from WSJ ``*.dot``/``*.ptx``
+    files (reference ``create_json.py:100``): lines are
+    ``<transcript> (<utt_id>)``; ``.ptx`` files are only used when no
+    sibling ``.dot`` exists."""
+    wsj0_root = Path(wsj0_root)
+    word = {}
+    dot_files = list(wsj0_root.rglob('*.dot'))
+    ptx_files = [
+        p for p in wsj0_root.rglob('*.ptx')
+        if Path(str(p).replace('.ptx', '.dot')) not in dot_files
+    ]
+    for file_path in dot_files + ptx_files:
+        matches = re.findall(
+            r'^(.+)\s+\((\S+)\)$', file_path.read_text(), flags=re.M)
+        word.update({utt_id: trans for trans, utt_id in matches})
+    return normalize_transcription(word)
+
+
+def load_spk2gender(spk2gender_file):
+    """Parse a Kaldi ``spk2gender`` file into
+    ``{speaker: 'male'|'female'}`` (reference ``create_json.py:117``)."""
+    spk2gender = {}
+    with Path(spk2gender_file).open() as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            spk2gender[parts[0]] = (
+                'male' if parts[1].lower() == 'm' else 'female')
+    return spk2gender
 
 
 def check_audio_files_exist(database_dict, speedup=None):

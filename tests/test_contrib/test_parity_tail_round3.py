@@ -193,3 +193,43 @@ class TestLdrudeLazyObserver:
         obs = FakeExperiment.observers[-1]
         with pytest.raises(ValueError):
             obs.basedir
+
+
+class TestWsj0MixCreationHelpers:
+    def test_normalize_transcription_kaldi_rules(self):
+        from padertorch_tpu.contrib.data.wsj0_mix import (
+            normalize_transcription)
+        raw = {
+            'u1': 'the [loud_breath] cat',
+            'u2': '[<door_slam] word [door_slam>] ~ .',
+            'u3': '<and> %percent .point --DASH',
+            'u4': 'back\\slash [phone_ring/] [/phone_ring]',
+        }
+        out = normalize_transcription(raw)
+        assert out['u1'] == 'THE <NOISE> CAT'
+        assert out['u2'] == 'WORD'
+        assert out['u3'] == 'AND PERCENT POINT -DASH'
+        assert out['u4'] == 'BACKSLASH'
+
+    def test_get_transcriptions_dot_over_ptx(self, tmp_path):
+        from padertorch_tpu.contrib.data.wsj0_mix import get_transcriptions
+        d = tmp_path / 'wsj0' / 'si_tr_s' / '011'
+        d.mkdir(parents=True)
+        (d / 'a.dot').write_text(
+            'the quick fox (utt1)\nhello [loud_breath] world (utt2)\n')
+        # sibling ptx is ignored; standalone ptx is used
+        (d / 'a.ptx').write_text('SHOULD BE IGNORED (utt1)\n')
+        (d / 'b.ptx').write_text('only in ptx (utt3)\n')
+        out = get_transcriptions(tmp_path / 'wsj0')
+        assert out == {
+            'utt1': 'THE QUICK FOX',
+            'utt2': 'HELLO <NOISE> WORLD',
+            'utt3': 'ONLY IN PTX',
+        }
+
+    def test_load_spk2gender(self, tmp_path):
+        from padertorch_tpu.contrib.data.wsj0_mix import load_spk2gender
+        f = tmp_path / 'spk2gender'
+        f.write_text('011 m\n012 F\n\n013 f\n')
+        assert load_spk2gender(f) == {
+            '011': 'male', '012': 'female', '013': 'female'}
