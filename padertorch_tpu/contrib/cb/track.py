@@ -36,6 +36,7 @@ __all__ = [
     'CPUMemTracker',
     'DeviceMemTracker',
     'GPUMemTracker',
+    'OBackwardMemTracker',
     'GPUTotPreMemTracker',
     'GPUTotPostMemTracker',
     'tracker_list',
@@ -227,6 +228,35 @@ class DeviceMemTracker(Tracker):
 # Reference names (cb/track.py:565): on TPU "GPU memory" is the
 # accelerator memory tracked by DeviceMemTracker.
 GPUMemTracker = DeviceMemTracker
+
+
+class OBackwardMemTracker(Tracker):
+    """Memory of the output *gradients* (cotangents) per module call
+    (reference ``cb/track.py:787`` — there a torch ``register_hook``
+    on every output tensor that requires grad, recording each grad's
+    byte size during backward).
+
+    Under JAX reverse-mode AD a cotangent has exactly the shape and
+    dtype of its primal, and only inexact (floating/complex) leaves
+    participate, so the sizes torch measures at backward time are
+    static properties of the forward output — reported here without
+    running a backward pass.  Matches the reference's per-tensor
+    ``'a + b B'`` formatting and its ``'Missing'`` placeholder when no
+    output participates in AD.
+    """
+    header = 'out grad mem'
+
+    def post(self, module, args, kwargs, output):
+        sizes = [
+            int(np.prod(np.shape(leaf))
+                * np.dtype(leaf.dtype).itemsize)
+            for leaf in jax.tree_util.tree_leaves(output)
+            if hasattr(leaf, 'dtype')
+            and np.issubdtype(np.dtype(leaf.dtype), np.inexact)
+        ]
+        if not sizes:
+            return 'Missing'
+        return ' + '.join(f'{s:_}' for s in sizes) + ' B'
 
 
 class GPUTotPreMemTracker(Tracker):

@@ -36,7 +36,53 @@ from padertorch_tpu.contrib.mk.synthesis.vocoder.bigvgan_activation import (
 
 __all__ = ['AMPBlock1', 'AMPBlock2', 'BigVGANGenerator',
            'BigVGANVocoder', 'load_bigvgan_generator',
-           'slaney_mel_filterbank', 'mel_spectrogram']
+           'slaney_mel_filterbank', 'mel_spectrogram',
+           'get_mel_spectrogram', 'dynamic_range_compression',
+           'dynamic_range_decompression', 'spectral_normalize',
+           'spectral_de_normalize', 'AttrDict',
+           'load_hparams_from_json', 'get_padding', 'MAX_WAV_VALUE']
+
+# int16 full-scale the NVIDIA pipeline normalizes by
+# (ref ``nvidia_bigvgan/meldataset.py:21`` — 32767, not 32768, to
+# avoid overflow pops on full-scale samples)
+MAX_WAV_VALUE = 32767.0
+
+
+class AttrDict(dict):
+    """Hyperparameter dict with attribute access
+    (ref ``nvidia_bigvgan/env.py:8``)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.__dict__ = self
+
+
+def load_hparams_from_json(path) -> 'AttrDict':
+    """Read an NVIDIA BigVGAN ``config.json`` into an :class:`AttrDict`
+    (ref ``nvidia_bigvgan/bigvgan.py:25``)."""
+    return AttrDict(json.loads(Path(path).read_text()))
+
+
+def dynamic_range_compression(x, C=1, clip_val=1e-5):
+    """``log(clip(x) * C)`` (ref ``meldataset.py:24``; the torch and
+    numpy variants collapse to one jnp implementation here)."""
+    return jnp.log(jnp.clip(jnp.asarray(x), clip_val, None) * C)
+
+
+def dynamic_range_decompression(x, C=1):
+    """Inverse of :func:`dynamic_range_compression`
+    (ref ``meldataset.py:28``)."""
+    return jnp.exp(jnp.asarray(x)) / C
+
+
+def spectral_normalize(magnitudes):
+    """ref ``meldataset.py:40`` (``spectral_normalize_torch``)."""
+    return dynamic_range_compression(magnitudes)
+
+
+def spectral_de_normalize(magnitudes):
+    """ref ``meldataset.py:44`` (``spectral_de_normalize_torch``)."""
+    return dynamic_range_decompression(magnitudes)
 
 
 def slaney_mel_filterbank(sr, n_fft, n_mels, fmin=0.0, fmax=None):
@@ -121,9 +167,22 @@ def mel_spectrogram(y, n_fft, num_mels, sampling_rate, hop_size,
     return out[0] if squeeze else out
 
 
-def _get_padding(kernel_size, dilation=1):
-    """Same-padding for odd kernels (ref ``nvidia_bigvgan/utils.py``)."""
+def get_mel_spectrogram(wav, h):
+    """Mel spectrogram from hyperparameter object ``h`` with attributes
+    ``n_fft/num_mels/sampling_rate/hop_size/win_size/fmin/fmax``
+    (ref ``meldataset.py:124``; pairs with :func:`load_hparams_from_json`).
+    """
+    return mel_spectrogram(
+        wav, h.n_fft, h.num_mels, h.sampling_rate, h.hop_size,
+        h.win_size, h.fmin, h.fmax)
+
+
+def get_padding(kernel_size, dilation=1):
+    """Same-padding for odd kernels (ref ``nvidia_bigvgan/utils.py:58``)."""
     return (kernel_size * dilation - dilation) // 2
+
+
+_get_padding = get_padding
 
 
 def _make_activation(activation, channels, snake_logscale):

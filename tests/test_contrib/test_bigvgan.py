@@ -359,3 +359,45 @@ def test_mel_spectrogram_feeds_vocoder():
     wav = g(np.asarray(mel)[None])
     assert wav.shape == (1, 1, mel.shape[-1] * 64)
 
+
+
+def test_nvidia_hparams_compat_tail(tmp_path):
+    """AttrDict / load_hparams_from_json / get_mel_spectrogram /
+    dynamic range helpers (ref nvidia_bigvgan/{env.py:8,bigvgan.py:25,
+    meldataset.py:24-44,124})."""
+    import json
+    from padertorch_tpu.contrib.mk.synthesis.vocoder.bigvgan import (
+        AttrDict, load_hparams_from_json, get_mel_spectrogram,
+        mel_spectrogram, dynamic_range_compression,
+        dynamic_range_decompression, spectral_normalize,
+        spectral_de_normalize, get_padding, MAX_WAV_VALUE)
+
+    h = AttrDict(n_fft=256, num_mels=8, sampling_rate=8000,
+                 hop_size=64, win_size=256, fmin=0, fmax=4000)
+    assert h.n_fft == h['n_fft'] == 256
+
+    (tmp_path / 'config.json').write_text(json.dumps(dict(h)))
+    h2 = load_hparams_from_json(tmp_path / 'config.json')
+    assert h2.hop_size == 64
+
+    y = np.random.RandomState(0).randn(1, 2048).astype('float32') * 0.1
+    got = np.asarray(get_mel_spectrogram(y, h))
+    want = np.asarray(mel_spectrogram(
+        y, h.n_fft, h.num_mels, h.sampling_rate, h.hop_size,
+        h.win_size, h.fmin, h.fmax))
+    np.testing.assert_array_equal(got, want)
+    assert got.shape == (1, 8, want.shape[-1])
+
+    x = np.abs(np.random.RandomState(1).randn(32)).astype('float32') + 0.1
+    # log <-> exp roundtrip (loose tol: TPU transcendentals)
+    np.testing.assert_allclose(
+        np.asarray(dynamic_range_decompression(
+            dynamic_range_compression(x))), x, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(spectral_de_normalize(spectral_normalize(x))),
+        x, rtol=1e-3)
+    # clip floor: values below clip_val compress to log(clip_val)
+    lo = np.asarray(dynamic_range_compression(np.float32(1e-9)))
+    np.testing.assert_allclose(lo, np.log(1e-5), rtol=1e-4)
+    assert get_padding(3) == 1 and get_padding(3, 5) == 5
+    assert MAX_WAV_VALUE == 32767.0

@@ -94,6 +94,33 @@ def test_memory_trackers_report():
     assert '112 / 1_792 / 1_280 B' in text, text
 
 
+def test_obackward_mem_tracker():
+    from padertorch_tpu import nn, random as ptrandom
+    from padertorch_tpu.contrib.cb.track import track, OBackwardMemTracker
+    ptrandom.seed(0)
+    net = nn.Sequential(nn.Linear(4, 64), nn.ReLU(), nn.Linear(64, 2))
+    with track(net, trackers=[OBackwardMemTracker()]) as report:
+        _ = net(jnp.ones((7, 4)))
+    text = str(report)
+    assert 'out grad mem' in text
+    # first Linear output cotangent: 7*64*4 bytes; head: 7*2*4 bytes
+    assert '1_792 B' in text, text
+    assert '56 B' in text, text
+
+
+def test_obackward_mem_tracker_missing_for_integer_outputs():
+    from padertorch_tpu.contrib.cb.track import OBackwardMemTracker
+    from padertorch_tpu.module import Module
+
+    class Argmax(Module):
+        def forward(self, x):
+            return jnp.argmax(x, axis=-1)
+
+    t = OBackwardMemTracker()
+    out = jnp.argmax(jnp.ones((3, 4)), axis=-1)
+    assert t.post(Argmax(), (jnp.ones((3, 4)),), {}, out) == 'Missing'
+
+
 def test_device_tracker_reports_placement():
     from padertorch_tpu import nn, random as ptrandom
     from padertorch_tpu.contrib.cb.track import track, DeviceTracker
