@@ -24,6 +24,23 @@ from . import data
 from .train import DistanceEstimator, QUANT_STEP, D_MIN
 
 
+def get_pseudo_acc(summary):
+    """Per-example +-1-class pseudo-accuracy from a summary dict with
+    ``target``/``est_cls`` arrays (reference ``evaluate.py:74`` — there
+    it pops both keys from the summary; same here).
+
+    >>> get_pseudo_acc({'target': [3, 4, 7], 'est_cls': [3, 5, 1]})
+    array([ True,  True, False])
+    """
+    target = np.asarray(summary.pop('target'))
+    est_cls = np.asarray(summary.pop('est_cls'))
+    return (
+        (est_cls == target)
+        | (est_cls == target - 1)
+        | (est_cls == target + 1)
+    )
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--model_path', required=True)

@@ -19,6 +19,38 @@ NUM_MELS = 64
 SAMPLE_RATE = 16000
 
 
+def train_test_split(dataset, dev_split=0.1, test_split=0.1, seed=0):
+    """Random index split of an indexable dataset into
+    (train, dev, test) (reference ``supervised/data.py:48``: draw the
+    test indices first, then the dev indices from the remainder).
+
+    >>> from padertorch_tpu.data import dataset as lazy
+    >>> ds = lazy.from_list([{'i': i} for i in range(20)])
+    >>> tr, dev, te = train_test_split(ds, dev_split=0.2, test_split=0.2)
+    >>> len(tr), len(dev), len(te)
+    (12, 4, 4)
+    >>> sorted(e['i'] for s in (tr, dev, te) for e in s) == list(range(20))
+    True
+    """
+    r = np.random.RandomState(seed)
+    try:
+        num_examples = len(dataset)
+    except TypeError:
+        raise RuntimeError('dataset must be indexable!')
+    indices = np.arange(num_examples)
+    dev_size = int(num_examples * dev_split)
+    test_size = int(num_examples * test_split)
+    test_candidates = r.choice(indices, size=test_size, replace=False)
+    indices = np.delete(indices, test_candidates)
+    dev_candidates = r.choice(indices, size=dev_size, replace=False)
+    train_candidates = np.setdiff1d(indices, dev_candidates)
+    return (
+        dataset[[int(i) for i in train_candidates]],
+        dataset[[int(i) for i in dev_candidates]],
+        dataset[[int(i) for i in test_candidates]],
+    )
+
+
 def synthetic_database(num_speakers=8, per_speaker=12, num_samples=8000,
                        seed=0):
     """Speaker-colored noise database for smoke runs: each speaker has a

@@ -16,6 +16,38 @@ from padertorch_tpu.data import collate_fn
 from padertorch_tpu.testing import MnistDatabase
 
 
+class FeedForwardNet(pt.Module):
+    """Two-layer perceptron (ref ``mnist_example.py:29``).
+
+    >>> ptrandom.seed(0)
+    >>> net = FeedForwardNet(layer_size=32)
+    >>> net(jnp.ones((2, 28, 28))).shape
+    (2, 10)
+    """
+
+    def __init__(self, layer_size=800):
+        self.layer_size = layer_size
+        self.fc1 = nn.Linear(28 * 28, layer_size)
+        self.fc2 = nn.Linear(layer_size, 10)
+
+    def forward(self, x):
+        x = jnp.reshape(x, (-1, 28 * 28))
+        return self.fc2(jax.nn.relu(self.fc1(x)))
+
+
+def cnt_params(net):
+    """Total parameter count (ref ``mnist_example.py:83``).
+
+    >>> ptrandom.seed(0)
+    >>> cnt_params(FeedForwardNet(layer_size=800))
+    636010
+    """
+    from padertorch_tpu.module import partition
+    params, _ = partition(net)
+    return sum(int(np.prod(np.shape(leaf)))
+               for leaf in jax.tree_util.tree_leaves(params))
+
+
 class MnistModel(pt.Model):
     @classmethod
     def finalize_dogmatic_config(cls, config):
@@ -39,6 +71,11 @@ class MnistModel(pt.Model):
         accuracy = jnp.mean(
             (jnp.argmax(outputs, -1) == digits).astype('float32'))
         return {'loss': ce, 'scalars': {'accuracy': accuracy}}
+
+
+# Reference name (mnist_example.py:45): the Model wrapper around a
+# plain net — same net-in-constructor shape as MnistModel.
+PadertorchModel = MnistModel
 
 
 def get_datasets(batch_size=32):
