@@ -40,7 +40,9 @@ __all__ = ['AMPBlock1', 'AMPBlock2', 'BigVGANGenerator',
            'get_mel_spectrogram', 'dynamic_range_compression',
            'dynamic_range_decompression', 'spectral_normalize',
            'spectral_de_normalize', 'AttrDict',
-           'load_hparams_from_json', 'get_padding', 'MAX_WAV_VALUE']
+           'load_hparams_from_json', 'get_padding', 'MAX_WAV_VALUE',
+           'init_weights', 'scan_checkpoint', 'save_audio',
+           'plot_spectrogram', 'plot_spectrogram_clipped']
 
 # int16 full-scale the NVIDIA pipeline normalizes by
 # (ref ``nvidia_bigvgan/meldataset.py:21`` — 32767, not 32768, to
@@ -183,6 +185,64 @@ def get_padding(kernel_size, dilation=1):
 
 
 _get_padding = get_padding
+
+
+def init_weights(m, mean=0.0, std=0.01, key=None):
+    """Re-initialize a conv module's weight from N(mean, std)
+    (ref ``nvidia_bigvgan/utils.py:46``; there an in-place torch
+    ``.data.normal_``, here a fresh sample assigned functionally —
+    pass ``key`` for determinism, else a fixed seed is used)."""
+    if 'Conv' in type(m).__name__ and hasattr(m, 'weight'):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        m.weight = mean + std * jax.random.normal(
+            key, jnp.shape(m.weight), jnp.result_type(m.weight))
+    return m
+
+
+def scan_checkpoint(cp_dir, prefix, renamed_file=None):
+    """Newest ``<prefix>????????`` checkpoint in ``cp_dir``, falling
+    back to ``renamed_file`` (ref ``nvidia_bigvgan/utils.py:76``)."""
+    import glob
+    import os
+    cp_list = glob.glob(os.path.join(str(cp_dir), prefix + '????????'))
+    if cp_list:
+        return sorted(cp_list)[-1]
+    if renamed_file:
+        renamed_path = os.path.join(str(cp_dir), renamed_file)
+        if os.path.isfile(renamed_path):
+            return renamed_path
+    return None
+
+
+def save_audio(audio, path, sr):
+    """Write a [-1, 1] float waveform as 16-bit PCM
+    (ref ``nvidia_bigvgan/utils.py:96``)."""
+    from scipy.io.wavfile import write
+    audio = np.asarray(audio) * MAX_WAV_VALUE
+    write(path, sr, audio.astype('int16'))
+
+
+def plot_spectrogram(spectrogram, clip_max=None):
+    """Matplotlib figure of a spectrogram
+    (ref ``nvidia_bigvgan/utils.py:17``); returns the figure for the
+    summary-hook ``figures`` channel."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(10, 2))
+    kwargs = {} if clip_max is None else dict(vmin=1e-6, vmax=clip_max)
+    im = ax.imshow(np.asarray(spectrogram), aspect='auto',
+                   origin='lower', interpolation='none', **kwargs)
+    plt.colorbar(im, ax=ax)
+    fig.canvas.draw()
+    plt.close(fig)
+    return fig
+
+
+def plot_spectrogram_clipped(spectrogram, clip_max=2.0):
+    """ref ``nvidia_bigvgan/utils.py:28``."""
+    return plot_spectrogram(spectrogram, clip_max=clip_max)
 
 
 def _make_activation(activation, channels, snake_logscale):

@@ -401,3 +401,47 @@ def test_nvidia_hparams_compat_tail(tmp_path):
     np.testing.assert_allclose(lo, np.log(1e-5), rtol=1e-4)
     assert get_padding(3) == 1 and get_padding(3, 5) == 5
     assert MAX_WAV_VALUE == 32767.0
+
+
+def test_nvidia_utils_tail(tmp_path):
+    """init_weights / scan_checkpoint / save_audio / plot_spectrogram
+    (ref nvidia_bigvgan/utils.py:17-100)."""
+    from padertorch_tpu.contrib.mk.synthesis.vocoder.bigvgan import (
+        init_weights, scan_checkpoint, save_audio, plot_spectrogram,
+        MAX_WAV_VALUE)
+    from padertorch_tpu import nn, random as ptrandom
+    import jax
+
+    ptrandom.seed(0)
+    conv = nn.Conv1d(4, 4, 3)
+    before = np.asarray(conv.weight).copy()
+    init_weights(conv, std=0.01, key=jax.random.PRNGKey(1))
+    after = np.asarray(conv.weight)
+    assert not np.allclose(before, after)
+    assert np.std(after) < 0.05  # drew from N(0, 0.01)
+    # non-conv modules untouched
+    lin = nn.Linear(4, 4)
+    w = np.asarray(lin.weight).copy()
+    init_weights(lin)
+    np.testing.assert_array_equal(np.asarray(lin.weight), w)
+
+    # checkpoint scanning: newest 8-digit suffix wins, renamed fallback
+    (tmp_path / 'g_00000001').touch()
+    (tmp_path / 'g_00000005').touch()
+    assert scan_checkpoint(tmp_path, 'g_').endswith('g_00000005')
+    assert scan_checkpoint(tmp_path, 'x_') is None
+    (tmp_path / 'renamed.pt').touch()
+    got = scan_checkpoint(tmp_path, 'x_', renamed_file='renamed.pt')
+    assert got.endswith('renamed.pt')
+
+    # wav roundtrip at int16 scale
+    from scipy.io.wavfile import read
+    wav = np.sin(np.linspace(0, 20, 400)).astype('float32') * 0.5
+    save_audio(wav, tmp_path / 'a.wav', 16000)
+    sr, back = read(tmp_path / 'a.wav')
+    assert sr == 16000
+    np.testing.assert_allclose(
+        back / MAX_WAV_VALUE, wav, atol=1.0 / MAX_WAV_VALUE)
+
+    fig = plot_spectrogram(np.random.rand(8, 20))
+    assert fig is not None
