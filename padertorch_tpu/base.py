@@ -111,9 +111,19 @@ class Model(Module):
 
         Functional twist on reference ``base.py:123``: returns the loaded
         module instead of mutating (pytrees are immutable under jit).
+
+        ``consider_mpi=True`` (reference parity: ``base.py:152-165``):
+        in a ``jax.distributed`` run, process 0 reads the checkpoint and
+        the bytes are broadcast to all processes.
         """
-        del consider_mpi
         from padertorch_tpu.serialize import load_state
+        if consider_mpi:
+            from padertorch_tpu.parallel import multihost
+            if multihost.process_count() > 1:
+                state = multihost.load_state_broadcast(checkpoint_path)
+                if in_checkpoint_path:
+                    state = get_by_path(state, in_checkpoint_path)
+                return load_state_dict(self, state)
         state = load_state(checkpoint_path)
         if in_checkpoint_path:
             state = get_by_path(state, in_checkpoint_path)

@@ -622,11 +622,25 @@ class Configurable:
             config_path: path to ``config.json`` / ``config.yaml``.
             in_config_path: dotted path inside the file, e.g.
                 ``'trainer.model'``.
-            consider_mpi: accepted for reference API parity; under JAX's
-                single-controller model, every process reads the file.
+            consider_mpi: multi-controller analog of the reference's
+                MPI broadcast (``padertorch/configurable.py:510-517``):
+                in a ``jax.distributed`` run, process 0 reads the file
+                and the text is broadcast — workers never touch the
+                storage filesystem.
         """
-        del consider_mpi
-        from padertorch_tpu.io import load_config
+        from padertorch_tpu.io import load_config, loads_config
+        if consider_mpi:
+            from padertorch_tpu.parallel import multihost
+            if multihost.process_count() > 1:
+                from pathlib import Path
+                fmt = Path(str(config_path)).suffix.lstrip('.') or 'json'
+                # reads on process 0 only; workers receive the bytes
+                text = multihost.read_and_broadcast(config_path)
+                config = loads_config(text.decode('utf-8'), format=fmt)
+                if in_config_path:
+                    from padertorch_tpu.utils.nested import get_by_path
+                    config = get_by_path(config, in_config_path)
+                return cls.from_config(config)
         config = load_config(config_path)
         if in_config_path:
             from padertorch_tpu.utils.nested import get_by_path

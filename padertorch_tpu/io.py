@@ -38,8 +38,22 @@ def get_new_subdir(
     ``padertorch/io.py:8``.  ``id_naming='index'`` yields 1, 2, 3, ...;
     ``id_naming='time'`` yields a timestamp.  Creation is race-safe:
     ``Path.mkdir`` is atomic, on collision the next index is tried.
+    ``consider_mpi=True`` (reference parity: ``padertorch/io.py:60-66``)
+    makes this multi-controller-safe: in a ``jax.distributed`` run, only
+    process 0 creates the directory and the chosen path is broadcast, so
+    all processes agree on ONE experiment dir instead of each creating
+    its own index.
     """
-    del consider_mpi  # single-controller JAX: every process may create dirs
+    if consider_mpi:
+        from padertorch_tpu.parallel import multihost
+        if multihost.process_count() > 1:
+            path = None
+            if multihost.is_primary():
+                path = str(get_new_subdir(
+                    basedir, id_naming=id_naming, mkdir=mkdir,
+                    prefix=prefix, suffix=suffix, consider_mpi=False,
+                ))
+            return Path(multihost.broadcast_obj(path))
     basedir = Path(basedir).expanduser().resolve()
     if mkdir:
         basedir.mkdir(parents=True, exist_ok=True)

@@ -29,3 +29,13 @@ from padertorch_tpu.parallel.expert import (
     expert_parallel_ffn,
     init_moe_params,
 )
+from padertorch_tpu.parallel import multihost
+from padertorch_tpu.parallel.multihost import (
+    process_index,
+    process_count,
+    is_primary,
+    barrier,
+    broadcast_bytes,
+    broadcast_obj,
+    fetch_global,
+)

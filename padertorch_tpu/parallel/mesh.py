@@ -142,6 +142,11 @@ class DataParallel:
         self.fsdp = fsdp
 
     def shard(self, example):
+        if jax.process_count() > 1:
+            # multi-controller: this process's pipeline produced only the
+            # LOCAL slice of the global batch; assemble the globally
+            # sharded array without gathering through any single host
+            return shard_host_local_batch(example, self.mesh, self.axis)
         return shard_batch(example, self.mesh, self.axis)
 
     def replicate(self, tree):

@@ -81,8 +81,13 @@ def dump_state(state, path):
 
 
 def load_state(path):
-    """Load a state written by :func:`dump_state`."""
-    path = Path(path)
+    """Load a state written by :func:`dump_state`.
+
+    ``path`` may also be a file-like object (e.g. a ``BytesIO`` of
+    broadcast checkpoint bytes in multi-process runs).
+    """
+    if not hasattr(path, 'read'):
+        path = Path(path)
     with zipfile.ZipFile(path, 'r') as zf:
         magic = zf.read('MAGIC').decode()
         if magic != _MAGIC:

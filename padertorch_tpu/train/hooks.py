@@ -114,6 +114,19 @@ def _remove_checkpoint(path):
         path.unlink()
 
 
+def _is_primary():
+    """True on the process that owns host-side writes (process 0).
+
+    Multi-controller runs (``jax.distributed``) execute every hook on
+    every process so the hook STATE stays in lockstep; only the actual
+    file writes (checkpoint pruning, ranking json, symlinks, tfevents)
+    are primary-only.  Reference analog: rank-0-gated MPI IO
+    (``padertorch/base.py:152-165``).
+    """
+    from padertorch_tpu.parallel import multihost
+    return multihost.is_primary()
+
+
 def _fetch(value):
     """Device array -> numpy (a no-op for host values)."""
     import jax
@@ -389,7 +402,8 @@ class CheckpointHook(TriggeredHook):
 
     def _save_latest_checkpoint(self, trainer):
         checkpoint_path = trainer.default_checkpoint_path()
-        checkpoint_path.parent.mkdir(parents=True, exist_ok=True)
+        if _is_primary():
+            checkpoint_path.parent.mkdir(parents=True, exist_ok=True)
         trainer.save_checkpoint()
 
     def pre_step(self, trainer):
@@ -545,8 +559,13 @@ class ValidationHook(SummaryHook):
             # (orbax trainers use .orbax, not CKPT_EXT)
             ext = Path(ckpt_name).suffix or CKPT_EXT
             latest = ckpt_dir / f'ckpt_latest{ext}'
-            latest_target = latest.resolve().name \
-                if latest.is_symlink() else None
+            # resolve on the primary only and broadcast: workers may not
+            # see the storage FS, and the pruning DECISION must be
+            # identical on every process (hook state stays in lockstep)
+            from padertorch_tpu.parallel import multihost
+            latest_target = multihost.broadcast_obj(
+                latest.resolve().name
+                if _is_primary() and latest.is_symlink() else None)
             kept = []
             for index, (name, value) in enumerate(self.ckpt_ranking):
                 if (index < self.max_checkpoints
@@ -555,7 +574,8 @@ class ValidationHook(SummaryHook):
                     kept.append((name, value))
                     continue
                 stale = ckpt_dir / name
-                if stale.exists():  # backoff may have removed it already
+                # backoff may have removed it already
+                if _is_primary() and stale.exists():
                     _remove_checkpoint(stale)
             self.ckpt_ranking = kept
         if self.ckpt_ranking[0][0] == ckpt_name:
@@ -563,14 +583,15 @@ class ValidationHook(SummaryHook):
         else:
             self.n_degradations += 1
         # persist next to the checkpoints (reference layout:
-        # checkpoints/ckpt_ranking.json)
-        import json
-        ckpt_dir.mkdir(parents=True, exist_ok=True)
-        (ckpt_dir / 'ckpt_ranking.json').write_text(json.dumps({
-            'metric': self.metric,
-            'maximize': self.maximize,
-            'ranking': [list(pair) for pair in self.ckpt_ranking],
-        }, indent=2))
+        # checkpoints/ckpt_ranking.json); primary-only write
+        if _is_primary():
+            import json
+            ckpt_dir.mkdir(parents=True, exist_ok=True)
+            (ckpt_dir / 'ckpt_ranking.json').write_text(json.dumps({
+                'metric': self.metric,
+                'maximize': self.maximize,
+                'ranking': [list(pair) for pair in self.ckpt_ranking],
+            }, indent=2))
 
     def post_step(self, trainer, example, model_out, review):
         if trainer.iteration == self.last_validation:
@@ -581,6 +602,8 @@ class ValidationHook(SummaryHook):
             # ranked checkpoint exists on disk) needs it committed
             getattr(trainer, 'wait_for_checkpoint_writes',
                     lambda: None)()
+            if not _is_primary():
+                return  # FS checks + symlink are primary-only
             if not ckpt_path.exists():
                 raise RuntimeError(
                     'Before each validation the CheckpointHook has to '
@@ -603,7 +626,7 @@ class ValidationHook(SummaryHook):
             ) from None
 
     def close(self, trainer):
-        if trainer.checkpoint_dir.exists():
+        if _is_primary() and trainer.checkpoint_dir.exists():
             self.set_best_symlink(trainer.checkpoint_dir)
         ckpt_name = trainer.default_checkpoint_path().name
         if ckpt_name not in [c[0] for c in self.ckpt_ranking]:
@@ -662,20 +685,27 @@ class BackOffValidationHook(ValidationHook):
         best_ckpt = self.ckpt_ranking[0][0]
         print(f'Back off to {best_ckpt}.')
         ckpt_dir = trainer.checkpoint_dir
-        latest = (ckpt_dir / f'ckpt_latest{trainer.ckpt_ext}'
-                  ).absolute()
-        if latest.is_symlink():
-            latest.unlink()
-        latest.symlink_to(best_ckpt)
+        if _is_primary():
+            latest = (ckpt_dir / f'ckpt_latest{trainer.ckpt_ext}'
+                      ).absolute()
+            if latest.is_symlink():
+                latest.unlink()
+            latest.symlink_to(best_ckpt)
 
         best_iter = int(Path(best_ckpt).stem[len('ckpt_'):])
         for j in reversed(range(len(self.ckpt_ranking))):
             ckpt = self.ckpt_ranking[j][0]
             if int(Path(ckpt).stem[len('ckpt_'):]) > best_iter:
-                ckpt_path = ckpt_dir / ckpt
-                if ckpt_path.exists():
-                    _remove_checkpoint(ckpt_path)
-                    self.ckpt_ranking.pop(j)
+                # the ranking pop must happen on EVERY process (state
+                # lockstep); only the file removal is primary-gated
+                if _is_primary():
+                    ckpt_path = ckpt_dir / ckpt
+                    if ckpt_path.exists():
+                        _remove_checkpoint(ckpt_path)
+                self.ckpt_ranking.pop(j)
+        from padertorch_tpu.parallel import multihost
+        # the symlink repoint must commit before any process resolves it
+        multihost.barrier('back_off')
 
         remaining_back_offs = self.remaining_back_offs
         trainer.load_checkpoint()

@@ -592,21 +592,35 @@ class Trainer(Configurable):
         TPU, placement is controlled by ``sharding``.
         """
         del device
+        from padertorch_tpu.parallel import multihost
         if resume:
             assert resume is True, resume
             self.load_checkpoint()
         else:
-            assert not self.checkpoint_dir.exists(), (
-                'A checkpoint directory already exists. If you want to '
-                'restart the training set resume to True.'
-            )
+            if multihost.is_primary():
+                # primary-only: workers may lag behind the primary's
+                # first checkpoint write (and may not even see the FS)
+                assert not self.checkpoint_dir.exists(), (
+                    'A checkpoint directory already exists. If you want '
+                    'to restart the training set resume to True.'
+                )
+            multihost.barrier('fresh_start_check')
             self.iteration = 0
             self.epoch = 0
 
         self.model.train()
 
-        self.writer = self.writer_cls(str(self.storage_dir))
+        if multihost.is_primary():
+            self.writer = self.writer_cls(str(self.storage_dir))
+        else:
+            # multi-controller: exactly one tfevents writer (reference
+            # analog: rank-0-only IO, padertorch/base.py:152-165); hook
+            # STATE still updates on every process so resume stays in
+            # lockstep, only the write is a no-op.
+            self.writer = _NullWriter()
         hooks = [*self.hooks]
+        if progress_bar and not multihost.is_primary():
+            progress_bar = False
         if progress_bar:
             try:
                 max_it_len = len(train_dataset)
@@ -872,9 +886,13 @@ class Trainer(Configurable):
             except Exception:
                 return repr(obj)
 
+        from padertorch_tpu.parallel import multihost
+        suffix = (f'_p{multihost.process_index()}'
+                  if multihost.process_count() > 1 else '')
         written = []
         for k, v in data_dict.items():
-            p = self.storage_dir / folder / f'error_state_{k}{CKPT_EXT}'
+            p = (self.storage_dir / folder
+                 / f'error_state_{k}{suffix}{CKPT_EXT}')
             p.parent.mkdir(exist_ok=True, parents=True)
             try:
                 dump_state(degrade(v), p)
@@ -978,6 +996,19 @@ class Trainer(Configurable):
         # at most ONE write in flight: serializes async saves and makes
         # file pruning/reading after this call race-free
         self.wait_for_checkpoint_writes()
+        from padertorch_tpu.parallel import multihost
+        if multihost.process_count() > 1:
+            # multi-controller: fetch the state on ALL processes (the
+            # all-gather of cross-process-sharded ZeRO/FSDP leaves is a
+            # collective), then only process 0 writes; the barrier
+            # guarantees the file is committed before any process
+            # proceeds (a back-off reload may read it immediately).
+            state = multihost.fetch_global(self.state_dict())
+            if multihost.is_primary():
+                self._write_checkpoint(state, checkpoint_path,
+                                       self.iteration)
+            multihost.barrier('save_checkpoint')
+            return
         state = self.state_dict()
         if not self.async_checkpointing:
             self._write_checkpoint(state, checkpoint_path, self.iteration)
@@ -1061,6 +1092,39 @@ class Trainer(Configurable):
     def load_checkpoint(self, map_location=None):
         del map_location
         self.wait_for_checkpoint_writes()
+        from padertorch_tpu.parallel import multihost
+        if multihost.process_count() > 1:
+            # multi-controller resume: process 0 resolves + reads the
+            # checkpoint, the state is broadcast as bytes (reference
+            # analog: consider_mpi bcast, padertorch/base.py:152-165);
+            # workers never touch the storage filesystem.
+            if self.checkpoint_format != 'ptt':
+                raise NotImplementedError(
+                    'multi-process resume currently supports the ptt '
+                    'checkpoint format')
+            path = None
+            if multihost.is_primary():
+                path = self._resolve_checkpoint_path()
+            path = multihost.broadcast_obj(path)
+            # reads on process 0 only; workers receive the bytes
+            state = multihost.load_state_broadcast(path)
+            self.load_state_dict(state)
+            print(f'Loaded checkpoint {str(path)!r} '
+                  f'(iteration {self.iteration}, '
+                  f'process {multihost.process_index()})')
+            return
+        checkpoint_path = self._resolve_checkpoint_path()
+        if self.checkpoint_format == 'orbax':
+            from padertorch_tpu.serialize import load_state_orbax
+            self.load_state_dict(load_state_orbax(checkpoint_path))
+        else:
+            self.load_state_dict(load_state(checkpoint_path))
+        print(f'Loaded checkpoint {checkpoint_path!r} '
+              f'(iteration {self.iteration})')
+
+    def _resolve_checkpoint_path(self):
+        """Find the checkpoint to resume from (ckpt_latest, with a
+        fallback to the newest ckpt_<it> on a dangling symlink)."""
         # clean up partial writes of an interrupted save (tmp+rename
         # means a *.tmp* path is by definition incomplete); orbax tmp
         # writes are DIRECTORIES
@@ -1089,13 +1153,7 @@ class Trainer(Configurable):
             checkpoint_path = candidates[-1]
             print(f'WARNING: ckpt_latest{self.ckpt_ext} is missing or '
                   f'dangling; resuming from {checkpoint_path.name}')
-        if self.checkpoint_format == 'orbax':
-            from padertorch_tpu.serialize import load_state_orbax
-            self.load_state_dict(load_state_orbax(checkpoint_path))
-        else:
-            self.load_state_dict(load_state(checkpoint_path))
-        print(f'Loaded checkpoint {checkpoint_path!r} '
-              f'(iteration {self.iteration})')
+        return checkpoint_path
 
     # -- device parity (no-ops: XLA owns placement) ------------------------
     def to(self, device):
@@ -1150,6 +1208,16 @@ class MultiDeviceTrainer(Trainer):
 
     def to(self, device):
         return self
+
+
+class _NullWriter:
+    """No-op summary writer for non-primary processes (multi-controller
+    runs write tfevents from process 0 only)."""
+
+    def __getattr__(self, name):
+        if name.startswith('add_') or name in ('close', 'flush'):
+            return lambda *args, **kwargs: None
+        raise AttributeError(name)
 
 
 class InteractiveWriter:
