@@ -22,6 +22,7 @@ __all__ = [
     'input_si_sdr',
     'output_si_sdr',
     'mir_eval_sdr',
+    'bss_eval_sources',
     'InputMetrics',
     'OutputMetrics',
 ]
@@ -89,55 +90,147 @@ def input_si_sdr(observation, reference):
     ])
 
 
-def _bss_eval_projection(reference, estimate, filter_length=512):
-    """s_target via a time-invariant distortion filter (BSS eval style)."""
+def _bss_project(references, estimate, flen):
+    """Least-squares projection of ``estimate`` onto ``flen``-tap filtered
+    versions of ``references``; returns the FULL-length (n + flen - 1)
+    projection, like BSS-eval (Vincent/Gribonval/Fevotte 2006; the
+    algorithm of ``mir_eval.separation``'s time-invariant-filter
+    decomposition).
+
+    references: (nsrc, n); estimate: (n,).
+    """
     from scipy.signal import fftconvolve
-    n = len(reference)
-    # cross/auto correlations
-    lags = filter_length
-    r_full = fftconvolve(reference[::-1], reference)
-    c_full = fftconvolve(reference[::-1], estimate)
-    center = n - 1
-    # autocorrelation toeplitz matrix
-    from scipy.linalg import solve_toeplitz
-    r0 = r_full[center:center + lags]
-    r0 = r0 + 1e-10 * np.eye(1)[0, 0] * np.arange(lags, 0, -1) * 0
-    c = c_full[center:center + lags]
-    try:
-        h = solve_toeplitz((r_full[center:center + lags],
-                            r_full[center:center + lags]), c)
-    except np.linalg.LinAlgError:
-        h = np.linalg.lstsq(
-            _toeplitz_matrix(r_full, center, lags), c, rcond=None)[0]
-    s_target = fftconvolve(reference, h)[:n]
-    return s_target
-
-
-def _toeplitz_matrix(r_full, center, lags):
     from scipy.linalg import toeplitz
-    return toeplitz(r_full[center:center + lags])
+    nsrc, n = references.shape
+    length = n + flen - 1
+    nfft = int(2 ** np.ceil(np.log2(length)))
+    sf = np.fft.fft(
+        np.concatenate(
+            [references, np.zeros((nsrc, flen - 1))], axis=1),
+        n=nfft, axis=1)
+    sef = np.fft.fft(
+        np.concatenate([estimate, np.zeros(flen - 1)]), n=nfft)
+
+    # gram matrix of delayed references: G[(i,a),(j,b)] =
+    # sum_t s_i(t-a) s_j(t-b), circular correlations read off the FFT
+    gram = np.zeros((nsrc * flen, nsrc * flen))
+    for i in range(nsrc):
+        for j in range(i, nsrc):
+            ssf = np.real(np.fft.ifft(sf[i] * np.conj(sf[j])))
+            block = toeplitz(
+                np.concatenate([ssf[:1], ssf[-1:-flen:-1]]),
+                r=ssf[:flen])
+            gram[i * flen:(i + 1) * flen, j * flen:(j + 1) * flen] = block
+            gram[j * flen:(j + 1) * flen, i * flen:(i + 1) * flen] = \
+                block.T
+
+    # cross terms: D[(i,a)] = sum_t s_i(t-a) e(t)
+    cross = np.zeros(nsrc * flen)
+    for i in range(nsrc):
+        ssef = np.real(np.fft.ifft(sf[i] * np.conj(sef)))
+        cross[i * flen:(i + 1) * flen] = np.concatenate(
+            [ssef[:1], ssef[-1:-flen:-1]])
+
+    try:
+        coeffs = np.linalg.solve(gram, cross)
+    except np.linalg.LinAlgError:
+        coeffs = np.linalg.lstsq(gram, cross, rcond=None)[0]
+    coeffs = coeffs.reshape(nsrc, flen)
+
+    projection = np.zeros(length)
+    for i in range(nsrc):
+        projection += fftconvolve(coeffs[i], references[i])[:length]
+    return projection
+
+
+def _bss_decomposition(references, estimate, j, flen):
+    """s_target, e_interf, e_artif of ``estimate`` against source ``j``
+    (all length n + flen - 1; s_target includes the spatial-distortion
+    term, matching ``bss_eval_sources`` where SDR's numerator is
+    ``s_true + e_spat``)."""
+    n = references.shape[1]
+    s_target = _bss_project(references[j:j + 1], estimate, flen)
+    p_all = _bss_project(references, estimate, flen)
+    e_interf = p_all - s_target
+    e_artif = -p_all
+    e_artif[:n] += estimate
+    return s_target, e_interf, e_artif
+
+
+def _db_ratio(num, den):
+    return 10 * np.log10(np.maximum(num, 1e-300)
+                         / np.maximum(den, 1e-300))
+
+
+def bss_eval_sources(reference, estimate, filter_length=512,
+                     compute_permutation=True):
+    """BSS-eval SDR/SIR/SAR with a 512-tap time-invariant distortion
+    filter, semantics of ``mir_eval.separation.bss_eval_sources``
+    (itself BSS Eval v3): full-length (n + flen - 1) projections and
+    the permutation chosen by MAXIMUM MEAN SIR.
+
+    Reference parity: the reference's evaluate scripts report these via
+    ``pb_bss.evaluation.OutputMetrics`` -> mir_eval
+    (``contrib/examples/source_separation/tasnet/evaluate.py:175-213``).
+
+    Args:
+        reference: (K, T) true sources.
+        estimate: (K, T) estimated sources.
+
+    Returns:
+        (sdr, sir, sar, perm): each (K,), ordered by reference source;
+        ``estimate[perm[k]]`` corresponds to ``reference[k]``.
+    """
+    reference = np.asarray(reference, dtype=np.float64)
+    estimate = np.asarray(estimate, dtype=np.float64)
+    assert reference.ndim == estimate.ndim == 2, (
+        reference.shape, estimate.shape)
+    assert reference.shape[1] == estimate.shape[1], (
+        reference.shape, estimate.shape)
+    k_est, k_ref = estimate.shape[0], reference.shape[0]
+
+    sdr = np.empty((k_est, k_ref))
+    sir = np.empty((k_est, k_ref))
+    sar = np.empty((k_est, k_ref))
+    for i in range(k_est):
+        for j in range(k_ref):
+            s_target, e_interf, e_artif = _bss_decomposition(
+                reference, estimate[i], j, filter_length)
+            sdr[i, j] = _db_ratio(
+                np.sum(s_target ** 2),
+                np.sum((e_interf + e_artif) ** 2))
+            sir[i, j] = _db_ratio(
+                np.sum(s_target ** 2), np.sum(e_interf ** 2))
+            sar[i, j] = _db_ratio(
+                np.sum((s_target + e_interf) ** 2),
+                np.sum(e_artif ** 2))
+
+    if compute_permutation and k_est == k_ref and k_est > 1:
+        # mir_eval semantics: evaluate every permutation, keep the one
+        # with the highest MEAN SIR
+        best, best_mean = None, -np.inf
+        for perm in itertools.permutations(range(k_est)):
+            mean_sir = np.mean([sir[perm[j], j] for j in range(k_ref)])
+            if mean_sir > best_mean:
+                best, best_mean = perm, mean_sir
+        perm = np.asarray(best)
+    else:
+        perm = np.arange(k_ref)
+    idx = (perm, np.arange(k_ref))
+    return sdr[idx], sir[idx], sar[idx], perm
 
 
 def mir_eval_sdr(estimate, reference, filter_length=512):
-    """BSS-eval-style SDR (dB) with permutation alignment.
+    """Permutation-aligned BSS-eval SDR (dB), see
+    :func:`bss_eval_sources`.
 
     estimate/reference: (K, T).  The distortion filter projection makes
     this metric forgiving to short time-invariant filtering, like
     ``mir_eval.separation.bss_eval_sources``.
     """
-    estimate = np.asarray(estimate, dtype=np.float64)
-    reference = np.asarray(reference, dtype=np.float64)
-
-    def single(est, ref):
-        s_target = _bss_eval_projection(ref, est, filter_length)
-        e = est - s_target
-        return 10 * np.log10(
-            np.sum(s_target ** 2)
-            / np.maximum(np.sum(e ** 2), 1e-12))
-
-    matrix = _pairwise(single, estimate, reference)
-    row, col = _permutation_align(matrix)
-    return matrix[row, col]
+    sdr, _, _, _ = bss_eval_sources(
+        reference, estimate, filter_length=filter_length)
+    return sdr
 
 
 class InputMetrics:

@@ -47,8 +47,17 @@ def _third_octave_bands():
     return obm, cf
 
 
-def _frame(x):
-    n = (len(x) - N_FRAME) // (N_FRAME // 2) + 1
+def _frame(x, inclusive=True):
+    """50%-overlap framing.
+
+    ``inclusive=False`` reproduces the published pystoi STFT quirk of
+    dropping the final frame when ``(len(x) - N_FRAME) % hop == 0``
+    (its silent-frame removal frames inclusively, its spectrogram
+    exclusively) — kept so numbers match the pystoi oracle exactly.
+    """
+    hop = N_FRAME // 2
+    stop = len(x) - N_FRAME + (1 if inclusive else 0)
+    n = (stop + hop - 1) // hop if stop > 0 else 0  # len(range(0, stop, hop))
     if n <= 0:
         return np.zeros((0, N_FRAME))
     idx = (np.arange(N_FRAME)[None, :]
@@ -76,7 +85,7 @@ def _remove_silent_frames(x, y):
 
 def _band_spectrogram(x):
     w = np.hanning(N_FRAME + 2)[1:-1]
-    frames = _frame(x) * w
+    frames = _frame(x, inclusive=False) * w
     spec = np.fft.rfft(frames, NFFT, axis=1)  # (T, F)
     obm, _ = _third_octave_bands()
     return np.sqrt(np.maximum(
