@@ -182,10 +182,18 @@ class DataParallel:
         )
 
     # -- FSDP (ZeRO-3) parameter sharding -------------------------------
-    # parameters use the same dim-0 rule as the optimizer moments, so
+    # matrices use the same dim-0 rule as the optimizer moments, so
     # params, grads and moments share one layout and the update is a
-    # purely local (already-sharded) computation
-    param_sharding = opt_state_sharding
+    # purely local (already-sharded) computation.  1-D leaves (biases,
+    # norm scales) stay REPLICATED: sharding them saves ~nothing and the
+    # BLSTM's per-direction bias stack used to force an SPMD
+    # involuntary-full-rematerialization (a dim-0-sharded (4H,) bias
+    # concatenated into a (directions, 4H) tensor whose consumer is
+    # sharded over the direction dim cannot be resharded efficiently)
+    def param_sharding(self, leaf):
+        if getattr(leaf, 'ndim', 0) >= 2:
+            return self.opt_state_sharding(leaf)
+        return replicated_sharding(self.mesh)
 
     def shard_module(self, model):
         """Place a module's parameters FSDP-sharded (dim 0 over the
