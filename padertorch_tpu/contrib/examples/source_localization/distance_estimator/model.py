@@ -261,12 +261,16 @@ class CRNN(Module):
             'output_size': 101,
         }
         # dependent wiring: the nested HybridCNN finalize runs after
-        # this one, so fall back to its defaults when the user did not
-        # override the sub-config
+        # this one, so when the user did not override the sub-config,
+        # PEEK at what that finalize will produce instead of duplicating
+        # its n_chs literal (which would silently desync gru.input_size
+        # if HybridCNN's default ever changes)
         try:
             cnn_out = config['cnn']['cnn_1d']['n_chs'][-1]
         except (KeyError, TypeError):
-            cnn_out = 32
+            probe = {'n_freq_bins': 1}
+            HybridCNN.finalize_dogmatic_config(probe)
+            cnn_out = probe['cnn_1d']['n_chs'][-1]
         config['gru']['input_size'] = cnn_out
         config['fcn']['input_size'] = config['gru']['hidden_size']
 

@@ -24,6 +24,14 @@ def train_test_split(dataset, dev_split=0.1, test_split=0.1, seed=0):
     (train, dev, test) (reference ``supervised/data.py:48``: draw the
     test indices first, then the dev indices from the remainder).
 
+    Intentional deviation from the reference: the train set is
+    ``np.setdiff1d(indices, dev_candidates)`` where the reference uses
+    ``np.delete(indices, dev_candidates)`` — delete-by-POSITION on an
+    index array that is no longer contiguous after the test removal,
+    which can overlap train/dev membership or raise ``IndexError``.
+    Same-seed splits therefore differ from the reference's; this is a
+    bug fix, not a parity regression.
+
     >>> from padertorch_tpu.data import dataset as lazy
     >>> ds = lazy.from_list([{'i': i} for i in range(20)])
     >>> tr, dev, te = train_test_split(ds, dev_split=0.2, test_split=0.2)

@@ -190,11 +190,15 @@ _get_padding = get_padding
 def init_weights(m, mean=0.0, std=0.01, key=None):
     """Re-initialize a conv module's weight from N(mean, std)
     (ref ``nvidia_bigvgan/utils.py:46``; there an in-place torch
-    ``.data.normal_``, here a fresh sample assigned functionally —
-    pass ``key`` for determinism, else a fixed seed is used)."""
+    ``.data.normal_`` draws FRESH randomness per call — so without an
+    explicit ``key`` each invocation pulls a new subkey from the
+    framework's seeded stream (``padertorch_tpu.random``); a constant
+    default key would silently assign identical samples to every
+    same-shaped conv in an ``apply(init_weights)`` sweep)."""
     if 'Conv' in type(m).__name__ and hasattr(m, 'weight'):
         if key is None:
-            key = jax.random.PRNGKey(0)
+            from padertorch_tpu import random as ptrandom
+            key = ptrandom.init_key()
         m.weight = mean + std * jax.random.normal(
             key, jnp.shape(m.weight), jnp.result_type(m.weight))
     return m
