@@ -16,12 +16,17 @@ Prints one JSON line per metric, the flagship LAST:
   5. ``flash_attention_causal_train_ms`` — fused Pallas attention vs
      XLA's materializing attention, fwd+bwd, causal T=4096 (and the
      non-causal T=1024 case where XLA wins, reported in the unit).
-  6. ``pit_blstm_train_utterances_per_sec_per_chip`` — the flagship:
+  6. ``pit_blstm_640_train_utterances_per_sec_per_chip`` — the same
+     train step at the MXU-tile-aligned H=640 (the model size
+     recommendation from doc/performance.md "MXU tiling").
+  7. ``pit_blstm_train_utterances_per_sec_per_chip`` — the flagship:
      fully fused jitted train step (forward + PIT losses + backward +
      global-norm clip + Adam) of the PIT BLSTM separator
      (reference ``contrib/examples/source_separation/pit/model.py``),
      B=16 4-second utterances (T=500 frames of a 512/128 STFT), with
-     achieved model FLOP/s / v5e peak (MFU) attached.
+     achieved model FLOP/s / v5e peak (MFU) attached; runs with
+     ``round_hidden_to_mxu`` (internal width 640, numerically identical
+     to the reference H=600 configuration).
 
 ``vs_baseline``: the reference publishes no throughput numbers
 (SURVEY.md section 6).  Baseline constants below are estimates for the
@@ -422,7 +427,7 @@ def bench_attention():
     }), flush=True)
 
 
-def bench_pit():
+def bench_pit(units=600, round_hidden=True):
     import jax
     import jax.numpy as jnp
     import padertorch_tpu as pt
@@ -436,10 +441,12 @@ def bench_pit():
     ptrandom.seed(0)
     # TPU-tuned flagship config: bf16 gate matmuls (f32 accumulation and
     # carry) + the Pallas fused cell-scan kernel (custom VJP reuses stored
-    # activations -> ~1.5x faster train step); see doc/performance.md.
+    # activations -> ~1.5x faster train step) + round_hidden_to_mxu
+    # (128-lane-aligned internal width, numerically identical to the
+    # reference H=600 model, +3.4pt MFU); see doc/performance.md.
     model = PermutationInvariantTrainingModel(
-        F=F, recurrent_layers=3, units=600, K=K,
-        compute_dtype='bfloat16')
+        F=F, recurrent_layers=3, units=units, K=K,
+        compute_dtype='bfloat16', round_hidden_to_mxu=round_hidden)
     model.blstm.scan_unroll = 4   # used by the scan fallback only
     model.blstm.backend = 'pallas'
     _log('model initialized')
@@ -501,10 +508,22 @@ def bench_pit():
         elapsed = time.perf_counter() - t0
 
     utt_per_sec = B * n_steps / elapsed
+    if units == 600:
+        metric = 'pit_blstm_train_utterances_per_sec_per_chip'
+        desc = (f'utt/s (B=16, T=500, F=257, 3x600 BLSTM'
+                + (', round_hidden_to_mxu internal width 640 — '
+                   'numerically identical to the H=600 reference config'
+                   if round_hidden else '')
+                + ', fused train step)')
+    else:
+        metric = f'pit_blstm_{units}_train_utterances_per_sec_per_chip'
+        desc = (f'utt/s (B=16, T=500, F=257, 3x{units} BLSTM — the '
+                'MXU-tile-aligned model size recommended for new '
+                'configs, fused train step)')
     record = {
-        'metric': 'pit_blstm_train_utterances_per_sec_per_chip',
+        'metric': metric,
         'value': round(utt_per_sec, 2),
-        'unit': 'utt/s (B=16, T=500, F=257, 3x600 BLSTM, fused train step)',
+        'unit': desc,
         'vs_baseline': round(utt_per_sec / REFERENCE_UTT_PER_SEC, 2),
     }
     if step_flops:
@@ -530,8 +549,10 @@ def main():
     bench_dprnn()
     _log('flash attention bench...')
     bench_attention()
+    _log('PIT BLSTM H=640 (tile-aligned model size) train bench...')
+    bench_pit(units=640, round_hidden=False)
     _log('flagship PIT BLSTM train bench...')
-    bench_pit()
+    bench_pit()  # H=600 flagship — LAST so the driver grades it
 
 
 if __name__ == '__main__':

@@ -70,7 +70,12 @@ class PermutationInvariantTrainingModel(Model):
             dropout_linear=0.,
             output_activation='relu',
             compute_dtype=None,
+            round_hidden_to_mxu=False,
     ):
+        """``round_hidden_to_mxu=True`` runs the BLSTM at the 128-lane-
+        aligned hidden width with structurally-zero padding (numerically
+        identical, better MXU tiling — doc/performance.md "MXU
+        tiling")."""
         self.K = K
         self.F = F
         assert dropout_input <= 0.5, dropout_input
@@ -79,6 +84,7 @@ class PermutationInvariantTrainingModel(Model):
         self.blstm = LSTM(
             F, units, num_layers=recurrent_layers, bidirectional=True,
             dropout=dropout_hidden, compute_dtype=compute_dtype,
+            round_hidden_to_mxu=round_hidden_to_mxu,
         )
         assert dropout_linear <= 0.5, dropout_linear
         self.dropout_linear = nn.Dropout(dropout_linear)

@@ -64,16 +64,33 @@ class _RNNBase(Module):
 
     def __init__(self, input_size, hidden_size, num_layers=1,
                  bidirectional=False, dropout=0.0, batch_first=True,
-                 bias=True, dtype='float32', compute_dtype=None):
+                 bias=True, dtype='float32', compute_dtype=None,
+                 round_hidden_to_mxu=False):
         """``compute_dtype='bfloat16'`` runs the gate matmuls in bf16 on
         the MXU (params stay in ``dtype``; accumulation and the recurrent
         carry stay float32) — ~2-4x faster on TPU with negligible quality
-        impact for speech models."""
+        impact for speech models.
+
+        ``round_hidden_to_mxu=True`` runs the whole network at the
+        128-lane-aligned hidden width (e.g. 600 -> 640) with
+        STRUCTURALLY-ZERO padding: pad lanes are exact zero fixed points
+        of the recurrence, their weights receive identically zero
+        gradients (so training keeps them zero), and outputs/states are
+        sliced back to ``hidden_size`` — numerically identical to the
+        unpadded model while every GEMM (including the inter-layer
+        contraction dims, which kernel-boundary padding alone cannot
+        align — doc/performance.md "MXU tiling") tiles onto the MXU.
+        """
         assert batch_first, (
             'padertorch_tpu RNNs are batch-first (B, T, D); '
             'batch_first=False is not supported.')
         self.input_size = input_size
         self.hidden_size = hidden_size
+        self.round_hidden_to_mxu = bool(round_hidden_to_mxu)
+        self._run_hidden = hidden_size
+        if round_hidden_to_mxu and hidden_size % self.mxu_lane_multiple:
+            self._run_hidden = (-(-hidden_size // self.mxu_lane_multiple)
+                                * self.mxu_lane_multiple)
         self.num_layers = num_layers
         self.bidirectional = bidirectional
         self.dropout_p = dropout
@@ -97,22 +114,59 @@ class _RNNBase(Module):
         self.w_ih = []
         self.w_hh = []
         self.b = []
+        rh = self._run_hidden
         for layer in range(num_layers):
             in_size = input_size if layer == 0 \
                 else hidden_size * num_directions
             for _ in range(num_directions):
-                self.w_ih.append(_uniform(
+                # draw at the LOGICAL shapes (same init stream as an
+                # unpadded model), then structurally zero-pad
+                w_ih = _uniform(
                     ptrandom.init_key(), (in_size, g * hidden_size),
-                    bound, dtype))
-                self.w_hh.append(_uniform(
+                    bound, dtype)
+                w_hh = _uniform(
                     ptrandom.init_key(), (hidden_size, g * hidden_size),
-                    bound, dtype))
-                if bias:
-                    self.b.append(_uniform(
-                        ptrandom.init_key(), (g * hidden_size,),
-                        bound, dtype))
-                else:
-                    self.b.append(None)
+                    bound, dtype)
+                b = _uniform(
+                    ptrandom.init_key(), (g * hidden_size,),
+                    bound, dtype) if bias else None
+                if rh != hidden_size:
+                    w_ih = self._pad_gate_axis(w_ih)
+                    if layer > 0:
+                        # layer input = direction-concat of padded
+                        # hiddens: pad each direction's row block
+                        w_ih = self._pad_row_blocks(w_ih, num_directions)
+                    w_hh = self._pad_gate_axis(
+                        jnp.pad(w_hh, ((0, rh - hidden_size), (0, 0))))
+                    if b is not None:
+                        b = self._pad_gate_axis(b)
+                self.w_ih.append(w_ih)
+                self.w_hh.append(w_hh)
+                self.b.append(b)
+
+    # MXU lane width; ``round_hidden_to_mxu`` rounds the hidden size up
+    # to a multiple of this
+    mxu_lane_multiple = 128
+
+    @property
+    def run_hidden_size(self):
+        """Internal (possibly lane-padded) hidden width."""
+        return getattr(self, '_run_hidden', self.hidden_size)
+
+    def _pad_gate_axis(self, w):
+        """Zero-pad each gate block of a (..., G*H) array to (..., G*Hp)."""
+        h, rh = self.hidden_size, self._run_hidden
+        parts = jnp.split(w, self.gates, axis=-1)
+        pad = [(0, 0)] * (w.ndim - 1) + [(0, rh - h)]
+        return jnp.concatenate([jnp.pad(p, pad) for p in parts], -1)
+
+    def _pad_row_blocks(self, w, blocks):
+        """Zero-pad each of ``blocks`` row groups of (blocks*H, ...) to
+        (blocks*Hp, ...)."""
+        h, rh = self.hidden_size, self._run_hidden
+        parts = jnp.split(w, blocks, axis=0)
+        pad = [(0, rh - h)] + [(0, 0)] * (w.ndim - 1)
+        return jnp.concatenate([jnp.pad(p, pad) for p in parts], 0)
 
     # -- Pallas helpers (shared by LSTM/GRU backends) ---------------------
     @staticmethod
@@ -261,6 +315,12 @@ class _RNNBase(Module):
         """
         batch = x.shape[0]
         num_directions = 2 if self.bidirectional else 1
+        h, rh = self.hidden_size, self.run_hidden_size
+        if state is not None and rh != h:
+            # user states come in at the logical width
+            state = jax.tree_util.tree_map(
+                lambda s: jnp.pad(s, ((0, 0), (0, 0), (0, rh - h))),
+                state)
         mask = None
         if seq_lens is not None:
             lens = jnp.asarray(seq_lens)
@@ -297,6 +357,16 @@ class _RNNBase(Module):
                 out = jnp.where(m, out / keep, 0).astype(out.dtype)
         final_state = jax.tree_util.tree_map(
             lambda *leaves: jnp.stack(leaves), *finals)
+        if rh != h:
+            # slice the lane padding back off (pad lanes are exact
+            # zeros, so this is the identity on the logical model)
+            if num_directions == 2:
+                out = jnp.concatenate(
+                    [out[..., :h], out[..., rh:rh + h]], axis=-1)
+            else:
+                out = out[..., :h]
+            final_state = jax.tree_util.tree_map(
+                lambda s: s[..., :h], final_state)
         return out, final_state
 
     def _layer_forward(self, layer, out, *, mask, mask_b, state, batch,
@@ -370,8 +440,8 @@ class LSTM(_RNNBase):
     gates = 4
 
     def _cell_init(self, batch, dtype):
-        h = jnp.zeros((batch, self.hidden_size), dtype)
-        c = jnp.zeros((batch, self.hidden_size), dtype)
+        h = jnp.zeros((batch, self.run_hidden_size), dtype)
+        c = jnp.zeros((batch, self.run_hidden_size), dtype)
         return (h, c)
 
     def _cell_step(self, carry, gates_x, w_hh):
@@ -414,7 +484,7 @@ class LSTM(_RNNBase):
 
     def _pad_target(self):
         m = getattr(self, 'pallas_pad_hidden_multiple', None)
-        h = self.hidden_size
+        h = self.run_hidden_size  # round_hidden_to_mxu already aligned it
         if not m or h % m == 0:
             return None
         return -(-h // m) * m
@@ -432,7 +502,7 @@ class LSTM(_RNNBase):
         hp = self._pad_target()
         if hp is None:
             return None, w_ih, w_hh, b, h0, c0
-        h = self.hidden_size
+        h = self.run_hidden_size
         w_ih = self._pad_gate_cols(w_ih, h, hp)
         row_pad = [(0, 0)] * (w_hh.ndim - 2) + [(0, hp - h), (0, 0)]
         w_hh = self._pad_gate_cols(jnp.pad(w_hh, row_pad), h, hp)
@@ -445,7 +515,7 @@ class LSTM(_RNNBase):
     def _slice_from_pallas(self, hp, out_t, h_t, c_t):
         if hp is None:
             return out_t, h_t, c_t
-        h = self.hidden_size
+        h = self.run_hidden_size
         return out_t[..., :h], h_t[..., :h], c_t[..., :h]
 
     def _pallas_direction(self, x, mask, w_ih, w_hh, b, init_carry):
@@ -495,7 +565,7 @@ class GRU(_RNNBase):
     gates = 3
 
     def _cell_init(self, batch, dtype):
-        return jnp.zeros((batch, self.hidden_size), dtype)
+        return jnp.zeros((batch, self.run_hidden_size), dtype)
 
     def _cell_step(self, carry, gates_x, w_hh):
         h = carry
