@@ -64,3 +64,63 @@ def test_two_process_equals_one_process(tmp_path):
     single = _run_ranks(tmp_path / 'single', 1)
     double = _run_ranks(tmp_path / 'double', 2)
     assert single == double
+
+
+def test_four_process_equals_one_process(tmp_path):
+    # more workers than examples-per-shard boundaries: 10 examples over
+    # 4 strided shards (3/3/2/2) must still merge to the same means
+    single = _run_ranks(tmp_path / 'single4', 1)
+    quad = _run_ranks(tmp_path / 'quad', 4)
+    assert single == quad
+
+
+def _patched_env(monkeypatch, tmp_path, *, rank, size):
+    from padertorch_tpu.evaluation import parallel
+    monkeypatch.setattr(parallel, 'RANK', rank)
+    monkeypatch.setattr(parallel, 'SIZE', size)
+    monkeypatch.setenv('PT_EVAL_DIR', str(tmp_path))
+    monkeypatch.setenv('PT_EVAL_RUN_ID', 'straggler')
+    return parallel
+
+
+def test_gather_times_out_on_dead_worker(tmp_path, monkeypatch):
+    """A worker that died mid-run (its shard never appears) must surface
+    as a TimeoutError naming the missing shard — the operational failure
+    mode dlp_mpi handles via MPI aborts in the reference."""
+    parallel = _patched_env(monkeypatch, tmp_path, rank=0, size=2)
+    with pytest.raises(TimeoutError, match=r'rank1'):
+        parallel.gather({'utt_0': 1.0}, tag='t', timeout=0.5)
+    # the master's own shard must not poison a relaunch: a fresh gather
+    # with the full worker set succeeds (rank0 rewrites its shard)
+    (tmp_path / 'gather_straggler_t.rank1.json').write_text('{"utt_1": 2.0}')
+    out = parallel.gather({'utt_0': 1.0}, tag='t', timeout=5.0)
+    assert out == [{'utt_0': 1.0}, {'utt_1': 2.0}]
+
+
+def test_gather_waits_for_straggler(tmp_path, monkeypatch):
+    """A slow-but-alive worker: the master polls until the shard lands
+    (written atomically tmp+rename, exactly like a real rank)."""
+    import threading, time, os
+
+    parallel = _patched_env(monkeypatch, tmp_path, rank=0, size=3)
+
+    def late_worker(rank, delay):
+        time.sleep(delay)
+        shard = tmp_path / f'gather_straggler_s.rank{rank}.json'
+        tmp = str(shard) + '.tmp'
+        with open(tmp, 'w') as fh:
+            json.dump({f'utt_{rank}': float(rank)}, fh)
+        os.rename(tmp, shard)
+
+    threads = [
+        threading.Thread(target=late_worker, args=(1, 0.3)),
+        threading.Thread(target=late_worker, args=(2, 0.8)),
+    ]
+    for t in threads:
+        t.start()
+    out = parallel.gather({'utt_0': 0.0}, tag='s', timeout=30.0)
+    for t in threads:
+        t.join()
+    assert out == [{'utt_0': 0.0}, {'utt_1': 1.0}, {'utt_2': 2.0}]
+    # consumed-on-success: shards are gone, a rerun cannot see them
+    assert not list(tmp_path.glob('gather_straggler_s.rank*.json'))
