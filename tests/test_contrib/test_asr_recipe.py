@@ -240,6 +240,8 @@ def test_ctc_asr_train_then_evaluate(tmp_path):
     transcriptions = json.loads(
         (storage_dir / 'eval' / 'transcriptions.json').read_text())
     assert len(transcriptions) == 8
+    from test_recipe_evaluate import assert_validation_loss_decreased
+    assert_validation_loss_decreased(storage_dir)
 
 
 @pytest.mark.slow
@@ -256,6 +258,8 @@ def test_transducer_asr_train_then_evaluate(tmp_path):
          '--num_examples', '4', '--batch_size', '4')
     means = json.loads((storage_dir / 'eval' / 'means.json').read_text())
     assert means['num_examples'] == 4 and 0.0 <= means['ser'] <= 1.0
+    from test_recipe_evaluate import assert_validation_loss_decreased
+    assert_validation_loss_decreased(storage_dir)
 
 
 def _tiny_aed(**updates):
@@ -368,6 +372,8 @@ def test_aed_asr_train_then_evaluate(tmp_path):
          '--num_examples', '4', '--batch_size', '4', '--beam_width', '4')
     means = json.loads((storage_dir / 'eval' / 'means.json').read_text())
     assert means['num_examples'] == 4 and 0.0 <= means['ser'] <= 1.0
+    from test_recipe_evaluate import assert_validation_loss_decreased
+    assert_validation_loss_decreased(storage_dir)
 
 
 def test_acoustic_encoder_stream_equals_one_shot():

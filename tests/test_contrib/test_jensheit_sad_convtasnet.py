@@ -101,6 +101,8 @@ def test_train_convtasnet_recipe_smoke(tmp_path):
     assert (runs[0] / 'config.json').exists()
     assert (runs[0] / 'Makefile').exists()
     assert any((runs[0] / 'checkpoints').glob('ckpt_*.ptt'))
+    from test_recipe_evaluate import assert_validation_loss_decreased
+    assert_validation_loss_decreased(runs[0])
 
 
 def test_prepare_iterable_chain():

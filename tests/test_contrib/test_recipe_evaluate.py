@@ -39,6 +39,27 @@ def _run(module, *args, timeout=560):
 PKG = 'padertorch_tpu.contrib.examples'
 
 
+def assert_validation_loss_decreased(storage_dir):
+    """Quality gate (reference burn-test philosophy,
+    ``runtime_tests.py`` loss-change asserts): the recipe's own tfevents
+    must show the post-training validation loss below the pre-training
+    one — catches silent learning regressions that a runs-to-completion
+    smoke cannot."""
+    from padertorch_tpu.summary.tfevents import scalars_from_events
+    events = sorted(Path(storage_dir).glob('events.out.tfevents.*'))
+    assert events, f'no tfevents in {storage_dir}'
+    series = []
+    for path in events:
+        series += scalars_from_events(path).get('validation/loss', [])
+    series.sort(key=lambda sv: sv[0])
+    assert len(series) >= 2, (
+        f'need pre+post validation losses, got {series}')
+    first, last = series[0][1], series[-1][1]
+    assert last < first, (
+        f'validation loss did not improve: {first} -> {last} '
+        f'({storage_dir})')
+
+
 @pytest.mark.slow
 def test_wavenet_train_then_evaluate(tmp_path):
     _run(f'{PKG}.audio_synthesis.wavenet.train',
@@ -54,6 +75,7 @@ def test_wavenet_train_then_evaluate(tmp_path):
     means = json.loads((storage_dir / 'eval' / 'means.json').read_text())
     assert 'rmse' in means and means['num_examples'] == 2, (means, out)
     assert (storage_dir / 'eval' / 'rmse.json').exists()
+    assert_validation_loss_decreased(storage_dir)
     assert list((storage_dir / 'eval' / 'audio').glob('*.wav'))
 
 
@@ -67,6 +89,7 @@ def test_speaker_clf_train_then_evaluate(tmp_path):
     means = json.loads((storage_dir / 'eval' / 'means.json').read_text())
     assert 0.0 <= means['accuracy'] <= 1.0
     assert (storage_dir / 'eval' / 'misclassified.json').exists()
+    assert_validation_loss_decreased(storage_dir)
 
 
 @pytest.mark.slow
@@ -79,6 +102,7 @@ def test_audio_tagging_train_then_evaluate(tmp_path):
     means = json.loads((storage_dir / 'eval' / 'means.json').read_text())
     for key in ('mAP', 'mAUC', 'lwlrap', 'mF1'):
         assert 0.0 <= means[key] <= 1.0, (key, means)
+    assert_validation_loss_decreased(storage_dir)
 
 
 @pytest.mark.slow
@@ -94,6 +118,27 @@ def test_tasnet_sepformer_train_then_evaluate(tmp_path):
          '--model_path', str(storage_dir), '--synthetic')
     means = json.loads((storage_dir / 'eval' / 'means.json').read_text())
     assert any('si_sdr' in k for k in means), means
+    assert np.isfinite(means['improvement_si_sdr']), means
+    # time-domain separation from random init does not reach positive
+    # SI-SDRi in an 8-example smoke; the learning gate is the val loss
+    assert_validation_loss_decreased(storage_dir)
+
+
+@pytest.mark.slow
+def test_pit_train_then_evaluate_improves_si_sdr(tmp_path):
+    """The flagship recipe's quality gate: after the synthetic smoke
+    train, masking must IMPROVE SI-SDR over the mixture by a wide
+    margin (measured ~6 dB after one epoch; gate at 3 dB)."""
+    _run(f'{PKG}.source_separation.pit.train',
+         '--storage_root', str(tmp_path), '--synthetic',
+         '--epochs', '1', '--units', '64', '--layers', '1')
+    storage_dir = tmp_path / 'pit' / '1'
+    _run(f'{PKG}.source_separation.pit.evaluate',
+         '--model_path', str(storage_dir), '--synthetic')
+    means = json.loads((storage_dir / 'eval' / 'means.json').read_text())
+    assert means['improvement_si_sdr'] > 3.0, means
+    assert means['improvement_mir_eval_sxr_sdr'] > 3.0, means
+    assert_validation_loss_decreased(storage_dir)
 
 
 @pytest.mark.slow
@@ -107,6 +152,11 @@ def test_mask_estimator_train_then_evaluate(tmp_path):
     means = json.loads((storage_dir / 'eval' / 'means.json').read_text())
     for condition in ('observed', 'masked', 'beamformed'):
         assert set(means[condition]) == {'stoi', 'si_sdr', 'sdr'}, means
+    # quality gates: the mask must HELP (enhanced beats the mixture)
+    # and the trainer's own validation loss must have gone down
+    assert means['masked']['si_sdr'] > means['observed']['si_sdr'], means
+    assert means['masked']['sdr'] > means['observed']['sdr'], means
+    assert_validation_loss_decreased(storage_dir)
 
 
 def test_distance_estimator_train_then_evaluate(tmp_path):
@@ -153,3 +203,4 @@ def test_fastspeech_train_then_evaluate(tmp_path):
     assert means['num_examples'] == 4, (means, out)
     for key in ('mel_l1', 'mel_rmse', 'duration_mae'):
         assert np.isfinite(means[key]), means
+    assert_validation_loss_decreased(storage_dir)
