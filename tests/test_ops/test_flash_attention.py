@@ -439,3 +439,131 @@ def test_flash_fuzz_random_configs(seed):
         got, want, atol=3e-5,
         err_msg=f'{b=} {h=} {h_kv=} {tq=} {tk=} {d=} {causal=} '
                 f'{window=} {lens=}')
+
+
+def test_should_use_flash_never_on_cpu():
+    from padertorch_tpu.ops.pallas.attention import should_use_flash
+    # the Pallas interpreter is a test vehicle, never a performance win
+    assert jax.default_backend() != 'tpu'
+    assert not should_use_flash(8192, causal=True)
+    assert not should_use_flash(8192, window=(256, 256))
+
+
+def test_should_use_flash_measured_crossover(monkeypatch):
+    from padertorch_tpu.ops.pallas import attention as A
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+    # full attention: XLA's fused-materializing path wins short
+    # sequences, the kernel wins past the measured crossover
+    assert not A.should_use_flash(512)
+    assert A.should_use_flash(A._FLASH_MIN_T_FULL)
+    # causal crosses earlier (the kernel skips above-diagonal blocks)
+    assert not A.should_use_flash(256, causal=True)
+    assert A.should_use_flash(A._FLASH_MIN_T_CAUSAL, causal=True)
+    assert (A._FLASH_MIN_T_CAUSAL <= A._FLASH_MIN_T_FULL)
+    # banded attention crosses earliest (O(T*W) vs O(T^2))
+    assert A.should_use_flash(A._FLASH_MIN_T_WINDOW, window=(128, 128))
+    # window=(None, None) means "no band": full-attention threshold
+    assert A.should_use_flash(8192, window=(None, None))
+    assert not A.should_use_flash(512, window=(None, None))
+    # cross-attention: the longer side sets the cost
+    assert A.should_use_flash(128, A._FLASH_MIN_T_FULL)
+
+
+def test_mha_auto_dispatch_runs_dense_on_cpu():
+    """Default use_flash='auto' must pick the dense path on CPU — the
+    outputs (incl. at shapes where a TPU would pick the kernel) equal
+    the explicit use_flash=False ones."""
+    import padertorch_tpu as pt
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        MultiheadAttention)
+
+    pt.random.seed(5)
+    mha = MultiheadAttention(16, 2)
+    assert mha.use_flash == 'auto'
+    mha.eval()
+    x = _rand((1, 8, 16), 50)
+    out_auto = mha(x, causal=True)
+    mha.use_flash = False
+    out_dense = mha(x, causal=True)
+    np.testing.assert_array_equal(
+        np.asarray(out_auto), np.asarray(out_dense))
+
+
+def test_mha_auto_dispatch_uses_kernel_past_crossover(monkeypatch):
+    """With the backend reporting 'tpu', 'auto' must route long causal
+    sequences to the fused kernel (verified by intercepting it)."""
+    import padertorch_tpu as pt
+    from padertorch_tpu.ops.pallas import attention as A
+    from padertorch_tpu.contrib.mk.modules import transformer as Tr
+
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+    calls = {}
+    real = A.flash_attention
+
+    def spy(q, k, v, **kw):
+        calls['t'] = q.shape[2]
+        kw['interpret'] = True  # still on CPU in this test
+        return real(q, k, v, **kw)
+
+    monkeypatch.setattr(A, 'flash_attention', spy)
+    pt.random.seed(6)
+    mha = Tr.MultiheadAttention(16, 2)
+    mha.eval()
+    t = A._FLASH_MIN_T_CAUSAL
+    x = _rand((1, t, 16), 51)
+    mha(x, causal=True)
+    assert calls.get('t') == t, 'kernel not dispatched past crossover'
+    calls.clear()
+    mha(_rand((1, 64, 16), 52), causal=True)
+    assert 't' not in calls, 'kernel dispatched below crossover'
+
+
+def test_auto_blocks_measured_optima():
+    """The default (block_q=None) tiles must be the swept v5e optima:
+    512-wide blocks past the 128x128 default (1.7-3.4x faster), a
+    narrower 256 query block under causal/banded pruning, and a
+    256x256 fallback once the backward's full-row VMEM residents
+    (T * d_p) leave no room for wider tiles."""
+    from padertorch_tpu.ops.pallas.attention import _auto_blocks
+
+    assert _auto_blocks(2048, 2048, 128, False, (None, None)) == (512, 512)
+    assert _auto_blocks(2048, 2048, 128, True, (None, None)) == (256, 512)
+    assert _auto_blocks(2048, 2048, 128, False, (255, 256)) == (256, 512)
+    # window=(None, None) means "no band" -> full-attention tiles
+    assert _auto_blocks(2048, 2048, 128, False, None) == (512, 512)
+    # VMEM ceiling: T=4096 @ d_p=128 must drop to 256x256 (wider tiles
+    # fail to compile on a v5e), and a doubled head dim halves the T
+    # at which that happens
+    assert _auto_blocks(4096, 4096, 128, False, None) == (256, 256)
+    assert _auto_blocks(4096, 4096, 128, True, None) == (256, 256)
+    assert _auto_blocks(2048, 2048, 256, False, None)[0] <= 256
+    # cross-attention: the longer side sets the VMEM budget
+    assert _auto_blocks(128, 8192, 128, False, None) == (128, 256)
+    # never tile wider than the lane-padded sequence
+    assert _auto_blocks(13, 100, 128, False, None) == (128, 128)
+    assert _auto_blocks(300, 300, 128, False, None) == (384, 384)
+
+
+def test_flash_auto_blocks_match_explicit():
+    """block_q=block_k=None (auto) must be numerically identical to an
+    explicit 128x128 tiling — tiles change scheduling, not math."""
+    q = _rand((1, 2, 300, 16), 60)
+    k = _rand((1, 2, 200, 16), 61)
+    v = _rand((1, 2, 200, 16), 62)
+    lens = jnp.asarray([150])
+    for causal, window in [(False, None), (False, (32, 16)),
+                           (True, None)]:
+        if causal:
+            q2, k2, v2 = q[:, :, :200], k, v
+        else:
+            q2, k2, v2 = q, k, v
+        auto = flash_attention(
+            q2, k2, v2, causal=causal, window=window,
+            key_padding_lens=lens, interpret=True)
+        explicit = flash_attention(
+            q2, k2, v2, causal=causal, window=window,
+            key_padding_lens=lens, block_q=128, block_k=128,
+            interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(auto), np.asarray(explicit), atol=2e-6,
+            err_msg=f'{causal=} {window=}')
