@@ -56,20 +56,25 @@ _FLASH_MIN_T_CAUSAL = 1024
 _FLASH_MIN_T_FULL = 1024
 _FLASH_MIN_T_WINDOW = 1024
 
-# VMEM ceiling for the tuned blocks: the backward keeps full-row
-# residents (q, do, dq at (T, d_p) plus lse/delta) in VMEM per (b, h)
-# row; past T*d_p == 2048*128 rows Mosaic cannot also fit 512-wide
-# blocks (T=4096/d_p=128 with any 384+ block fails to allocate) and the
-# kernel must drop to 256x256 — still 1.5x (full) to 3.6x (causal) over
-# XLA at T=4096.
-_AUTO_BLOCK_VMEM_ROWS = 2048 * 128
+# The backward keeps full-row residents (q, do, dq at (T, d_p) plus
+# lse/delta) in VMEM per (b, h) row — ~8*T*d_p bytes.  Under Mosaic's
+# DEFAULT VMEM budget that made 384+-wide blocks fail to allocate at
+# T=4096/d_p=128, so the kernel passes an explicit
+# vmem_limit_bytes=128 MiB (the physical v5e/v5p VMEM) to every
+# pallas_call; with it, 512-wide blocks compile and run through at
+# least T*d_p == 4096*128 (measured) and arithmetically fit far
+# beyond.  The conservative fallback below only kicks in past
+# T*d_p == 8192*128, unverifiable on this session's relay (the remote
+# compile helper 500s on ANY program that large, XLA path included).
+_VMEM_LIMIT_BYTES = 128 * 1024 * 1024
+_AUTO_BLOCK_VMEM_ROWS = 8192 * 128
 
 
 def _auto_blocks(tq, tk, d_p, causal, window):
     """Tuned (block_q, block_k) for the measured v5e optimum.
 
     Sweep (fwd+bwd, B=8, H=12, D=64 bf16) over {128..512}^2 blocks:
-    512-wide blocks are 1.7-3.4x faster than the 128x128 default tile —
+    512-wide blocks are 1.7-4.3x faster than the 128x128 default tile —
     fewer grid steps amortize the per-block softmax bookkeeping (VPU)
     against bigger MXU matmuls.  Causal/banded favor a narrower 256
     query block (finer-grained diagonal/band pruning), full attention
@@ -77,6 +82,14 @@ def _auto_blocks(tq, tk, d_p, causal, window):
     """
     banded = window is not None and window != (None, None)
     if max(tq, tk) * d_p > _AUTO_BLOCK_VMEM_ROWS:
+        bq, bk = 256, 256
+    elif banded and None not in window and \
+            (window[0] + window[1] + 1) * 4 < max(tq, tk):
+        # narrow band relative to T: the prune has block granularity,
+        # so a smaller k block wastes fewer out-of-band columns
+        # (measured: band 512 @ T=4096 runs 12.2 ms at 256x256 vs
+        # 13.6 ms at 256x512; at T=1024 the same band covers most of
+        # the matrix and the wider block wins, 2.00 vs 2.34 ms)
         bq, bk = 256, 256
     elif causal or banded:
         bq, bk = 256, 512
@@ -267,6 +280,14 @@ def _dqkv_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _compiler_params(interpret):
+    # the interpreter has no Mosaic backend to pass parameters to
+    if interpret:
+        return {}
+    return dict(compiler_params=pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_LIMIT_BYTES))
+
+
 def _lens_spec():
     # full (BH,) vector in SMEM; kernels index it with program_id(0)
     return pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -321,6 +342,7 @@ def _fwd_call(config, lens, q, k, v):
             jax.ShapeDtypeStruct((bh, tq, 1), jnp.float32),
         ],
         interpret=interpret,
+        **_compiler_params(interpret),
     )(lens, q, k, v)
 
 
@@ -358,6 +380,7 @@ def _bwd_call(config, lens, q, k, v, o, lse, do):
             jax.ShapeDtypeStruct((bh, tk, d), jnp.float32),
         ],
         interpret=interpret,
+        **_compiler_params(interpret),
     )(lens, q, k, v, do, lse, delta)
     if group > 1:
         bkv = bh // group

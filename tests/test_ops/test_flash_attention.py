@@ -520,25 +520,34 @@ def test_mha_auto_dispatch_uses_kernel_past_crossover(monkeypatch):
 
 def test_auto_blocks_measured_optima():
     """The default (block_q=None) tiles must be the swept v5e optima:
-    512-wide blocks past the 128x128 default (1.7-3.4x faster), a
+    512-wide blocks past the 128x128 default (1.7-4.3x faster), a
     narrower 256 query block under causal/banded pruning, and a
     256x256 fallback once the backward's full-row VMEM residents
-    (T * d_p) leave no room for wider tiles."""
+    (T * d_p) pass the verified budget (the kernel raises
+    vmem_limit_bytes to the physical 128 MiB; T*d_p = 4096*128 is
+    measured, the fallback starts past 8192*128)."""
     from padertorch_tpu.ops.pallas.attention import _auto_blocks
 
     assert _auto_blocks(2048, 2048, 128, False, (None, None)) == (512, 512)
     assert _auto_blocks(2048, 2048, 128, True, (None, None)) == (256, 512)
     assert _auto_blocks(2048, 2048, 128, False, (255, 256)) == (256, 512)
+    # narrow band relative to T: smaller k blocks waste fewer
+    # out-of-band columns (the prune has block granularity)
+    assert _auto_blocks(4096, 4096, 128, False, (255, 256)) == (256, 256)
+    assert _auto_blocks(4096, 4096, 128, False, (None, 256)) == (256, 512)
     # window=(None, None) means "no band" -> full-attention tiles
     assert _auto_blocks(2048, 2048, 128, False, None) == (512, 512)
-    # VMEM ceiling: T=4096 @ d_p=128 must drop to 256x256 (wider tiles
-    # fail to compile on a v5e), and a doubled head dim halves the T
-    # at which that happens
-    assert _auto_blocks(4096, 4096, 128, False, None) == (256, 256)
-    assert _auto_blocks(4096, 4096, 128, True, None) == (256, 256)
-    assert _auto_blocks(2048, 2048, 256, False, None)[0] <= 256
+    # wide tiles hold through the measured T=4096 @ d_p=128 point...
+    assert _auto_blocks(4096, 4096, 128, False, None) == (512, 512)
+    assert _auto_blocks(4096, 4096, 128, True, None) == (256, 512)
+    assert _auto_blocks(8192, 8192, 128, True, None) == (256, 512)
+    # ...and drop to 256x256 past the verified budget; a doubled head
+    # dim halves the T at which that happens
+    assert _auto_blocks(16384, 16384, 128, False, None) == (256, 256)
+    assert _auto_blocks(16384, 16384, 128, True, None) == (256, 256)
+    assert _auto_blocks(8192, 8192, 256, False, None)[0] <= 256
     # cross-attention: the longer side sets the VMEM budget
-    assert _auto_blocks(128, 8192, 128, False, None) == (128, 256)
+    assert _auto_blocks(128, 32768, 128, False, None) == (128, 256)
     # never tile wider than the lane-padded sequence
     assert _auto_blocks(13, 100, 128, False, None) == (128, 128)
     assert _auto_blocks(300, 300, 128, False, None) == (384, 384)
