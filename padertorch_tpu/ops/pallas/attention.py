@@ -49,9 +49,9 @@ _NEG = -1e30
 # measurement table.  Below the threshold XLA's materializing-but-fused
 # attention is faster (its big batched GEMMs beat the kernel's block
 # loop when the logits tensor still fits caches comfortably); above it
-# the O(T) HBM traffic + block pruning win (T=1024: causal 2.09x, full
-# 1.96x, banded 2.05x; T=512: XLA wins both at ~1.2x).  The thresholds
-# compare max(Tq, Tk).
+# the O(T) HBM traffic + block pruning win (T=1024: ~1.8x in every
+# mode, growing to 2.6-8.1x at T=4096; T=512: XLA wins at ~1.5x).
+# The thresholds compare max(Tq, Tk).
 _FLASH_MIN_T_CAUSAL = 1024
 _FLASH_MIN_T_FULL = 1024
 _FLASH_MIN_T_WINDOW = 1024
@@ -73,25 +73,21 @@ _AUTO_BLOCK_VMEM_ROWS = 8192 * 128
 def _auto_blocks(tq, tk, d_p, causal, window):
     """Tuned (block_q, block_k) for the measured v5e optimum.
 
-    Sweep (fwd+bwd, B=8, H=12, D=64 bf16) over {128..512}^2 blocks:
-    512-wide blocks are 1.7-4.3x faster than the 128x128 default tile —
-    fewer grid steps amortize the per-block softmax bookkeeping (VPU)
-    against bigger MXU matmuls.  Causal/banded favor a narrower 256
-    query block (finer-grained diagonal/band pruning), full attention
-    the full 512x512.
+    Sweep (fwd+bwd, at B=8/H=12/D=64 and B=4/H=16/D=128, bf16) over
+    {128..512}^2 blocks: 512-wide blocks are 1.7-4.3x faster than the
+    128x128 default tile — fewer grid steps amortize the per-block
+    softmax bookkeeping (VPU) against bigger MXU matmuls.  Banded
+    shapes favor a narrower 256 query block (the band prune has block
+    granularity; a narrow query block tracks the band more tightly);
+    full and causal attention take the full 512x512.
     """
     banded = window is not None and window != (None, None)
     if max(tq, tk) * d_p > _AUTO_BLOCK_VMEM_ROWS:
         bq, bk = 256, 256
-    elif banded and None not in window and \
-            (window[0] + window[1] + 1) * 4 < max(tq, tk):
-        # narrow band relative to T: the prune has block granularity,
-        # so a smaller k block wastes fewer out-of-band columns
-        # (measured: band 512 @ T=4096 runs 12.2 ms at 256x256 vs
-        # 13.6 ms at 256x512; at T=1024 the same band covers most of
-        # the matrix and the wider block wins, 2.00 vs 2.34 ms)
-        bq, bk = 256, 256
-    elif causal or banded:
+    elif banded:
+        # a narrower query block tracks the band more tightly (the
+        # prune has block granularity): band 512 @ T=4096 measures
+        # 11.2 ms at 256x512 vs 12.9 ms at 512x512
         bq, bk = 256, 512
     else:
         bq, bk = 512, 512
@@ -104,11 +100,11 @@ def should_use_flash(tq, tk=None, *, causal=False, window=None):
 
     Encodes the measured v5e crossover (fwd+bwd training step at the
     tuned ``_auto_blocks`` tiles; see doc/performance.md "Fused
-    attention"): at T >= 1024 the kernel wins every mode (full 1.96x,
-    causal 2.09x, banded 2.05x — and the margin grows with T since
+    attention"): at T >= 1024 the kernel wins every mode (~1.8x,
+    growing to 2.6x full / 5.2x causal / 8.1x banded at T=4096 since
     causal/banded *skip* above-diagonal/out-of-band KV blocks, which a
     dense mask cannot); at T <= 512 XLA's fused softmax over one big
-    batched GEMM wins ~1.2x.  On non-TPU backends it always returns
+    batched GEMM wins ~1.5x.  On non-TPU backends it always returns
     False (the Pallas interpreter is an emulation for tests, never a
     win).
 

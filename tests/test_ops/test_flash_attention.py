@@ -529,18 +529,17 @@ def test_auto_blocks_measured_optima():
     from padertorch_tpu.ops.pallas.attention import _auto_blocks
 
     assert _auto_blocks(2048, 2048, 128, False, (None, None)) == (512, 512)
-    assert _auto_blocks(2048, 2048, 128, True, (None, None)) == (256, 512)
+    assert _auto_blocks(2048, 2048, 128, True, (None, None)) == (512, 512)
+    # banded: a narrower query block tracks the band more tightly
     assert _auto_blocks(2048, 2048, 128, False, (255, 256)) == (256, 512)
-    # narrow band relative to T: smaller k blocks waste fewer
-    # out-of-band columns (the prune has block granularity)
-    assert _auto_blocks(4096, 4096, 128, False, (255, 256)) == (256, 256)
+    assert _auto_blocks(4096, 4096, 128, False, (255, 256)) == (256, 512)
     assert _auto_blocks(4096, 4096, 128, False, (None, 256)) == (256, 512)
     # window=(None, None) means "no band" -> full-attention tiles
     assert _auto_blocks(2048, 2048, 128, False, None) == (512, 512)
     # wide tiles hold through the measured T=4096 @ d_p=128 point...
     assert _auto_blocks(4096, 4096, 128, False, None) == (512, 512)
-    assert _auto_blocks(4096, 4096, 128, True, None) == (256, 512)
-    assert _auto_blocks(8192, 8192, 128, True, None) == (256, 512)
+    assert _auto_blocks(4096, 4096, 128, True, None) == (512, 512)
+    assert _auto_blocks(8192, 8192, 128, True, None) == (512, 512)
     # ...and drop to 256x256 past the verified budget; a doubled head
     # dim halves the T at which that happens
     assert _auto_blocks(16384, 16384, 128, False, None) == (256, 256)
