@@ -403,6 +403,90 @@ def bench_attention():
             best = min(best, (time.perf_counter() - t0) / reps)
         return best * 1e3
 
+    def naive_f32(q, k, v, *, causal, key_padding_lens, window=None):
+        """Oracle matching the kernel's numerics op-for-op: bf16 matmul
+        operands with f32 accumulation, f32 softmax, probabilities cast
+        to the value dtype for the PV matmul.  (The timing `naive`
+        above mirrors the dense MHA path instead, whose einsum rounds
+        the logits to bf16 — a ~1e-2 oracle error that would drown the
+        parity signal.)"""
+        s = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                       preferred_element_type=jnp.float32) / np.sqrt(D)
+        tq, tk = q.shape[2], k.shape[2]
+        mask = (jnp.arange(tk)[None, None, None, :]
+                < key_padding_lens[:, None, None, None])
+        if causal:
+            mask = mask & (jnp.arange(tk)[None, None, None, :]
+                           <= jnp.arange(tq)[None, None, :, None])
+        if window is not None:
+            diff = (jnp.arange(tk)[None, None, None, :]
+                    - jnp.arange(tq)[None, None, :, None])
+            mask = mask & (diff >= -window[0]) & (diff <= window[1])
+        p = jax.nn.softmax(jnp.where(mask, s, -1e30), axis=-1)
+        p = jnp.where(mask, p, 0.0).astype(v.dtype)
+        return jnp.einsum('bhqk,bhkd->bhqd', p, v,
+                          preferred_element_type=jnp.float32
+                          ).astype(v.dtype)
+
+    def device_parity(t, causal, window=None):
+        """Max |flash - oracle| of outputs AND input grads ON THE CHIP.
+
+        The test suite fuzzes the kernel only through the Pallas
+        interpreter (CPU); this catches Mosaic-specific miscompiles the
+        interpreter cannot see.  Against the op-faithful f32-softmax
+        oracle agreement is ~bf16 output rounding (<1e-2); gross
+        miscompiles are O(1)."""
+        q, k, v = (jnp.asarray(rng.randn(B_, H, t, D), jnp.bfloat16)
+                   for _ in range(3))
+        lens = jnp.full((B_,), t - 7, jnp.int32)  # exercise padding
+
+        def run(fn):
+            f = functools.partial(fn, causal=causal, window=window,
+                                  key_padding_lens=lens)
+
+            def loss(q, k, v):
+                return jnp.sum(jnp.tanh(f(q, k, v).astype(jnp.float32)))
+
+            out = f(q, k, v).astype(jnp.float32)
+            grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+            return out, [g.astype(jnp.float32) for g in grads]
+
+        of, gf = run(flash_attention)
+        on, gn = run(naive_f32)
+
+        def rel(a, b):
+            # relative: |dv| grows with key popularity (under causal,
+            # early keys are attended by ~ln(T) more queries, so |dv|
+            # reaches ~4+) and the MXU's bf16-pass truncation of f32
+            # matmuls scales with it on BOTH paths; a plain atol would
+            # trip on that benign noise (measured 0.0625 on |dv|~4)
+            return jnp.max(jnp.abs(a - b) / (1.0 + jnp.abs(b)))
+
+        diffs = [rel(of, on)]
+        diffs += [rel(a, b) for a, b in zip(gf, gn)]
+        return float(jnp.max(jnp.stack(diffs)))
+
+    try:
+        dev_diff = max(
+            device_parity(1024, False),
+            device_parity(2048, True),
+            device_parity(2048, False, window=(255, 256)),
+        )
+    except Exception as e:  # pragma: no cover
+        _log(f'attention device parity failed: {e!r}')
+        dev_diff = float('inf')
+    if not dev_diff < 0.02:  # catches inf/nan too
+        # a fast-but-wrong kernel must FAIL the graded line, loudly
+        print(json.dumps({
+            'metric': 'flash_attention_causal_train_ms',
+            'value': float('inf'),
+            'unit': (f'DEVICE PARITY FAILURE: max rel |flash - oracle| = '
+                     f'{dev_diff:.3g} on-chip (tolerance 0.02 for bf16 '
+                     f'operands); timings withheld'),
+            'vs_baseline': 0.0,
+        }), flush=True)
+        return
+
     r = {}
     for name, fn in [('flash', flash_attention), ('xla', naive)]:
         try:
@@ -431,7 +515,9 @@ def bench_attention():
                  f'non-causal T=1024 (the auto-dispatch crossover): '
                  f'flash={r["flash_short"]:.1f} vs '
                  f'xla={r["xla_short"]:.1f} ms '
-                 f'[{r["xla_short"] / r["flash_short"]:.2f}x]); '
+                 f'[{r["xla_short"] / r["flash_short"]:.2f}x]; '
+                 f'on-chip kernel-vs-oracle parity incl. grads: '
+                 f'max rel diff {dev_diff:.2g}); '
                  f'baseline = same-chip XLA path'),
         'vs_baseline': round(speedup, 2),
     }), flush=True)

@@ -36,6 +36,8 @@ __all__ = [
     'broadcast_bytes',
     'broadcast_obj',
     'fetch_global',
+    'read_and_broadcast',
+    'load_state_broadcast',
 ]
 
 
