@@ -336,10 +336,19 @@ class _RNNBase(Module):
         # flipping the output back restores forward alignment with
         # zeros in the padding — exactly packed-sequence semantics.
         mask_b = None if mask is None else jnp.flip(mask, axis=1)
+        # Carries are ALWAYS float32: the cell math accumulates in f32
+        # (preferred_element_type) so a low-precision input (e.g. the
+        # trainer's bfloat16 policy casting examples) must not leak
+        # into the recurrent state — a bf16 init would also mismatch
+        # the f32 carry the cell emits and break the scan.  Outputs
+        # are cast back to the input dtype per layer (below) so the
+        # policy's activation-memory savings survive the RNN.
+        carry_dtype = (x.dtype if jnp.dtype(x.dtype).itemsize >= 4
+                       else jnp.dtype(jnp.float32))
         for layer in range(self.num_layers):
             layer_fn = functools.partial(
                 self._layer_forward, layer, mask=mask, mask_b=mask_b,
-                state=state, batch=batch, dtype=x.dtype,
+                state=state, batch=batch, dtype=carry_dtype,
                 num_directions=num_directions)
             if self.remat:
                 # per-layer rematerialization: drop this layer's
@@ -371,7 +380,13 @@ class _RNNBase(Module):
 
     def _layer_forward(self, layer, out, *, mask, mask_b, state, batch,
                        dtype, num_directions):
-        """One (bi)directional layer: ``out -> (out, [carries])``."""
+        """One (bi)directional layer: ``out -> (out, [carries])``.
+
+        ``dtype`` is the carry dtype (float32 for low-precision
+        inputs); the layer output is cast back to the input dtype so
+        a bfloat16 activation stream stays bfloat16 across layers.
+        """
+        in_dtype = out.dtype
         if num_directions == 2 and self._can_batch_directions(layer):
             # TPU optimization: run both directions in ONE scan by
             # stacking them into the batch axis — halves the number
@@ -385,7 +400,8 @@ class _RNNBase(Module):
                 [mask, mask_b], axis=0)
             if state is not None:
                 init = jax.tree_util.tree_map(
-                    lambda s: jnp.concatenate([s[i_f], s[i_b]], 0),
+                    lambda s: jnp.concatenate(
+                        [s[i_f], s[i_b]], 0).astype(dtype),
                     state)
             else:
                 init = self._cell_init(2 * batch, dtype)
@@ -399,7 +415,7 @@ class _RNNBase(Module):
                 inp, mask2, w_ih, w_hh, b, init, batch)
             o_f, o_b = o2[:batch], o2[batch:]
             o_b = jnp.flip(o_b, axis=1)
-            out = jnp.concatenate([o_f, o_b], axis=-1)
+            out = jnp.concatenate([o_f, o_b], axis=-1).astype(in_dtype)
             finals = [
                 jax.tree_util.tree_map(lambda c: c[:batch], carry2),
                 jax.tree_util.tree_map(lambda c: c[batch:], carry2),
@@ -415,7 +431,8 @@ class _RNNBase(Module):
                 inp = jnp.flip(inp, axis=1)
                 m = mask_b
             if state is not None:
-                init = jax.tree_util.tree_map(lambda s: s[i], state)
+                init = jax.tree_util.tree_map(
+                    lambda s: s[i].astype(dtype), state)
             else:
                 init = self._cell_init(batch, dtype)
             o, carry = self._scan_direction(
@@ -426,7 +443,7 @@ class _RNNBase(Module):
             finals.append(carry)
         out = outs[0] if num_directions == 1 else jnp.concatenate(
             outs, axis=-1)
-        return out, finals
+        return out.astype(in_dtype), finals
 
     def extra_repr(self):
         return (f'{self.input_size}, {self.hidden_size}, '

@@ -195,3 +195,51 @@ def test_remat_matches_no_remat():
         for a, b in zip(jax.tree_util.tree_leaves(g1),
                         jax.tree_util.tree_leaves(g0)):
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_bfloat16_inputs_keep_f32_carries():
+    """A low-precision input stream (the trainer's bfloat16 policy casts
+    example leaves) must not leak into the recurrent state: carries are
+    f32 (the cell accumulates in f32, and a bf16 init would mismatch the
+    f32 carry the cell emits and break the scan), while the layer
+    OUTPUT is cast back to the input dtype so the policy's
+    activation-memory savings survive the stack."""
+    import padertorch_tpu as pt
+    from padertorch_tpu.modules.recurrent import LSTM, GRU
+
+    for cls in (LSTM, GRU):
+        pt.random.seed(0)
+        rnn = cls(input_size=6, hidden_size=5, num_layers=2,
+                  bidirectional=True)
+        # the policy casts params too — mirror it
+        import jax.tree_util as jtu
+        for i, w in enumerate(rnn.w_ih):
+            rnn.w_ih[i] = w.astype(jnp.bfloat16)
+        for i, w in enumerate(rnn.w_hh):
+            rnn.w_hh[i] = w.astype(jnp.bfloat16)
+        rnn.b = [None if b is None else b.astype(jnp.bfloat16)
+                 for b in rnn.b]
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(3, 11, 6), jnp.bfloat16)
+        out, state = rnn(x, seq_lens=jnp.asarray([11, 7, 4]))
+        assert out.dtype == jnp.bfloat16, out.dtype
+        for leaf in jtu.tree_leaves(state):
+            assert leaf.dtype == jnp.float32, leaf.dtype
+        assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+        # streaming round trip: feeding the f32 state back works, and a
+        # (user-held) bf16 state is promoted instead of crashing
+        out2, _ = rnn(x, state=state)
+        bf_state = jtu.tree_map(
+            lambda s: s.astype(jnp.bfloat16), state)
+        out3, _ = rnn(x, state=bf_state)
+        assert out2.dtype == out3.dtype == jnp.bfloat16
+
+        # gradients flow (f32 loss over bf16 activations)
+        import jax
+
+        def loss(x):
+            return jnp.sum(rnn(x)[0].astype(jnp.float32))
+
+        g = jax.grad(loss)(x)
+        assert g.dtype == jnp.bfloat16
+        assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
