@@ -120,3 +120,113 @@ def test_bf16_preserves_buffer_dtypes(tmp_path):
     # running stats moved away from init (they updated during forward)
     mean = np.asarray(trainer.model.norm.running_mean)
     assert np.max(np.abs(mean)) > 1e-3
+
+
+def _one_bf16_step(trainer, batch):
+    """One fused train step under the bf16 policy; returns the loss."""
+    trainer.iteration = 0
+    params, static = partition(trainer.model)
+    step = trainer._get_fn('train', trainer._make_train_step)
+    out = step(params, static, trainer._opt_states, batch,
+               jax.random.PRNGKey(0), trainer._loss_weight_arrays())
+    loss = float(np.asarray(jax.tree_util.tree_leaves(out[3])[0]))
+    assert np.isfinite(loss), loss
+    return loss
+
+
+def test_bf16_policy_model_zoo(tmp_path):
+    """One bf16-policy train step for each major model family.
+
+    The policy casts example leaves and params to bfloat16; every op
+    class must survive the mixed stream (``lax.conv`` does NOT promote
+    mixed dtypes, scan carries must keep their dtype across steps —
+    a carry-dtype regression crashed the whole TasNet family once).
+    """
+    from padertorch_tpu.train.trainer import Trainer
+
+    rng = np.random.RandomState(0)
+
+    def tasnet_trainer(variant, sep_small):
+        from padertorch_tpu.contrib.examples.source_separation.tasnet \
+            .train import get_trainer_config
+        ptrandom.seed(0)
+        return Trainer.from_config(get_trainer_config(
+            tmp_path / variant, variant=variant,
+            updates={'precision': 'bfloat16',
+                     'model': {'separator': sep_small,
+                               'encoder': {'feature_size': 16}}}))
+
+    wave_batch = {
+        'y': jnp.asarray(rng.randn(2, 2000).astype('float32')),
+        's': jnp.asarray(rng.randn(2, 2, 2000).astype('float32')),
+        'num_samples': jnp.asarray([2000, 1600], 'int32'),
+    }
+
+    # TasNet encoder/decoder convs + DPRNN (chunked BLSTMs)
+    _one_bf16_step(tasnet_trainer('dprnn', {
+        'input_size': 16, 'rnn_size': 8, 'window_length': 10,
+        'hop_size': 5, 'num_blocks': 1}), wave_batch)
+    # TCN: dilated depthwise convs + gLN
+    _one_bf16_step(tasnet_trainer('convnet', {
+        'input_size': 16, 'num_blocks': 2, 'num_repeats': 1,
+        'hidden_channels': 16}), wave_batch)
+    # dual-path transformer (attention + layernorm)
+    _one_bf16_step(tasnet_trainer('sepformer', {
+        'input_size': 16, 'window_length': 10, 'hop_size': 5,
+        'num_blocks': 1, 'num_layers_intra': 1, 'num_layers_inter': 1,
+        'num_heads': 2}), wave_batch)
+
+    # PIT BLSTM: InputNormalization running buffers + BLSTM + PIT loss
+    from padertorch_tpu.models.bss import (
+        PermutationInvariantTrainingModel)
+    ptrandom.seed(0)
+    pit = Trainer(
+        model=PermutationInvariantTrainingModel(
+            F=17, recurrent_layers=1, units=8, K=2),
+        storage_dir=tmp_path / 'pit', optimizer=pt.Adam(),
+        stop_trigger=(1, 'epoch'), precision='bfloat16',
+        loss_weights={'pit_mse_loss': 1.0, 'pit_ips_loss': 0.0})
+    _one_bf16_step(pit, {
+        'Y_abs': jnp.asarray(np.abs(rng.randn(2, 12, 17)), jnp.float32),
+        'X_abs': jnp.asarray(
+            np.abs(rng.randn(2, 12, 2, 17)), jnp.float32),
+        'cos_phase_difference': jnp.asarray(
+            np.cos(rng.randn(2, 12, 2, 17)), jnp.float32),
+        'num_frames': jnp.asarray([12, 9]),
+    })
+
+    # mask estimator: InputNormalization + BLSTM + sigmoid BCE
+    from padertorch_tpu.models.mask_estimator import SimpleMaskEstimator
+    ptrandom.seed(0)
+    mask = Trainer(
+        model=SimpleMaskEstimator(num_features=17, num_units=8),
+        storage_dir=tmp_path / 'mask', optimizer=pt.Adam(),
+        stop_trigger=(1, 'epoch'), precision='bfloat16')
+    _one_bf16_step(mask, {
+        'observation_abs': jnp.asarray(
+            np.abs(rng.randn(2, 12, 17)), jnp.float32),
+        'speech_mask_target': jnp.asarray(
+            (rng.rand(2, 12, 17) > 0.5), jnp.float32),
+        'noise_mask_target': jnp.asarray(
+            (rng.rand(2, 12, 17) > 0.5), jnp.float32),
+        'num_frames': jnp.asarray([12, 9]),
+    })
+
+    # WaveNet vocoder: embedding + dilated causal convs + transpose-conv
+    # conditioning upsampler + mu-law targets
+    from padertorch_tpu.contrib.examples.audio_synthesis.wavenet \
+        .model import WaveNetVocoder
+    ptrandom.seed(0)
+    cfg = WaveNetVocoder.get_config({'wavenet': {
+        'n_layers': 2, 'max_dilation': 2, 'n_residual_channels': 8,
+        'n_skip_channels': 16, 'n_cond_channels': 8,
+        'upsamp_window': 20, 'upsamp_stride': 10}})
+    wn = Trainer(
+        model=WaveNetVocoder.from_config(cfg),
+        storage_dir=tmp_path / 'wavenet', optimizer=pt.Adam(),
+        stop_trigger=(1, 'epoch'), precision='bfloat16')
+    _one_bf16_step(wn, {
+        'features': jnp.asarray(rng.randn(2, 8, 6), jnp.float32),
+        'audio_data': jnp.asarray(
+            rng.randn(2, 80).clip(-0.99, 0.99), jnp.float32),
+    })
