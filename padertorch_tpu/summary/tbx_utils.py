@@ -11,6 +11,20 @@ import numpy as np
 
 from padertorch_tpu.utils.misc import to_numpy
 
+
+def _to_numpy_float(x):
+    """Host array for TB conversion; low-precision floats -> float32.
+
+    Snapshots produced under the trainer's bfloat16 policy arrive as
+    ml_dtypes.bfloat16 arrays, which numpy's ufunc/finfo machinery does
+    not treat as inexact — image/audio conversion math runs in f32.
+    """
+    x = to_numpy(x, detach=True)
+    if x.dtype.name in ('bfloat16', 'float16', 'float8_e4m3fn',
+                        'float8_e5m2'):
+        x = x.astype(np.float32)
+    return x
+
 __all__ = [
     'mask_to_image',
     'stft_to_image',
@@ -112,7 +126,7 @@ def mask_to_image(mask, batch_first: bool = False,
     >>> mask_to_image(np.random.uniform(size=(10, 4))).shape
     (1, 4, 10)
     """
-    mask = to_numpy(mask, detach=True)
+    mask = _to_numpy_float(mask)
     clipped = np.sum((mask < 0) | (mask > 1))
     if clipped:
         import warnings
@@ -137,7 +151,7 @@ def stft_to_image(signal, batch_first: bool = False, color: str = 'viridis',
     ...     np.array(data)[:, None], color=None, visible_dB=60)).tolist()
     [255, 51, 40, 1, 0]
     """
-    signal = to_numpy(signal, detach=True)
+    signal = _to_numpy_float(signal)
     return spectrogram_to_image(
         signal.real ** 2 + signal.imag ** 2,
         batch_first=batch_first, color=color, origin=origin,
@@ -149,7 +163,7 @@ def spectrogram_to_image(signal, batch_first: bool = False,
                          log: bool = True,
                          visible_dB: float = 50) -> np.ndarray:
     """Image from a power spectrogram; log scale shows ``visible_dB`` dB."""
-    signal = to_numpy(signal, detach=True)
+    signal = _to_numpy_float(signal)
     signal = signal / (np.max(np.abs(signal))
                        + np.finfo(np.asarray(signal).dtype).tiny)
     signal = _remove_batch_axis(signal, batch_first=batch_first)
@@ -169,7 +183,7 @@ def audio(signal, sampling_rate: int = 16000, batch_first: bool = False,
     >>> sr, float(np.abs(sig).max())
     (16000, 0.95)
     """
-    signal = to_numpy(signal, detach=True)
+    signal = _to_numpy_float(signal)
     if signal.dtype.kind == 'c':
         raise ValueError(
             f'Complex dtype ({signal.dtype}) is not supported for audio.')

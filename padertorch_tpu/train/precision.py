@@ -26,6 +26,16 @@ Usage::
 or, for fine-grained control::
 
     Trainer(..., precision=Precision('bfloat16', cast_examples=False))
+
+Every recipe accepts it as a sacred-style override
+(``python -m ...pit.train ... with precision=bfloat16``).
+
+Known limitation (CPU only): combining the policy with the Pallas
+``interpret`` RNN backend can compile a dot that XLA:CPU's thunk
+runtime refuses to execute (``DotThunk: BF16 x BF16 = F32``) — an
+upstream CPU-runtime gap, not a numerics issue.  Use the ``scan`` RNN
+backend for CPU runs under the policy; on TPU (the production target)
+the Pallas backend + policy is the benchmarked configuration.
 """
 import jax
 import jax.numpy as jnp

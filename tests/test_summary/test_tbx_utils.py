@@ -98,3 +98,22 @@ class TestColorize:
                 warnings.simplefilter('error')
                 out2 = colorize(i, True)
             np.testing.assert_array_equal(out2, i[None])
+
+
+def test_converters_accept_bfloat16():
+    """Snapshots produced under the bfloat16 trainer policy arrive as
+    ml_dtypes.bfloat16 arrays; numpy's finfo/ufunc machinery does not
+    treat them as inexact, so the converters coerce to float32."""
+    import jax.numpy as jnp
+    from padertorch_tpu.summary.tbx_utils import (
+        audio, mask_to_image, spectrogram_to_image, stft_to_image)
+
+    spec = jnp.asarray(np.abs(np.random.RandomState(0).randn(12, 5)),
+                       jnp.bfloat16)
+    assert spectrogram_to_image(spec, batch_first=None).shape[0] == 4
+    assert stft_to_image(spec, batch_first=None).shape[0] == 4
+    mask = jnp.asarray(np.random.RandomState(1).rand(12, 5), jnp.bfloat16)
+    assert mask_to_image(mask, batch_first=None).shape == (1, 5, 12)
+    sig, sr = audio(jnp.asarray([0.0, 0.5, -0.25], jnp.bfloat16))
+    assert sr == 16000
+    np.testing.assert_allclose(float(np.abs(sig).max()), 0.95)
