@@ -52,6 +52,20 @@ class QuantizedLinear(Module):
     ordinary module.
     """
 
+    #: kernel dispatch: ``None`` = auto (fused Pallas dequant-matmul on
+    #: TPU at serving batch sizes, XLA path otherwise), ``True``/
+    #: ``False`` force, ``'interpret'`` runs the kernel on the Pallas
+    #: CPU interpreter (tests). The kernel reads the weight from HBM as int8
+    #: and dequantizes in VMEM — the actual 4x bandwidth win at decode
+    #: (see ``ops/pallas/int8_matmul.py`` and doc/serving.md). Caveat:
+    #: a forced-``True`` module baked into a multi-platform
+    #: ``serve.export_model(platforms=('tpu', 'cpu'))`` artifact will
+    #: only run on TPU.
+    use_kernel = None
+    # above this many flattened input rows the dot is compute-bound and
+    # XLA's path is fine; it also bounds the kernel's VMEM-resident x
+    _KERNEL_MAX_ROWS = 1024
+
     def __init__(self, weight_q, scale, bias):
         self.weight_q = weight_q          # (in, out) int8
         self.scale = scale                # (out,) float32
@@ -67,9 +81,23 @@ class QuantizedLinear(Module):
         w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
         return cls(w_q, scale.astype(jnp.float32), linear.bias)
 
+    def _dispatch_kernel(self, x):
+        if self.use_kernel is not None:
+            return self.use_kernel
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        return (jax.default_backend() == 'tpu'
+                and rows <= self._KERNEL_MAX_ROWS)
+
     def forward(self, x):
-        w = self.weight_q.astype(x.dtype) * self.scale.astype(x.dtype)
-        y = x @ w
+        if self._dispatch_kernel(x):
+            from padertorch_tpu.ops.pallas.int8_matmul import int8_matmul
+            y = int8_matmul(x, self.weight_q, self.scale,
+                            interpret=self.use_kernel == 'interpret')
+        else:
+            w = self.weight_q.astype(x.dtype) * self.scale.astype(x.dtype)
+            y = x @ w
         if self.bias is not None:
             y = y + self.bias
         return y
