@@ -176,6 +176,10 @@ class STFT:
         k_real, k_imag = get_istft_kernel(size, shift, window)
         self.istft_kernel_real = jnp.asarray(k_real, dtype=dtype)[:, None, :]
         self.istft_kernel_imag = jnp.asarray(k_imag, dtype=dtype)[:, None, :]
+        # numpy copies for host-side derivations (the fused
+        # masked-iSTFT kernel builds its synthesis matrices from these
+        # — jnp attributes would turn into tracers under jit)
+        self._istft_kernel_np = (k_real, k_imag)
 
     @property
     def _pad_widths(self):
@@ -268,6 +272,49 @@ class STFT:
             cut_off = time_signal.shape[-1] - ceil(pad_width)
             time_signal = time_signal[..., int(pad_width):cut_off]
         return time_signal
+
+    def masked_inverse(self, stft_signal, mask=None, backend='auto'):
+        """``inverse(stft_signal * mask)`` — the separation-inference
+        hot path (reference: mask-estimation models multiply the
+        mixture STFT by a (..., frames, F) mask before
+        ``padertorch/ops/_stft.py:176`` iSTFT) — fused into ONE Pallas
+        kernel on TPU so the masked spectrogram never touches HBM
+        (``ops/pallas/masked_istft.py``).
+
+        Args:
+            stft_signal: frames, layout per ``complex_representation``.
+            mask: optional real mask broadcastable to
+                ``(..., frames, F)`` (e.g. an extra leading source
+                axis); ``None`` = plain iSTFT.
+            backend: 'auto' (kernel on TPU when supported), 'pallas',
+                'jnp', or 'interpret' (kernel on the CPU interpreter,
+                for tests).
+        """
+        supported = (
+            self.window_length % self.shift == 0
+            and self.window_length > self.shift)
+        if backend == 'auto':
+            import jax
+            backend = 'pallas' if (
+                supported and jax.default_backend() == 'tpu'
+                and not isinstance(self, HostSTFT)) else 'jnp'
+        if backend in ('pallas', 'interpret'):
+            from padertorch_tpu.ops.pallas.masked_istft import (
+                masked_istft)
+            return masked_istft(
+                stft_signal, mask, stft=self,
+                interpret=backend == 'interpret')
+        assert backend == 'jnp', backend
+        if mask is None:
+            return self.inverse(stft_signal)
+        xp = np if isinstance(stft_signal, np.ndarray) else jnp
+        if self.complex_representation == 'stacked':
+            masked = stft_signal * mask[..., None]
+        elif self.complex_representation == 'concat':
+            masked = stft_signal * xp.concatenate([mask, mask], axis=-1)
+        else:
+            masked = stft_signal * mask
+        return self.inverse(masked)
 
     def samples_to_frames(self, samples):
         """Number of STFT frames for a number of time samples."""
