@@ -5,21 +5,26 @@ Prints one JSON line per metric, the flagship LAST:
   1. ``stft_logmel_mframes_per_sec_per_chip`` — fused STFT -> power ->
      mel -> log frontend throughput (best of the XLA-composed jnp path
      and the Pallas kernel; both are measured).
-  2. ``numerics_parity_max_abs_diff`` — repo JAX numerics vs a torch
+  2. ``masked_istft_mframes_per_sec_per_chip`` — fused mask +
+     synthesis + overlap-add kernel (the separation-inference hot
+     path), kernel-only with a host-oracle parity gate (the XLA
+     compositions compile pathologically at this shape — see
+     doc/performance.md).
+  3. ``numerics_parity_max_abs_diff`` — repo JAX numerics vs a torch
      re-execution of the reference math (PIT BLSTM loss on a recorded
      batch with identical weights, STFT, SI-SDR); BASELINE demands 1e-4.
-  3. ``wavenet_ar_synthesis_ksamples_per_sec`` — persistent-VMEM
+  4. ``wavenet_ar_synthesis_ksamples_per_sec`` — persistent-VMEM
      Pallas AR sampler, sequential vs batch-parallel chunked
      (doc/performance.md's 23x/95x real-time claims, re-measured).
-  4. ``dprnn_tasnet_train_step_ms`` — DPRNN-TasNet fused train step,
+  5. ``dprnn_tasnet_train_step_ms`` — DPRNN-TasNet fused train step,
      scan vs Pallas LSTM backend (doc's 57.8 -> 48.2 ms claim).
-  5. ``flash_attention_causal_train_ms`` — fused Pallas attention vs
+  6. ``flash_attention_causal_train_ms`` — fused Pallas attention vs
      XLA's materializing attention, fwd+bwd, causal T=4096 (and the
      non-causal T=1024 case where XLA wins, reported in the unit).
-  6. ``pit_blstm_640_train_utterances_per_sec_per_chip`` — the same
+  7. ``pit_blstm_640_train_utterances_per_sec_per_chip`` — the same
      train step at the MXU-tile-aligned H=640 (the model size
      recommendation from doc/performance.md "MXU tiling").
-  7. ``pit_blstm_train_utterances_per_sec_per_chip`` — the flagship:
+  8. ``pit_blstm_train_utterances_per_sec_per_chip`` — the flagship:
      fully fused jitted train step (forward + PIT losses + backward +
      global-norm clip + Adam) of the PIT BLSTM separator
      (reference ``contrib/examples/source_separation/pit/model.py``),
@@ -61,6 +66,11 @@ REFERENCE_WAVENET_KSAMPLES = 48.0
 # Estimated torch DPRNN-TasNet train step (B=4, 2 s segments, 6 blocks)
 # on V100: ~250 ms (cuDNN chunked LSTMs + SI-SDR loss; estimate).
 REFERENCE_DPRNN_STEP_MS = 250.0
+# Estimated torch mask * STFT -> conv_transpose iSTFT on V100 for the
+# separation-inference shapes below (the reference's masking hot path,
+# `padertorch/ops/_stft.py:176`; same class of op as the logmel
+# frontend, so the same generous on-GPU estimate).
+REFERENCE_MASKED_ISTFT_MFRAMES = 5.0
 
 B, T, F, K = 16, 500, 257, 2
 
@@ -148,6 +158,88 @@ def bench_logmel():
                  f'jnp={results["jnp"]:.2f}, '
                  f'pallas={results["pallas"]:.2f})'),
         'vs_baseline': round(best / REFERENCE_LOGMEL_MFRAMES, 2),
+    }), flush=True)
+
+
+def bench_masked_istft():
+    """Fused mask + iSTFT (overlap-add) Pallas kernel, kernel-only.
+
+    The separation-inference hot path: K per-source masks multiply the
+    mixture STFT, then each masked spectrogram is synthesized back to
+    time (reference ``padertorch/ops/_stft.py:176``).  The Pallas
+    kernel fuses multiply + synthesis matmuls + overlap-add so the
+    masked spectrogram never round-trips HBM
+    (``ops/pallas/masked_istft.py``).
+
+    No on-chip XLA baseline is timed: at this shape the stock
+    conv_transpose inverse never finishes compiling on this backend
+    and the hand-written strided-overlap-add composition takes ~230 s
+    to compile for a ~tie in steady state (measured once,
+    doc/performance.md "Fused masked-iSTFT").  Correctness is gated
+    on parity with the numpy HostSTFT oracle instead (same kernel
+    matrices, float32) — if the kernel drifts, the metric reports 0.
+    """
+    import jax
+    import jax.numpy as jnp
+    from padertorch_tpu.ops._stft import STFT, HostSTFT
+
+    size, shift = 512, 128
+    b, k, samples = 16, 2, 64000  # 16 x 4 s at 16 kHz, 2 sources
+    rng = np.random.RandomState(0)
+    stft = STFT(size, shift, fading='full',
+                complex_representation='stacked', dtype='float32')
+    signal = rng.randn(b, samples).astype('float32')
+    spec = stft(jnp.asarray(signal))
+    tf, f = spec.shape[-3], spec.shape[-2]
+    spec = spec[:, None]                       # (B, 1, T, F, 2)
+    mask = jnp.asarray(rng.rand(b, k, tf, f).astype('float32'))
+    n_frames = b * k * tf
+
+    # parity gate vs the host oracle (mask * spec -> numpy inverse)
+    host = HostSTFT(size, shift, fading='full',
+                    complex_representation='stacked', dtype='float32')
+    got = np.asarray(stft.masked_inverse(spec, mask, backend='auto'))
+    spec_np = np.asarray(spec)
+    masked_np = spec_np * np.asarray(mask)[..., None]
+    want = host.inverse(masked_np)
+    scale = max(1.0, float(np.abs(want).max()))
+    err = float(np.abs(got - want).max()) / scale
+    if err > 1e-4:  # pragma: no cover
+        _log(f'masked-istft kernel-vs-host-oracle parity FAILED: {err}')
+        print(json.dumps({
+            'metric': 'masked_istft_mframes_per_sec_per_chip',
+            'value': 0.0,
+            'unit': f'Mframes/s (PARITY FAILED: rel err {err:.2e})',
+            'vs_baseline': 0.0,
+        }), flush=True)
+        return
+
+    reps = 200  # see bench_logmel: large so device time >> relay time
+
+    @jax.jit
+    def many(spec, mask):
+        def body(carry, _):
+            out = stft.masked_inverse(spec, mask + carry, backend='auto')
+            return (jnp.sum(out) * 1e-20).astype(mask.dtype), ()
+        carry, _ = jax.lax.scan(
+            body, jnp.zeros((), mask.dtype), None, length=reps)
+        return carry
+
+    jax.block_until_ready(many(spec, mask))  # compile + warmup
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(many(spec, mask))
+        elapsed = time.perf_counter() - t0
+        best = max(best, n_frames * reps / elapsed / 1e6)
+    print(json.dumps({
+        'metric': 'masked_istft_mframes_per_sec_per_chip',
+        'value': round(best, 2),
+        'unit': (f'Mframes/s (B=16 x 4s x K=2 masks, {size}/{shift}; '
+                 f'fused Pallas kernel, host-oracle rel err '
+                 f'{err:.1e}; XLA baselines unbenchable at this shape '
+                 '— see doc/performance.md)'),
+        'vs_baseline': round(best / REFERENCE_MASKED_ISTFT_MFRAMES, 2),
     }), flush=True)
 
 
@@ -642,6 +734,8 @@ def main():
 
     _log('logmel frontend bench...')
     bench_logmel()
+    _log('masked-iSTFT bench...')
+    bench_masked_istft()
     _log('numerics parity vs torch...')
     bench_parity()
     _log('wavenet AR synthesis bench...')
