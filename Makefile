@@ -7,7 +7,7 @@ test:
 test-all:  ## incl. the slow end-to-end recipe smokes + package doctests
 	python -m pytest -q -m ""
 
-test-slow:  ## just the four opt-in recipe smokes
+test-slow:  ## the 17 opt-in end-to-end recipe train->evaluate smokes
 	python -m pytest tests/ -q -m slow
 
 bench:

@@ -21,17 +21,27 @@ Prints one JSON line per metric, the flagship LAST:
   6. ``flash_attention_causal_train_ms`` — fused Pallas attention vs
      XLA's materializing attention, fwd+bwd, causal T=4096 (and the
      non-causal T=1024 case where XLA wins, reported in the unit).
-  7. ``pit_blstm_640_train_utterances_per_sec_per_chip`` — the same
+  7. ``int8_decode_speedup_vs_bf16`` — B=1 serving decode on the 403 MB
+     transformer decoder, bf16 weights vs weight-only int8 via the
+     fused Pallas dequant-matmul kernel (doc/serving.md).
+  8. ``pit_blstm_640_train_utterances_per_sec_per_chip`` — the same
      train step at the MXU-tile-aligned H=640 (the model size
      recommendation from doc/performance.md "MXU tiling").
-  8. ``pit_blstm_train_utterances_per_sec_per_chip`` — the flagship:
+  9. ``pit_blstm_train_utterances_per_sec_per_chip`` — the flagship:
      fully fused jitted train step (forward + PIT losses + backward +
      global-norm clip + Adam) of the PIT BLSTM separator
      (reference ``contrib/examples/source_separation/pit/model.py``),
      B=16 4-second utterances (T=500 frames of a 512/128 STFT), with
-     achieved model FLOP/s / v5e peak (MFU) attached; runs with
-     ``round_hidden_to_mxu`` (internal width 640, numerically identical
-     to the reference H=600 configuration).
+     achieved model FLOP/s / v5e peak (MFU) attached; bf16 compute /
+     f32 master (an f32-compute run is timed too and reported in the
+     unit) with ``round_hidden_to_mxu`` (internal width 640 — the lane
+     padding alone is numerically identical to the reference H=600
+     configuration).
+
+The second-to-last line is ``{"metric": "summary", "all": {...}}`` —
+every metric's numbers on one compact line, so a bounded tail of this
+output still carries the full result set; the flagship line stays LAST
+(the driver parses the final JSON line).
 
 ``vs_baseline``: the reference publishes no throughput numbers
 (SURVEY.md section 6).  Baseline constants below are estimates for the
@@ -50,6 +60,19 @@ def _log(msg, _t0=[None]):
         _t0[0] = time.perf_counter()
     print(f'[bench +{time.perf_counter() - _t0[0]:.0f}s] {msg}',
           file=sys.stderr, flush=True)
+
+
+#: every metric record printed this run, in order — the final compact
+#: ``{"metric": "summary", ...}`` line is built from this so the graded
+#: artifact (a bounded output TAIL) always carries every metric even
+#: when earlier full lines scroll out of it (round-4 review item #1)
+_RECORDS = []
+
+
+def _emit(record):
+    _RECORDS.append(record)
+    print(json.dumps(record), flush=True)
+    return record
 
 
 # Estimated PyTorch-on-GPU reference throughput for the flagship
@@ -151,14 +174,14 @@ def bench_logmel():
             _log(f'logmel {name} path failed: {e!r}')
             results[name] = 0.0
     best = max(results.values())
-    print(json.dumps({
+    _emit({
         'metric': 'stft_logmel_mframes_per_sec_per_chip',
         'value': round(best, 2),
         'unit': (f'Mframes/s (B=16 x 4s, 512/128/{n_mels} mels; '
                  f'jnp={results["jnp"]:.2f}, '
                  f'pallas={results["pallas"]:.2f})'),
         'vs_baseline': round(best / REFERENCE_LOGMEL_MFRAMES, 2),
-    }), flush=True)
+    })
 
 
 def bench_masked_istft():
@@ -206,12 +229,12 @@ def bench_masked_istft():
     err = float(np.abs(got - want).max()) / scale
     if err > 1e-4:  # pragma: no cover
         _log(f'masked-istft kernel-vs-host-oracle parity FAILED: {err}')
-        print(json.dumps({
+        _emit({
             'metric': 'masked_istft_mframes_per_sec_per_chip',
             'value': 0.0,
             'unit': f'Mframes/s (PARITY FAILED: rel err {err:.2e})',
             'vs_baseline': 0.0,
-        }), flush=True)
+        })
         return
 
     reps = 200  # see bench_logmel: large so device time >> relay time
@@ -232,7 +255,7 @@ def bench_masked_istft():
         jax.block_until_ready(many(spec, mask))
         elapsed = time.perf_counter() - t0
         best = max(best, n_frames * reps / elapsed / 1e6)
-    print(json.dumps({
+    _emit({
         'metric': 'masked_istft_mframes_per_sec_per_chip',
         'value': round(best, 2),
         'unit': (f'Mframes/s (B=16 x 4s x K=2 masks, {size}/{shift}; '
@@ -240,7 +263,7 @@ def bench_masked_istft():
                  f'{err:.1e}; XLA baselines unbenchable at this shape '
                  '— see doc/performance.md)'),
         'vs_baseline': round(best / REFERENCE_MASKED_ISTFT_MFRAMES, 2),
-    }), flush=True)
+    })
 
 
 _PARITY_CODE = '''
@@ -272,23 +295,23 @@ def bench_parity():
         _log(f'parity subprocess failed: {proc.stderr[-2000:]}')
         # a crashed harness must read as a FAILING metric, not an
         # absent one
-        print(json.dumps({
+        _emit({
             'metric': 'numerics_parity_max_abs_diff',
             'value': float('inf'),
             'unit': 'parity harness failed (see bench stderr)',
             'vs_baseline': 0.0,
-        }), flush=True)
+        })
         return
     diffs = json.loads(proc.stdout.strip().splitlines()[-1])
     worst = max(diffs.values())
-    print(json.dumps({
+    _emit({
         'metric': 'numerics_parity_max_abs_diff',
         'value': float(f'{worst:.3g}'),
         'unit': (f'max |repo - torch_reference| (target <= 1e-4; '
                  f'pit_loss={diffs["pit"]:.2g}, stft={diffs["stft"]:.2g}, '
                  f'si_sdr={diffs["si_sdr"]:.2g})'),
         'vs_baseline': round(1e-4 / max(worst, 1e-300), 2),
-    }), flush=True)
+    })
 
 
 def bench_wavenet():
@@ -338,7 +361,7 @@ def bench_wavenet():
             _log(f'wavenet {name} path failed: {e!r}')
             results[name] = 0.0
     best = max(results.values())
-    print(json.dumps({
+    _emit({
         'metric': 'wavenet_ar_synthesis_ksamples_per_sec',
         'value': round(best, 1),
         'unit': (f'ksamples/s (16L/R64/A256 vocoder, 10 s utt; '
@@ -348,7 +371,7 @@ def bench_wavenet():
                  f'[{results["parallel"] / 16:.1f}x realtime]; '
                  f'baseline = est. 3x-realtime nv_wavenet CUDA)'),
         'vs_baseline': round(best / REFERENCE_WAVENET_KSAMPLES, 2),
-    }), flush=True)
+    })
 
 
 def bench_dprnn():
@@ -411,16 +434,16 @@ def bench_dprnn():
             results[backend] = float('inf')
     best = min(results.values())
     if not np.isfinite(best):  # keep the JSON-lines contract valid
-        print(json.dumps({
+        _emit({
             'metric': 'dprnn_tasnet_train_step_ms',
             'value': 0.0,
             'unit': 'ms/step (FAILED: both RNN backends errored, '
                     'see bench stderr)',
             'vs_baseline': 0.0,
-        }), flush=True)
+        })
         return
     audio_seconds = b * samples / 8000
-    print(json.dumps({
+    _emit({
         'metric': 'dprnn_tasnet_train_step_ms',
         'value': round(best, 1),
         'unit': (f'ms/step (B=4, 2 s @ 8 kHz, DPRNN 6 blocks, bf16 '
@@ -430,7 +453,7 @@ def bench_dprnn():
                  f'{audio_seconds / (best / 1e3):.0f}x realtime '
                  f'training; baseline = est. 250 ms torch/V100)'),
         'vs_baseline': round(REFERENCE_DPRNN_STEP_MS / best, 2),
-    }), flush=True)
+    })
 
 
 def bench_attention():
@@ -574,14 +597,14 @@ def bench_attention():
         dev_diff = float('inf')
     if not dev_diff < 0.02:  # catches inf/nan too
         # a fast-but-wrong kernel must FAIL the graded line, loudly
-        print(json.dumps({
+        _emit({
             'metric': 'flash_attention_causal_train_ms',
             'value': float('inf'),
             'unit': (f'DEVICE PARITY FAILURE: max rel |flash - oracle| = '
                      f'{dev_diff:.3g} on-chip (tolerance 0.02 for bf16 '
                      f'operands); timings withheld'),
             'vs_baseline': 0.0,
-        }), flush=True)
+        })
         return
 
     r = {}
@@ -601,7 +624,7 @@ def bench_attention():
             r[f'{name}_window'] = float('inf')
     speedup = r['xla_causal'] / r['flash_causal']
     wspeedup = r['xla_window'] / r['flash_window']
-    print(json.dumps({
+    _emit({
         'metric': 'flash_attention_causal_train_ms',
         'value': round(r['flash_causal'], 1),
         'unit': (f'ms fwd+bwd (B=8, H=12, D=64, T=4096 causal bf16; '
@@ -617,10 +640,132 @@ def bench_attention():
                  f'max rel diff {dev_diff:.2g}); '
                  f'baseline = same-chip XLA path'),
         'vs_baseline': round(speedup, 2),
-    }), flush=True)
+    })
 
 
-def bench_pit(units=600, round_hidden=True):
+def bench_int8_decode():
+    """B=1 greedy decode latency of the 403 MB serving decoder
+    (d_model=1024, 12 layers, 16 heads, bf16 weights/activations/caches
+    — the larger model from doc/serving.md "Measured decode
+    throughput"): bf16 weights vs weight-only int8 through XLA
+    (dequantize materializes before the dot) vs int8 through the fused
+    Pallas dequant-in-VMEM kernel (``ops/pallas/int8_matmul.py``).
+
+    Decode GEMVs are weight-read-bound (~50% of the step at this model
+    size, measured round 4), so halving the weight bytes (int8 vs bf16)
+    bounds the whole-step speedup near 1/(1 - 0.5 + 0.5/2) ~ 1.33x; the
+    graded value is ``bf16_us / int8_kernel_us``.  Correctness is
+    covered by the generation equality tests (tests/test_quantize.py)
+    plus a token-match check here.
+    """
+    import copy
+    import jax
+    import jax.numpy as jnp
+    from padertorch_tpu import nn
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.module import partition, combine, inplace_update
+    from padertorch_tpu.quantize import QuantizedLinear, quantize_module
+    from padertorch_tpu.contrib.mk.modules.transformer import (
+        TransformerDecoder, autoregressive_generate)
+
+    d_model, n_layers, n_heads = 1024, 12, 16
+    vocab, s_mem, n_tok = 1024, 128, 128
+    ptrandom.seed(0)
+    dec = TransformerDecoder(
+        d_model=d_model, num_layers=n_layers, num_heads=n_heads).eval()
+    head = nn.Linear(d_model, vocab)
+
+    def to_bf16(mod):
+        params, static = partition(mod)
+        cast = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if hasattr(p, 'dtype') and p.dtype == jnp.float32 else p,
+            params)
+        inplace_update(mod, cast, static)
+
+    to_bf16(dec)
+    to_bf16(head)
+    rng = np.random.RandomState(0)
+    emb = jnp.asarray(
+        rng.randn(vocab, d_model).astype('float32') * 0.05, jnp.bfloat16)
+    memory = jnp.asarray(
+        rng.randn(1, s_mem, d_model).astype('float32'), jnp.bfloat16)
+
+    q_dec = copy.deepcopy(dec)
+    quantize_module(q_dec)
+    q_head = QuantizedLinear.from_linear(head)
+    q_mods = [m for _, m in q_dec.modules()
+              if isinstance(m, QuantizedLinear)] + [q_head]
+
+    def run(dec_v, head_v):
+        # weights ride as jit ARGUMENTS, not closure constants — a
+        # closed-over 400 MB pytree is inlined into the serialized HLO
+        # and this session's remote compile relay rejects the payload
+        # (HTTP 413)
+        d_params, d_static = partition(dec_v)
+        h_params, h_static = partition(head_v)
+
+        @jax.jit
+        def gen(d_params, d_static, h_params, h_static, mem):
+            return autoregressive_generate(
+                combine(d_params, d_static), mem,
+                embed=lambda t: emb[t],
+                logits_head=combine(h_params, h_static),
+                bos_id=0, max_len=n_tok)
+
+        args = (d_params, d_static, h_params, h_static, memory)
+        toks, _ = gen(*args)           # compile + warmup
+        jax.block_until_ready(toks)
+        best = float('inf')
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out, _ = gen(*args)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return best / n_tok * 1e6, np.asarray(toks)  # us/step
+
+    results = {}
+    toks = {}
+    try:
+        results['bf16'], toks['bf16'] = run(dec, head)
+        for mode, flag in (('int8_xla', False), ('int8_kernel', True)):
+            for m in q_mods:
+                m.use_kernel = flag
+            results[mode], toks[mode] = run(q_dec, q_head)
+    except Exception as e:  # pragma: no cover
+        _log(f'int8 decode bench failed: {e!r}')
+        _emit({
+            'metric': 'int8_decode_speedup_vs_bf16',
+            'value': 0.0,
+            'unit': f'FAILED: {e!r}'[:200],
+            'vs_baseline': 0.0,
+        })
+        return
+    # the two int8 paths must emit the same tokens (same quantized
+    # weights, same greedy argmax) — a fast-but-wrong kernel must fail
+    match = bool((toks['int8_xla'] == toks['int8_kernel']).all())
+    speedup = results['bf16'] / results['int8_kernel']
+    _emit({
+        'metric': 'int8_decode_speedup_vs_bf16',
+        'value': round(speedup, 2) if match else 0.0,
+        'unit': (f'x (B=1 greedy, d=1024/12L/16H decoder, {n_tok} toks, '
+                 f'S={s_mem} cross-attn, bf16 acts/caches; '
+                 f'bf16={results["bf16"]:.0f} us/step, '
+                 f'int8-xla={results["int8_xla"]:.0f} '
+                 f'[{results["bf16"] / results["int8_xla"]:.2f}x], '
+                 f'int8-fused-kernel={results["int8_kernel"]:.0f} '
+                 f'[{speedup:.2f}x], '
+                 f'kernel-vs-xla {results["int8_xla"] / results["int8_kernel"]:.2f}x; '
+                 f'kernel-vs-xla tokens '
+                 f'{"match" if match else "MISMATCH — FAILED"}; '
+                 'baseline = same-chip bf16 weights)'),
+        'vs_baseline': round(speedup, 2) if match else 0.0,
+    })
+
+
+def _time_pit_step(units, round_hidden, compute_dtype, n_steps=50):
+    """Build the PIT BLSTM + fused train step and time ``n_steps`` of
+    steady state.  Returns ``(utt_per_sec, step_flops)``."""
     import jax
     import jax.numpy as jnp
     import padertorch_tpu as pt
@@ -630,7 +775,6 @@ def bench_pit(units=600, round_hidden=True):
     from padertorch_tpu.train.trainer import Trainer
     import tempfile
 
-    _log('init model (param init ops)...')
     ptrandom.seed(0)
     # TPU-tuned flagship config: bf16 gate matmuls (f32 accumulation and
     # carry) + the Pallas fused cell-scan kernel (custom VJP reuses stored
@@ -639,10 +783,9 @@ def bench_pit(units=600, round_hidden=True):
     # reference H=600 model, +3.4pt MFU); see doc/performance.md.
     model = PermutationInvariantTrainingModel(
         F=F, recurrent_layers=3, units=units, K=K,
-        compute_dtype='bfloat16', round_hidden_to_mxu=round_hidden)
+        compute_dtype=compute_dtype, round_hidden_to_mxu=round_hidden)
     model.blstm.scan_unroll = 4   # used by the scan fallback only
     model.blstm.backend = 'pallas'
-    _log('model initialized')
 
     rng = np.random.RandomState(0)
     batch = {
@@ -655,7 +798,6 @@ def bench_pit(units=600, round_hidden=True):
         'num_frames': jnp.asarray([T] * B),
     }
 
-    _log('batch created; building trainer (optimizer init)...')
     with tempfile.TemporaryDirectory() as tmp:
         trainer = Trainer(
             model=model,
@@ -671,11 +813,11 @@ def bench_pit(units=600, round_hidden=True):
         key = jax.random.PRNGKey(0)
 
         # compile + warmup
-        _log('compiling fused train step...')
+        _log(f'compiling fused train step (H={units}, '
+             f'{compute_dtype or "float32"})...')
         out = step(params, static, opt_states, batch, key, loss_weights)
         params, static, opt_states = out[0], out[1], out[2]
         jax.block_until_ready(out[3])
-        _log('compiled; timing steady state')
 
         # XLA's own FLOP count of the whole compiled step (fwd + bwd +
         # clip + Adam) for the MFU number
@@ -690,7 +832,7 @@ def bench_pit(units=600, round_hidden=True):
         except Exception as e:  # pragma: no cover
             _log(f'cost_analysis unavailable: {e!r}')
 
-        n_steps = 50  # one relay sync ~25 ms; keep it <3% of the window
+        # one relay sync ~25 ms; n_steps large keeps it <3% of the window
         t0 = time.perf_counter()
         for i in range(n_steps):
             out = step(
@@ -701,18 +843,41 @@ def bench_pit(units=600, round_hidden=True):
         elapsed = time.perf_counter() - t0
 
     utt_per_sec = B * n_steps / elapsed
-    if units == 600:
+    flops_per_sec = step_flops * n_steps / elapsed if step_flops else None
+    return utt_per_sec, step_flops, flops_per_sec
+
+
+def bench_pit(units=600, round_hidden=True, emit=True):
+    """The flagship (H=600) and tile-aligned (H=640) PIT BLSTM train
+    steps.  The flagship also times one float32-compute run so the unit
+    string separates the MXU-tiling contribution (numerically identical
+    padding) from the bf16-compute contribution (not numerically
+    identical — round-4 review item #5)."""
+    flagship = units == 600
+    f32_utt = None
+    if flagship:
+        f32_utt, _, _ = _time_pit_step(
+            units, round_hidden, None, n_steps=30)
+    utt_per_sec, step_flops, flops_per_sec = _time_pit_step(
+        units, round_hidden, 'bfloat16')
+
+    if flagship:
         metric = 'pit_blstm_train_utterances_per_sec_per_chip'
-        desc = (f'utt/s (B=16, T=500, F=257, 3x600 BLSTM'
-                + (', round_hidden_to_mxu internal width 640 — '
-                   'numerically identical to the H=600 reference config'
+        desc = ('utt/s (B=16, T=500, F=257, 3x600 BLSTM, bf16 compute / '
+                'f32 master+carries'
+                + (f' [f32 compute: {f32_utt:.1f} utt/s]'
+                   if f32_utt else '')
+                + (', round_hidden_to_mxu internal width 640 — the lane '
+                   'padding alone is numerically identical to the H=600 '
+                   'reference config (bf16 rounding is not)'
                    if round_hidden else '')
                 + ', fused train step)')
     else:
         metric = f'pit_blstm_{units}_train_utterances_per_sec_per_chip'
         desc = (f'utt/s (B=16, T=500, F=257, 3x{units} BLSTM — the '
                 'MXU-tile-aligned model size recommended for new '
-                'configs, fused train step)')
+                'configs, bf16 compute / f32 master+carries, '
+                'fused train step)')
     record = {
         'metric': metric,
         'value': round(utt_per_sec, 2),
@@ -720,10 +885,12 @@ def bench_pit(units=600, round_hidden=True):
         'vs_baseline': round(utt_per_sec / REFERENCE_UTT_PER_SEC, 2),
     }
     if step_flops:
-        achieved = step_flops * n_steps / elapsed
-        record['mfu_vs_v5e_bf16_peak'] = round(achieved / V5E_PEAK_FLOPS, 4)
+        record['mfu_vs_v5e_bf16_peak'] = round(
+            flops_per_sec / V5E_PEAK_FLOPS, 4)
         record['step_tflops'] = round(step_flops / 1e12, 3)
-    print(json.dumps(record), flush=True)
+    if emit:
+        _emit(record)
+    return record
 
 
 def main():
@@ -744,10 +911,24 @@ def main():
     bench_dprnn()
     _log('flash attention bench...')
     bench_attention()
+    _log('int8 decode bench...')
+    bench_int8_decode()
     _log('PIT BLSTM H=640 (tile-aligned model size) train bench...')
     bench_pit(units=640, round_hidden=False)
     _log('flagship PIT BLSTM train bench...')
-    bench_pit()  # H=600 flagship — LAST so the driver grades it
+    flagship = bench_pit(emit=False)  # H=600 flagship
+
+    # ONE compact summary line with EVERY metric of this run, then the
+    # flagship line LAST (the driver parses the final JSON line as the
+    # graded metric and keeps only a bounded output tail — round-4's
+    # artifact lost 4 of 8 metrics to that truncation).  Unit strings
+    # stay on the per-metric lines; the summary carries all numbers.
+    summary = {'metric': 'summary', 'all': {}}
+    for r in _RECORDS + [flagship]:
+        summary['all'][r['metric']] = {
+            k: v for k, v in r.items() if k not in ('metric', 'unit')}
+    print(json.dumps(summary), flush=True)
+    _emit(flagship)
 
 
 if __name__ == '__main__':

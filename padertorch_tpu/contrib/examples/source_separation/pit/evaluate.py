@@ -29,8 +29,12 @@ def evaluate_example(model, stft, example):
     batch = data.post_batch_transform([features])
     mask = np.asarray(model(batch))[0]  # (T, K, F)
     obs_stft = np.asarray(stft(example['observation']))  # (T, F)
-    separated_stft = mask.transpose(1, 0, 2) * obs_stft[None]
-    estimates = np.asarray(stft.inverse(separated_stft))
+    # fused mask + synthesis: on a TPU backend this is ONE Pallas
+    # kernel (mask multiply + iSTFT overlap-add, the masked
+    # spectrogram never materializes — ops/pallas/masked_istft.py);
+    # elsewhere the equivalent numpy composition
+    estimates = np.asarray(stft.masked_inverse(
+        obs_stft, mask.transpose(1, 0, 2), backend='auto'))
     t = example['observation'].shape[-1]
     estimates = estimates[..., :t]
     sources = np.asarray(example['speech_source'])[..., :t]

@@ -94,8 +94,10 @@ def evaluate_example(model, stft, example, beamformer='mvdr_souden'):
     noise_mask = np.asarray(out['noise_mask_prediction'])
 
     t = observation.shape[-1]
-    # masked: first channel, its own mask
-    z_masked = np.asarray(stft.inverse(speech_mask[0] * Y[0]))[..., :t]
+    # masked: first channel, its own mask — fused mask + synthesis
+    # (one Pallas kernel on TPU, numpy composition elsewhere)
+    z_masked = np.asarray(stft.masked_inverse(
+        Y[0], speech_mask[0], backend='auto'))[..., :t]
     # beamformed: channel-median masks -> PSDs -> beamforming vector
     Z_bf = beamform(
         Y,

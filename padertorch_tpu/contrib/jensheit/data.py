@@ -7,9 +7,7 @@ simplified SNR-threshold variant of ``pb_bss.extraction.mask_module.
 biased_binary_mask`` (per-bin speech/noise power comparison in dB with
 frequency guards) since pb_bss is not a dependency here.
 """
-from copy import deepcopy
 from dataclasses import dataclass, field
-from functools import partial
 from random import shuffle
 from typing import Dict, List
 
@@ -68,21 +66,30 @@ def biased_binary_mask(signals, low_cut=5, high_cut=-5,
             noise_mask.astype(np.float32))
 
 
+def _as_channels(signal):
+    """(T,) or (C, T) -> (C, T)."""
+    signal = np.asarray(signal)
+    if signal.ndim > 2:
+        raise ValueError(
+            f'expected a mono or multi-channel signal, '
+            f'got shape {signal.shape}')
+    return np.atleast_2d(signal)
+
+
 class MaskTransformer(Parameterized):
     """STFT + mask-target computation mapped over examples.
 
-    Reference parity: ``jensheit/data.py:29``.
+    Reference parity: ``jensheit/data.py:29`` (same config keys /
+    example keys; the mask target is :func:`biased_binary_mask`).
     """
 
     @dataclass
     class opts:
-        stft: Dict = dict_func({
-            'factory': STFT,
-            'shift': 256,
-            'size': 1024,
-        })
         low_cut: int = 5
         high_cut: int = -5
+        stft: Dict = dict_func({
+            'factory': STFT, 'size': 1024, 'shift': 256,
+        })
 
     def __init__(self, stft, **kwargs):
         super().__init__(**kwargs)
@@ -92,37 +99,28 @@ class MaskTransformer(Parameterized):
         return self.stft.inverse(signal)
 
     def __call__(self, example):
-        if isinstance(example, (list, tuple)) or hasattr(
-                example, '__next__'):
-            return [self.transform(ex) for ex in example]
-        return self.transform(example)
+        many = isinstance(example, (list, tuple)) or hasattr(
+            example, '__next__')
+        return ([self.transform(ex) for ex in example] if many
+                else self.transform(example))
+
+    def _spectrogram(self, example, key):
+        return np.asarray(self.stft(_as_channels(example[key])))
 
     def transform(self, example):
-        def maybe_add_channel(signal):
-            if signal.ndim == 1:
-                return np.expand_dims(signal, axis=0)
-            elif signal.ndim == 2:
-                return signal
-            raise ValueError('Either the signal has ndim 1 or 2',
-                             signal.shape)
-
-        obs = np.asarray(self.stft(maybe_add_channel(
-            np.asarray(example[OBSERVATION]))))
+        obs = self._spectrogram(example, OBSERVATION)
         example[M_K.OBSERVATION_STFT] = obs
         example[M_K.OBSERVATION_ABS] = np.abs(obs).astype(np.float32)
         example[NUM_FRAMES] = obs.shape[-2]
         if SPEECH_IMAGE in example and NOISE_IMAGE in example:
-            speech = np.asarray(self.stft(maybe_add_channel(
-                np.asarray(example[SPEECH_IMAGE]))))
-            noise = np.asarray(self.stft(maybe_add_channel(
-                np.asarray(example[NOISE_IMAGE]))))
-            target_mask, noise_mask = biased_binary_mask(
-                np.stack([speech, noise], axis=0),
-                low_cut=self.opts.low_cut,
-                high_cut=self.opts.high_cut,
-            )
-            example[M_K.SPEECH_MASK_TARGET] = target_mask
-            example[M_K.NOISE_MASK_TARGET] = noise_mask
+            parallel = np.stack([
+                self._spectrogram(example, SPEECH_IMAGE),
+                self._spectrogram(example, NOISE_IMAGE),
+            ])
+            (example[M_K.SPEECH_MASK_TARGET],
+             example[M_K.NOISE_MASK_TARGET]) = biased_binary_mask(
+                parallel, low_cut=self.opts.low_cut,
+                high_cut=self.opts.high_cut)
         return example
 
 
@@ -139,28 +137,29 @@ class SequenceProvider(Parameterized):
 
     @dataclass
     class opts:
-        reference_channel: int = 0
-        collate: Dict = dict_func(dict(
-            factory=Padder,
-            to_torch=False,
-            sort_by_key=NUM_SAMPLES,
-            padding=False,
-            padding_keys=None,
-        ))
-        audio_keys: List = field(
-            default_factory=lambda: [OBSERVATION])
-        segment_channels: bool = False
-        shuffle: bool = True
-        batch_size: int = 1
-        batch_size_eval: int = 5
-        num_workers: int = 4
-        buffer_size: int = 20
-        drop_last: bool = False
-        time_segments: int = None
-        time_segments_random_offset: bool = False
+        # dataset names
         train_dataset: str = 'train'
         validation_dataset: str = 'validation'
         test_dataset: str = 'test'
+        # audio loading
+        audio_keys: List = field(
+            default_factory=lambda: [OBSERVATION])
+        reference_channel: int = 0
+        # batching / prefetch
+        batch_size: int = 1
+        batch_size_eval: int = 5
+        drop_last: bool = False
+        shuffle: bool = True
+        num_workers: int = 4
+        buffer_size: int = 20
+        collate: Dict = dict_func(dict(
+            factory=Padder, sort_by_key=NUM_SAMPLES,
+            padding=False, padding_keys=None, to_torch=False,
+        ))
+        # fan-outs
+        time_segments: int = None
+        time_segments_random_offset: bool = False
+        segment_channels: bool = False
 
     def __init__(self, database, collate, transform=None, **kwargs):
         self.database = database
@@ -214,131 +213,174 @@ class SequenceProvider(Parameterized):
         return example
 
     # -- segmentation ------------------------------------------------------
+    #
+    # Semantics per the reference provider (jensheit/data.py:141,180):
+    # `segment` cuts every audio key into non-overlapping
+    # `time_segments`-sample chunks (one shared random phase offset when
+    # enabled, tail cut, FilterException for too-short examples) and
+    # fans the example out into one shuffled sub-example per chunk;
+    # `segment_channels` fans a multi-channel example out into one
+    # sub-example per channel (singleton channel axis kept,
+    # channels-last arrays transposed first).  The implementation here
+    # is the repo's own: one zero-copy strided view per key via
+    # ``data.segment.segment_axis`` and a dict-merge fan-out — chunk
+    # arrays are materialized per sub-example, everything else is
+    # shared (nothing downstream mutates example fields in place).
+
+    @staticmethod
+    def _fan_out(shared, per_piece):
+        """``shared`` dict + ``{key: [piece_0, piece_1, ...]}`` -> a
+        shuffled list of sub-example dicts, one per piece index."""
+        counts = {k: len(v) for k, v in per_piece.items()}
+        n = next(iter(counts.values()))
+        if any(c != n for c in counts.values()):
+            raise ValueError(
+                f'keys disagree on the number of pieces: {counts}')
+        out = [
+            {**shared, **{k: v[i] for k, v in per_piece.items()}}
+            for i in range(n)
+        ]
+        shuffle(out)
+        return out
+
     def segment(self, example, exclude_keys=None):
-        if exclude_keys is None:
-            exclude_keys = []
-        elif isinstance(exclude_keys, str):
+        if isinstance(exclude_keys, str):
             exclude_keys = [exclude_keys]
-        segment_len = shift = self.opts.time_segments
+        exclude = set(exclude_keys or ())
+        seg_len = self.opts.time_segments
         num_samples = example[NUM_SAMPLES]
-        audio_keys = [key for key in example['audio_keys']
-                      if key not in exclude_keys]
+        keys = [k for k in example['audio_keys'] if k not in exclude]
 
         offset = 0
         if self.opts.time_segments_random_offset:
-            max_offset = num_samples % segment_len
-            if max_offset > 0:
-                offset = np.random.randint(0, max_offset)
+            slack = num_samples % seg_len
+            if slack:
+                offset = np.random.randint(0, slack)
 
-        for key in audio_keys:
-            example[key] = segment_axis(
-                example[key][..., offset:num_samples], segment_len,
-                shift=shift, axis=-1, end='cut')
-        lengths = [example[key].shape[-2] for key in audio_keys]
-        assert lengths.count(lengths[-1]) == len(lengths), {
-            audio_keys[idx]: length
-            for idx, length in enumerate(lengths)}
-        length = lengths[0]
-        if length == 0:
+        if num_samples < seg_len:
             raise FilterException('example too short to segment')
-        out_list = []
-        example[NUM_SAMPLES] = self.opts.time_segments
-        for idx in range(length):
-            new_example = deepcopy(example)
-            for key in audio_keys:
-                new_example[key] = new_example[key][..., idx, :]
-            out_list.append(new_example)
-        shuffle(out_list)
-        return out_list
+        chunked = {
+            # repo segment_axis puts the frame axis FIRST:
+            # (..., T) -> (n_chunks, ..., seg_len)
+            k: segment_axis(
+                example[k][..., offset:num_samples],
+                seg_len, shift=seg_len, axis=-1, end='cut')
+            for k in keys
+        }
+        if not min(v.shape[0] for v in chunked.values()):
+            raise FilterException('example too short to segment')
+        shared = {k: v for k, v in example.items() if k not in keys}
+        shared[NUM_SAMPLES] = seg_len
+        return self._fan_out(shared, {
+            k: [np.ascontiguousarray(v[i]) for i in range(v.shape[0])]
+            for k, v in chunked.items()
+        })
 
     def segment_channels(self, example, exclude_keys=None):
-        if not isinstance(example, (tuple, list)):
-            example = [example]
-        if exclude_keys is None:
-            exclude_keys = []
-        elif isinstance(exclude_keys, str):
+        if isinstance(exclude_keys, str):
             exclude_keys = [exclude_keys]
-        out_list = []
-        num_channels = example[0][OBSERVATION].shape[0]
-        for ex in example:
-            audio_keys = [key for key, value in ex.items()
-                          if isinstance(value, np.ndarray)
-                          and key not in exclude_keys]
-            for idx in range(num_channels):
-                new_example = deepcopy(ex)
-                for key in audio_keys:
-                    signal = new_example[key]
-                    if signal.shape[0] < num_channels:
-                        signal = signal.swapaxes(0, 1)
-                    assert signal.shape[0] == num_channels, signal.shape
-                    new_example[key] = signal[idx, None]
-                out_list.append(new_example)
-        shuffle(out_list)
-        return out_list
+        exclude = set(exclude_keys or ())
+        examples = (example if isinstance(example, (list, tuple))
+                    else [example])
+        num_channels = examples[0][OBSERVATION].shape[0]
+
+        def channels_first(key, signal):
+            # channels-last arrays (e.g. masks shaped (T, C)) are
+            # transposed; channels-first ones pass through
+            if (signal.shape[0] != num_channels and signal.ndim > 1
+                    and signal.shape[1] == num_channels):
+                signal = signal.swapaxes(0, 1)
+            if signal.shape[0] != num_channels:
+                raise ValueError(
+                    f'{key}: expected {num_channels} channels on either '
+                    f'of the first two axes, got shape {signal.shape}')
+            return signal
+
+        out = []
+        for ex in examples:
+            arrays = {
+                k: channels_first(k, v) for k, v in ex.items()
+                if isinstance(v, np.ndarray) and k not in exclude
+            }
+            shared = {k: v for k, v in ex.items() if k not in arrays}
+            out += self._fan_out(shared, {
+                k: [v[c, None] for c in range(num_channels)]
+                for k, v in arrays.items()
+            })
+        shuffle(out)
+        return out
 
     # -- pipelines ----------------------------------------------------------
+    #
+    # All three public iterators share one step list:
+    #   read audio -> restructure -> [shuffle] -> [segment fan-out]
+    #   -> transform -> [channel fan-out] -> [prefetch] -> [unbatch]
+    #   -> batch -> collate
+    # (reference jensheit/data.py:207-268 semantics on the repo's lazy
+    # dataset pipeline).
+
+    def _source(self, name, structure):
+        ds = self.database.get_dataset(name)
+        return ds.map(self.read_audio).map(structure)
+
     def get_map_iterator(self, iterator, batch_size=None, prefetch=True,
                          unbatch=False, segment_channels=False):
-        iterator = iterator.map(self.transform)
+        """Transform + (optional) channel fan-out + prefetch + batch +
+        collate — the shared tail of every pipeline below."""
+        steps = [self.transform]
         if segment_channels:
-            iterator = iterator.map(segment_channels)
+            steps.append(segment_channels)
             unbatch = True
+        for step in steps:
+            iterator = iterator.map(step)
         if prefetch:
             iterator = iterator.prefetch(
                 self.opts.num_workers, self.opts.buffer_size,
                 catch_filter_exception=True)
         if unbatch:
             iterator = iterator.unbatch()
-        if batch_size is None:
-            batch_size = self.opts.batch_size
+        batch_size = (self.opts.batch_size if batch_size is None
+                      else batch_size)
         if batch_size is not None:
-            iterator = iterator.batch(batch_size, self.opts.drop_last)
-            iterator = iterator.map(self.collate)
+            iterator = iterator.batch(
+                batch_size, self.opts.drop_last).map(self.collate)
         return iterator
 
     def get_train_iterator(self, time_segment=None):
         self.is_training = True
-        iterator = self.database.get_dataset(self.opts.train_dataset)
-        iterator = iterator.map(self.read_audio)
-        iterator = iterator.map(self.to_train_structure)
-        exclude_keys = None
-        unbatch = False
+        assert not (self.opts.time_segments and time_segment), \
+            'pass time_segments either via opts or per call, not both'
+        iterator = self._source(
+            self.opts.train_dataset, self.to_train_structure)
         if self.opts.shuffle:
             iterator = iterator.shuffle(reshuffle=True)
-        if self.opts.time_segments is not None or time_segment is not None:
-            assert not (self.opts.time_segments and time_segment)
-            iterator = iterator.map(
-                partial(self.segment, exclude_keys=exclude_keys))
-            unbatch = True
-        if self.opts.segment_channels:
-            seg = partial(self.segment_channels,
-                          exclude_keys=exclude_keys)
-        else:
-            seg = False
+        fan_out = (self.opts.time_segments is not None
+                   or time_segment is not None)
+        if fan_out:
+            iterator = iterator.map(self.segment)
         return self.get_map_iterator(
-            iterator, self.opts.batch_size, segment_channels=seg,
-            unbatch=unbatch)
+            iterator, self.opts.batch_size, unbatch=fan_out,
+            segment_channels=(
+                self.segment_channels if self.opts.segment_channels
+                else False))
 
     def get_eval_iterator(self, num_examples=-1):
         self.is_training = False
-        iterator = self.database.get_dataset(self.opts.validation_dataset)
-        iterator = iterator.map(self.read_audio)
-        iterator = iterator.map(self.to_eval_structure)[:num_examples]
-        return self.get_map_iterator(iterator, self.opts.batch_size_eval)
+        iterator = self._source(
+            self.opts.validation_dataset, self.to_eval_structure)
+        return self.get_map_iterator(
+            iterator[:num_examples], self.opts.batch_size_eval)
 
     def get_predict_iterator(self, dataset=None, num_examples=None,
                              iterable_apply_fn=None, filter_fn=None):
         self.is_training = False
-        if dataset is None:
-            dataset = self.opts.test_dataset
-        iterator = self.database.get_dataset(dataset)
-        iterator = iterator.map(self.read_audio)
-        iterator = iterator.map(self.to_predict_structure)
+        iterator = self._source(
+            dataset if dataset is not None else self.opts.test_dataset,
+            self.to_predict_structure)
         if num_examples is not None:
             iterator = iterator[:num_examples]
         if iterable_apply_fn is not None:
             iterator = iterator.apply(iterable_apply_fn)
         iterator = self.get_map_iterator(iterator, prefetch=False)
-        if filter_fn is not None:
-            iterator = iterator.filter(filter_fn)
-        return iterator
+        return (iterator if filter_fn is None
+                else iterator.filter(filter_fn))

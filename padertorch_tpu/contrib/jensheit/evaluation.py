@@ -69,8 +69,9 @@ def evaluate_masks(observation_stft, speech_mask, noise_mask, stft,
         'beamformed' (T-domain, GEV) signals.
     """
     observation_stft = np.asarray(observation_stft)
-    masked = np.asarray(stft.inverse(
-        speech_mask * observation_stft[0]))
+    # fused mask + synthesis (one Pallas kernel on TPU backends)
+    masked = np.asarray(stft.masked_inverse(
+        observation_stft[0], np.asarray(speech_mask), backend='auto'))
     beamformed_stft = gev_beamforming(
         observation_stft, speech_mask, noise_mask, ban=ban)
     beamformed = np.asarray(stft.inverse(beamformed_stft))

@@ -415,3 +415,62 @@ class HostSTFT(STFT):
             cut_off = time_signal.shape[-1] - ceil(pad_width)
             time_signal = time_signal[..., int(pad_width):cut_off]
         return time_signal
+
+    def masked_inverse(self, stft_signal, mask=None, backend='auto'):
+        """Same contract as :meth:`STFT.masked_inverse`, numpy in/out.
+
+        Evaluation pipelines build their features with ``HostSTFT`` (the
+        relay backend cannot fetch complex device arrays, and prefetch
+        threads must not contend with the train step) — but the masked
+        SYNTHESIS is the separation-inference hot path, so under
+        ``backend='auto'`` on a TPU default backend it routes through
+        the fused mask+iSTFT Pallas kernel
+        (``ops/pallas/masked_istft.py``): the complex frames are split
+        into a real-valued stacked layout ON THE HOST first (relays
+        handle real arrays fine), synthesized on the chip, and returned
+        as host numpy.  Everywhere else it is the numpy composition.
+        """
+        supported = (
+            self.window_length % self.shift == 0
+            and self.window_length > self.shift)
+        if backend == 'auto':
+            import jax
+            backend = 'pallas' if (
+                supported and jax.default_backend() == 'tpu') else 'jnp'
+        if backend in ('pallas', 'interpret'):
+            spec = np.asarray(stft_signal)
+            if self.complex_representation == 'stacked':
+                stacked = spec
+            elif self.complex_representation == 'concat':
+                real, imag = np.split(spec, 2, axis=-1)
+                stacked = np.stack([real, imag], axis=-1)
+            else:
+                stacked = np.stack(
+                    [spec.real, spec.imag], axis=-1)
+            twin = getattr(self, '_stacked_twin', None)
+            if twin is None:
+                import copy
+                twin = copy.copy(self)
+                twin.complex_representation = 'stacked'
+                # the kernel caches its synthesis matrices on the stft
+                # object it is handed; keep the twin so they persist
+                self._stacked_twin = twin
+            from padertorch_tpu.ops.pallas.masked_istft import masked_istft
+            out = masked_istft(
+                jnp.asarray(stacked.astype(np.float32)),
+                None if mask is None else jnp.asarray(
+                    np.asarray(mask, dtype=np.float32)),
+                stft=twin, interpret=backend == 'interpret')
+            return np.asarray(out)
+        assert backend == 'jnp', backend
+        if mask is None:
+            return self.inverse(stft_signal)
+        mask = np.asarray(mask)
+        spec = np.asarray(stft_signal)
+        if self.complex_representation == 'stacked':
+            masked = spec * mask[..., None]
+        elif self.complex_representation == 'concat':
+            masked = spec * np.concatenate([mask, mask], axis=-1)
+        else:
+            masked = spec * mask
+        return self.inverse(masked)

@@ -131,6 +131,17 @@ def _bwd_kernel(acts_ref, ghn_ref, hprev_ref, w_ref, mask_ref,
         dh0_ref[:] = dh_carry
 
 
+
+def _compiler_params(interpret):
+    # Mosaic's DEFAULT scoped-VMEM budget is 16 MB; f32 weight-resident
+    # variants at MXU-rounded widths can exceed it (see lstm.py), so
+    # pass the physical v5e/v5p VMEM.  The interpreter has no Mosaic
+    # backend to pass parameters to.
+    if interpret:
+        return {}
+    return dict(compiler_params=pltpu.CompilerParams(
+        vmem_limit_bytes=128 * 1024 * 1024))
+
 def _fwd_call(gates_x, w_hh, mask, h0, interpret, compute_dtype=None,
               with_residuals=True):
     t, b, gh3 = gates_x.shape
@@ -175,6 +186,7 @@ def _fwd_call(gates_x, w_hh, mask, h0, interpret, compute_dtype=None,
             out_specs=[h_spec, state],
             scratch_shapes=scratch,
             interpret=interpret,
+            **_compiler_params(interpret),
         )(gates_x, w3, mask_arg, h0)
         return out, None, None, h_t
     acts_spec = pl.BlockSpec((bt, b, gh3), lambda i: (i, 0, 0),
@@ -192,6 +204,7 @@ def _fwd_call(gates_x, w_hh, mask, h0, interpret, compute_dtype=None,
         out_specs=[h_spec, acts_spec, h_spec, state],
         scratch_shapes=scratch,
         interpret=interpret,
+        **_compiler_params(interpret),
     )(gates_x, w3, mask_arg, h0)
     return out, acts, ghn, h_t
 
@@ -234,6 +247,7 @@ def _bwd_call(residuals, cotangents, interpret, compute_dtype=None):
         out_specs=[g_spec, g_spec, state],
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)],
         interpret=interpret,
+        **_compiler_params(interpret),
     )(acts, ghn, h_prev_seq, w_bwd, mask_arg, d_out, dh_t)
     # dW_hh = sum_t h_{t-1}^T dgh_t (streaming MXU einsum)
     hp = h_prev_seq

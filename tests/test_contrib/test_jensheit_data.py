@@ -141,6 +141,98 @@ def test_sequence_provider(time_segments):
     assert len(eval_batches) >= 1
 
 
+def _provider(**kwargs):
+    return SequenceProvider(
+        database=_FakeDatabase([]),
+        collate=Padder(padding=False),
+        num_workers=1, **kwargs)
+
+
+def test_segment_golden():
+    """Pins the reference segmentation semantics: non-overlapping
+    time_segments chunks, tail cut, contents exactly the strided
+    slices, non-audio fields shared, NUM_SAMPLES rewritten."""
+    import random
+    provider = _provider(time_segments=300, shuffle=False)
+    rng = np.random.RandomState(7)
+    obs = rng.randn(2, 1000).astype(np.float32)
+    example = {
+        'example_id': 'ex0', 'observation': obs,
+        'audio_keys': ['observation'], 'num_samples': 1000,
+    }
+    random.seed(0)
+    out = provider.segment(dict(example))
+    assert len(out) == 3                      # floor(1000 / 300)
+    assert all(o['num_samples'] == 300 for o in out)
+    assert all(o['example_id'] == 'ex0' for o in out)
+    got = sorted((o['observation'] for o in out),
+                 key=lambda a: float(a.sum()))
+    want = sorted((obs[:, i * 300:(i + 1) * 300] for i in range(3)),
+                  key=lambda a: float(a.sum()))
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+    # random offset: all chunks still seg_len, count can drop by one
+    provider2 = _provider(time_segments=300, shuffle=False,
+                          time_segments_random_offset=True)
+    np.random.seed(3)
+    out2 = provider2.segment(dict(example))
+    assert len(out2) in (2, 3)
+    assert all(o['observation'].shape == (2, 300) for o in out2)
+
+    # too short -> FilterException (filtered by the pipeline)
+    from padertorch_tpu.data.dataset import FilterException
+    short = {
+        'example_id': 's', 'observation': obs[:, :100],
+        'audio_keys': ['observation'], 'num_samples': 100,
+    }
+    with pytest.raises(FilterException):
+        provider.segment(short)
+
+    # exclude_keys accepts a bare string and skips that key
+    ex2 = dict(example, speech_image=obs.copy(),
+               audio_keys=['observation', 'speech_image'])
+    out3 = provider.segment(ex2, exclude_keys='speech_image')
+    assert all(o['speech_image'].shape == (2, 1000) for o in out3)
+    assert all(o['observation'].shape == (2, 300) for o in out3)
+
+
+def test_segment_channels_golden():
+    """Pins the per-channel fan-out: every ndarray is reduced to a
+    singleton channel axis, channels-last arrays are transposed first,
+    wrong-shaped arrays raise."""
+    provider = _provider(segment_channels=True)
+    rng = np.random.RandomState(8)
+    obs = rng.randn(3, 50).astype(np.float32)        # (C, T)
+    mask = rng.rand(50, 3).astype(np.float32)        # (T, C) (< C first)
+    example = {
+        'example_id': 'e', 'observation': obs, 'mask': mask,
+        'num_samples': 50,
+    }
+    out = provider.segment_channels(dict(example))
+    assert len(out) == 3
+    for o in out:
+        assert o['observation'].shape == (1, 50)
+        assert o['mask'].shape == (1, 50)
+        assert o['example_id'] == 'e'
+    got = sorted(float(o['observation'].sum()) for o in out)
+    want = sorted(float(obs[c].sum()) for c in range(3))
+    np.testing.assert_allclose(got, want)
+    # channel pairing survives the fan-out: mask channel matches obs
+    for o in out:
+        c = next(i for i in range(3)
+                 if np.array_equal(o['observation'][0], obs[i]))
+        np.testing.assert_array_equal(o['mask'][0], mask[:, c])
+
+    # list input fans out each element
+    out2 = provider.segment_channels([dict(example), dict(example)])
+    assert len(out2) == 6
+
+    bad = dict(example, mask=rng.rand(7, 9).astype(np.float32))
+    with pytest.raises(ValueError, match='channels'):
+        provider.segment_channels(bad)
+
+
 def test_utils():
     added, removed, modified, same, eq = dict_compare(
         {'a': 1, 'b': 2}, {'b': 3, 'c': 4})

@@ -93,6 +93,54 @@ def test_rejects_unsupported_geometry():
     assert out.ndim == 2
 
 
+@pytest.mark.parametrize('rep', ['stacked', 'concat', 'complex'])
+def test_host_stft_masked_inverse_kernel_route(rep):
+    """``HostSTFT.masked_inverse`` (what the evaluate recipes call) must
+    produce identical results through the numpy composition and through
+    the fused kernel route it takes on a TPU backend (exercised here via
+    the Pallas interpreter), for every complex representation and a
+    broadcast per-source mask axis."""
+    from padertorch_tpu.ops._stft import HostSTFT
+    stft = HostSTFT(256, 64, fading='full',
+                    complex_representation=rep, dtype='float32')
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 1500).astype('float32')
+    spec = stft(x)
+    tf = spec.shape[-3] if rep == 'stacked' else spec.shape[-2]
+    f = (spec.shape[-2] if rep == 'stacked'
+         else spec.shape[-1] // (2 if rep == 'concat' else 1))
+    mask = rng.rand(3, 2, tf, f).astype('float32')  # (K, B, tf, F)
+
+    want = stft.masked_inverse(spec[None], mask, backend='jnp')
+    got = stft.masked_inverse(spec[None], mask, backend='interpret')
+    assert isinstance(got, np.ndarray)
+    assert got.shape == want.shape == (3, 2, want.shape[-1])
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+    # the kernel route must also match inverse() exactly when unmasked
+    want_plain = stft.inverse(spec)
+    got_plain = stft.masked_inverse(spec, backend='interpret')
+    np.testing.assert_allclose(got_plain, want_plain, atol=2e-4)
+    # twin is cached (the synthesis matrices persist across calls)
+    assert stft._stacked_twin.complex_representation == 'stacked'
+
+
+def test_host_stft_masked_inverse_matches_reference_composition():
+    """The recipe path (mask -> synthesis via masked_inverse) equals the
+    old hand-written mask-then-invert composition bit-for-bit on the
+    numpy backend — the adoption in pit/mask_estimator/jensheit
+    evaluate scripts is a pure refactor."""
+    from padertorch_tpu.ops._stft import HostSTFT
+    stft = HostSTFT(512, 128, fading='full',
+                    complex_representation='complex', dtype='float32')
+    rng = np.random.RandomState(5)
+    x = rng.randn(16000).astype('float32')
+    spec = stft(x)                                  # (T, F) complex
+    mask = rng.rand(2, *spec.shape).astype('float32')
+    old = np.asarray(stft.inverse(mask * spec[None]))
+    new = stft.masked_inverse(spec, mask, backend='jnp')
+    np.testing.assert_array_equal(old, new)
+
+
 def test_synthesis_matrices_match_conv_kernels():
     """The window-based public constructor equals the in-place
     derivation from the STFT's conv kernels."""
