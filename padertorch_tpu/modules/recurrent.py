@@ -255,6 +255,89 @@ class _RNNBase(Module):
         i = layer * 2
         return self.w_ih[i].shape == self.w_ih[i + 1].shape
 
+    # -- time-major stack (Pallas bidirectional fast path) ----------------
+    #
+    # The cell-scan kernels consume and emit TIME-major (T, rows, ...)
+    # arrays, but the module API and the inter-layer stream are
+    # batch-major — so the default path pays one HBM relayout of the
+    # activations per layer each way (the "9% layout copies" in
+    # doc/performance.md's flagship profile).  When every layer runs
+    # the direction-batched Pallas route, the whole stack can instead
+    # stay time-major: ONE transpose at stack entry and exit, flips
+    # and direction-concats operate on the time axis for free, and the
+    # gates einsum reads the time-major stream directly.
+
+    def _use_time_major_stack(self, batch, num_directions):
+        if (self.backend != 'pallas' or num_directions != 2
+                or not hasattr(self, '_pallas_two_directions_tm')):
+            return False
+        if not all(self._can_batch_directions(layer)
+                   for layer in range(self.num_layers)):
+            return False
+        return self._pallas_shape_ok(2 * batch, self.w_hh[0].shape[-1])
+
+    def _forward_time_major(self, x, mask, mask_b, state, batch, dtype):
+        """The layer loop of :meth:`forward` with a time-major stream.
+
+        Semantically identical to the batch-major loop over
+        ``_layer_forward`` (tested against it); only the activation
+        layout between layers differs.
+        """
+        out_t = jnp.swapaxes(x, 0, 1)                 # one entry copy
+        mask_t = None if mask is None else jnp.swapaxes(mask, 0, 1)
+        mask_bt = (None if mask_b is None
+                   else jnp.swapaxes(mask_b, 0, 1))
+        finals = []
+        for layer in range(self.num_layers):
+            layer_fn = functools.partial(
+                self._layer_forward_tm, layer, mask_t=mask_t,
+                mask_bt=mask_bt, state=state, batch=batch, dtype=dtype)
+            if self.remat:
+                layer_fn = jax.checkpoint(layer_fn)
+            out_t, layer_finals = layer_fn(out_t)
+            finals.extend(layer_finals)
+            if self.dropout_p and self.training \
+                    and layer < self.num_layers - 1:
+                keep = 1.0 - self.dropout_p
+                m = jax.random.bernoulli(
+                    ptrandom.next_key(), keep, out_t.shape)
+                out_t = jnp.where(m, out_t / keep, 0).astype(out_t.dtype)
+        return jnp.swapaxes(out_t, 0, 1), finals      # one exit copy
+
+    def _layer_forward_tm(self, layer, out_t, *, mask_t, mask_bt,
+                          state, batch, dtype):
+        """One direction-batched layer on a (T, B, D) stream."""
+        in_dtype = out_t.dtype
+        i_f = layer * 2
+        i_b = i_f + 1
+        rev = jnp.flip(out_t, axis=0)
+        x_pair = jnp.stack([out_t, rev])              # (2, T, B, D)
+        mask2_t = None if mask_t is None else jnp.concatenate(
+            [mask_t, mask_bt], axis=1)                # (T, 2B)
+        if state is not None:
+            init = jax.tree_util.tree_map(
+                lambda s: jnp.concatenate(
+                    [s[i_f], s[i_b]], 0).astype(dtype),
+                state)
+        else:
+            init = self._cell_init(2 * batch, dtype)
+        w_ih = jnp.concatenate(
+            [self.w_ih[i_f][None], self.w_ih[i_b][None]])
+        w_hh = jnp.concatenate(
+            [self.w_hh[i_f][None], self.w_hh[i_b][None]])
+        b = None if self.b[i_f] is None else jnp.stack(
+            [self.b[i_f], self.b[i_b]])
+        o_t2, carry2 = self._pallas_two_directions_tm(
+            x_pair, mask2_t, w_ih, w_hh, b, init, batch)
+        o_f = o_t2[:, :batch]
+        o_b = jnp.flip(o_t2[:, batch:], axis=0)
+        out_t = jnp.concatenate([o_f, o_b], axis=-1).astype(in_dtype)
+        finals = [
+            jax.tree_util.tree_map(lambda c: c[:batch], carry2),
+            jax.tree_util.tree_map(lambda c: c[batch:], carry2),
+        ]
+        return out_t, finals
+
     def _scan_two_directions(self, x2, mask2, w_ih2, w_hh2, b2, init,
                              batch):
         """One scan over the direction-stacked batch (2B, T, D).
@@ -345,6 +428,10 @@ class _RNNBase(Module):
         # policy's activation-memory savings survive the RNN.
         carry_dtype = (x.dtype if jnp.dtype(x.dtype).itemsize >= 4
                        else jnp.dtype(jnp.float32))
+        if self._use_time_major_stack(batch, num_directions):
+            out, finals = self._forward_time_major(
+                x, mask, mask_b, state, batch, carry_dtype)
+            return self._finish_forward(out, finals, num_directions)
         for layer in range(self.num_layers):
             layer_fn = functools.partial(
                 self._layer_forward, layer, mask=mask, mask_b=mask_b,
@@ -364,6 +451,10 @@ class _RNNBase(Module):
                 m = jax.random.bernoulli(
                     ptrandom.next_key(), keep, out.shape)
                 out = jnp.where(m, out / keep, 0).astype(out.dtype)
+        return self._finish_forward(out, finals, num_directions)
+
+    def _finish_forward(self, out, finals, num_directions):
+        h, rh = self.hidden_size, self.run_hidden_size
         final_state = jax.tree_util.tree_map(
             lambda *leaves: jnp.stack(leaves), *finals)
         if rh != h:
@@ -574,6 +665,27 @@ class LSTM(_RNNBase):
             self._pallas_interpret(), self.compute_dtype)
         out_t, h_t, c_t = self._slice_from_pallas(hp, out_t, h_t, c_t)
         return jnp.swapaxes(out_t, 0, 1), (h_t, c_t)
+
+    def _pallas_two_directions_tm(self, x_pair_t, mask2_t, w_ih2, w_hh2,
+                                  b2, init, batch):
+        """Time-major variant: x_pair_t (2, T, B, D), mask2_t (T, 2B);
+        returns (out_t (T, 2B, H), carry) with NO batch-major
+        round trip (see ``_forward_time_major``)."""
+        from padertorch_tpu.ops.pallas.lstm import lstm_cell_scan
+        h0, c0 = init
+        hp, w_ih2, w_hh2, b2, h0, c0 = self._pad_for_pallas(
+            w_ih2, w_hh2, b2, h0, c0)
+        bias = None if b2 is None else b2[None, :, None, :]
+        gates_x = self._pallas_gates_x(
+            x_pair_t, w_ih2, bias, einsum='dtbf,dfg->tdbg')
+        gates_x_t = gates_x.reshape(
+            gates_x.shape[0], 2 * x_pair_t.shape[2], -1)
+        out_t, h_t, c_t = lstm_cell_scan(
+            gates_x_t, w_hh2.astype(jnp.float32), mask2_t,
+            h0.astype(jnp.float32), c0.astype(jnp.float32),
+            self._pallas_interpret(), self.compute_dtype)
+        out_t, h_t, c_t = self._slice_from_pallas(hp, out_t, h_t, c_t)
+        return out_t, (h_t, c_t)
 
 
 class GRU(_RNNBase):

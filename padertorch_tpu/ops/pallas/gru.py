@@ -132,15 +132,21 @@ def _bwd_kernel(acts_ref, ghn_ref, hprev_ref, w_ref, mask_ref,
 
 
 
-def _compiler_params(interpret):
-    # Mosaic's DEFAULT scoped-VMEM budget is 16 MB; f32 weight-resident
-    # variants at MXU-rounded widths can exceed it (see lstm.py), so
-    # pass the physical v5e/v5p VMEM.  The interpreter has no Mosaic
-    # backend to pass parameters to.
-    if interpret:
+def _compiler_params(interpret, w):
+    """Raise Mosaic's scoped-VMEM budget ONLY when the resident weights
+    actually need it.  The f32 weight-resident variant at H=640
+    (round_hidden_to_mxu) needs ~20 MB (weights 13.1 MB +
+    double-buffered gates blocks) and OOMs under the 16 MB default —
+    but raising the limit unconditionally changes Mosaic's scheduling
+    for kernels that FIT (measured: the bf16 DPRNN step regressed
+    ~1.8x under a blanket 128 MiB limit), so the default budget is
+    kept whenever the weights leave it headroom.  The interpreter has
+    no Mosaic backend to pass parameters to."""
+    w_bytes = w.size * w.dtype.itemsize
+    if interpret or w_bytes <= 8 * 1024 * 1024:
         return {}
     return dict(compiler_params=pltpu.CompilerParams(
-        vmem_limit_bytes=128 * 1024 * 1024))
+        vmem_limit_bytes=64 * 1024 * 1024))
 
 def _fwd_call(gates_x, w_hh, mask, h0, interpret, compute_dtype=None,
               with_residuals=True):
@@ -186,7 +192,7 @@ def _fwd_call(gates_x, w_hh, mask, h0, interpret, compute_dtype=None,
             out_specs=[h_spec, state],
             scratch_shapes=scratch,
             interpret=interpret,
-            **_compiler_params(interpret),
+            **_compiler_params(interpret, w3),
         )(gates_x, w3, mask_arg, h0)
         return out, None, None, h_t
     acts_spec = pl.BlockSpec((bt, b, gh3), lambda i: (i, 0, 0),
@@ -204,7 +210,7 @@ def _fwd_call(gates_x, w_hh, mask, h0, interpret, compute_dtype=None,
         out_specs=[h_spec, acts_spec, h_spec, state],
         scratch_shapes=scratch,
         interpret=interpret,
-        **_compiler_params(interpret),
+        **_compiler_params(interpret, w3),
     )(gates_x, w3, mask_arg, h0)
     return out, acts, ghn, h_t
 
@@ -247,7 +253,7 @@ def _bwd_call(residuals, cotangents, interpret, compute_dtype=None):
         out_specs=[g_spec, g_spec, state],
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)],
         interpret=interpret,
-        **_compiler_params(interpret),
+        **_compiler_params(interpret, w_bwd),
     )(acts, ghn, h_prev_seq, w_bwd, mask_arg, d_out, dh_t)
     # dW_hh = sum_t h_{t-1}^T dgh_t (streaming MXU einsum)
     hp = h_prev_seq

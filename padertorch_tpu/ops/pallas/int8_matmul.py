@@ -37,12 +37,20 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ['int8_matmul']
 
 
-def _kernel(x_ref, wq_ref, scale_ref, out_ref):
+def _kernel(x_ref, wq_ref, scale_ref, *rest, with_bias):
     # wq tile: (K, block_n) int8 in VMEM; convert is VPU work on the
     # tile only — the full dequantized weight never exists anywhere.
+    bias_ref, out_ref = rest if with_bias else (None, rest[0])
     w = wq_ref[:].astype(x_ref.dtype)
     acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
-    out_ref[:] = (acc * scale_ref[:]).astype(out_ref.dtype)
+    acc = acc * scale_ref[:]
+    if with_bias:
+        # bias fused here: a separate jnp add after a pallas_call is
+        # its own HBM-touching op (XLA cannot fuse across the kernel
+        # boundary) — measurable at decode batch sizes where every
+        # extra op on the ~7-linears-per-layer step path costs dispatch
+        acc = acc + bias_ref[:]
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
 def _pick_block_n(n):
@@ -53,29 +61,36 @@ def _pick_block_n(n):
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
-def _int8_matmul_2d(x, w_q, scale, *, interpret=False):
+def _int8_matmul_2d(x, w_q, scale, bias=None, *, interpret=False):
     m, k = x.shape
     _, n = w_q.shape
     block_n = _pick_block_n(n)
     grid = (n // block_n,)
+    with_bias = bias is not None
+    nblock_spec = pl.BlockSpec((1, block_n), lambda j: (0, j),
+                               memory_space=pltpu.VMEM)
+    in_specs = [
+        # constant index map: x is fetched into VMEM once and
+        # stays resident across the N-block grid
+        pl.BlockSpec((m, k), lambda j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, block_n), lambda j: (0, j),
+                     memory_space=pltpu.VMEM),
+        nblock_spec,
+    ]
+    args = [x, w_q, scale]
+    if with_bias:
+        in_specs.append(nblock_spec)
+        args.append(bias)
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, with_bias=with_bias),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         grid=grid,
-        in_specs=[
-            # constant index map: x is fetched into VMEM once and
-            # stays resident across the N-block grid
-            pl.BlockSpec((m, k), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, block_n), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((m, block_n), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, w_q, scale)
+    )(*args)
     return out
 
 
@@ -83,46 +98,61 @@ def _round_up(v, mult):
     return -(-v // mult) * mult
 
 
-def int8_matmul(x, w_q, scale, *, interpret=False):
-    """``x @ (w_q * scale)`` with the weight read from HBM as int8.
+def int8_matmul(x, w_q, scale, bias=None, *, out_features=None,
+                interpret=False):
+    """``x @ (w_q * scale) [+ bias]`` with the weight read from HBM as
+    int8 and the dequantize + scale + bias fused into the kernel.
 
     Args:
         x: (..., K) float32/bfloat16 activations.
-        w_q: (K, N) int8 weights.
+        w_q: (K, N) int8 weights.  Pass K/N already padded to 128-lane
+            multiples (e.g. pre-padded at quantization time, see
+            ``QuantizedLinear``) to avoid two pad ops per call.
         scale: (N,) float32 per-output-channel symmetric scales.
+        bias: optional (N,) float32 bias, added inside the kernel.
+        out_features: slice the output back to this many columns when
+            the weight was pre-padded (defaults to N).
         interpret: run the Pallas interpreter (CPU tests).
 
     Returns:
-        (..., N) array in ``x.dtype``.
+        (..., out_features) array in ``x.dtype``.
 
     The wrapper zero-pads K to a lane multiple (zero weight columns
-    contribute nothing), N to a 128-lane multiple (padded outputs are
-    sliced off) and the flattened batch M to the sublane tile of
-    ``x.dtype``.
+    contribute nothing) and N to a 128-lane multiple (padded outputs
+    are sliced off).  The flattened batch M is passed through as-is —
+    Mosaic sublane-pads partial tiles internally, so no explicit M pad
+    op is emitted.
     """
     if w_q.dtype != jnp.int8:
         raise ValueError(f'w_q must be int8, got {w_q.dtype}')
     *lead, k = x.shape
     k_w, n = w_q.shape
-    if k_w != k:
+    if k_w < k:
         raise ValueError(f'contraction mismatch: x K={k}, w_q K={k_w}')
     m = 1
     for d in lead:
         m *= d
     x2 = x.reshape(m, k)
+    if k_w > k:
+        # pre-padded weight rows (all zeros): pad x to match
+        x2 = jnp.pad(x2, ((0, 0), (0, k_w - k)))
+        k = k_w
 
-    sublane = 8 if x.dtype == jnp.float32 else 16
-    m_pad = _round_up(max(m, 1), sublane)
     # K is x's lane dim and w_q's sublane dim (int8 tile: 32 sublanes)
     k_pad = _round_up(k, 128)
     n_pad = _round_up(n, 128)
-    if m_pad != m or k_pad != k:
-        x2 = jnp.pad(x2, ((0, m_pad - m), (0, k_pad - k)))
+    if k_pad != k:
+        x2 = jnp.pad(x2, ((0, 0), (0, k_pad - k)))
     if k_pad != k or n_pad != n:
         w_q = jnp.pad(w_q, ((0, k_pad - k), (0, n_pad - n)))
     scale2 = scale.astype(jnp.float32).reshape(1, n)
+    bias2 = None if bias is None else \
+        bias.astype(jnp.float32).reshape(1, n)
     if n_pad != n:
         scale2 = jnp.pad(scale2, ((0, 0), (0, n_pad - n)))
+        if bias2 is not None:
+            bias2 = jnp.pad(bias2, ((0, 0), (0, n_pad - n)))
 
-    out = _int8_matmul_2d(x2, w_q, scale2, interpret=interpret)
-    return out[:m, :n].reshape(*lead, n)
+    out = _int8_matmul_2d(x2, w_q, scale2, bias2, interpret=interpret)
+    n_out = n if out_features is None else out_features
+    return out[:, :n_out].reshape(*lead, n_out)

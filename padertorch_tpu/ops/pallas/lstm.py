@@ -183,16 +183,21 @@ def _pick_block_t(t, b, gh4):
 
 
 
-def _compiler_params(interpret):
-    # Mosaic's DEFAULT scoped-VMEM budget is 16 MB; the f32 weight-
-    # resident variant at H=640 (round_hidden_to_mxu) needs ~20 MB
-    # (weights 13.1 MB + double-buffered gates blocks), so pass the
-    # physical v5e/v5p VMEM like the attention kernel does.  The
-    # interpreter has no Mosaic backend to pass parameters to.
-    if interpret:
+def _compiler_params(interpret, w):
+    """Raise Mosaic's scoped-VMEM budget ONLY when the resident weights
+    actually need it.  The f32 weight-resident variant at H=640
+    (round_hidden_to_mxu) needs ~20 MB (weights 13.1 MB +
+    double-buffered gates blocks) and OOMs under the 16 MB default —
+    but raising the limit unconditionally changes Mosaic's scheduling
+    for kernels that FIT (measured: the bf16 DPRNN step regressed
+    ~1.8x under a blanket 128 MiB limit), so the default budget is
+    kept whenever the weights leave it headroom.  The interpreter has
+    no Mosaic backend to pass parameters to."""
+    w_bytes = w.size * w.dtype.itemsize
+    if interpret or w_bytes <= 8 * 1024 * 1024:
         return {}
     return dict(compiler_params=pltpu.CompilerParams(
-        vmem_limit_bytes=128 * 1024 * 1024))
+        vmem_limit_bytes=64 * 1024 * 1024))
 
 def _norm_w(w_hh):
     """-> (w (D, H, 4H), n_dir, squeeze)."""
@@ -256,7 +261,7 @@ def _fwd_call(gates_x, w_hh, mask, h0, c0, interpret,
                        step_specs['state']],
             scratch_shapes=scratch,
             interpret=interpret,
-            **_compiler_params(interpret),
+            **_compiler_params(interpret, w3),
         )(gates_x, w3, mask_arg, h0, c0)
         return out, None, None, h_t, c_t
     out, c_seq, gates, h_t, c_t = pl.pallas_call(
@@ -277,7 +282,7 @@ def _fwd_call(gates_x, w_hh, mask, h0, c0, interpret,
                    step_specs['state']],
         scratch_shapes=scratch,
         interpret=interpret,
-        **_compiler_params(interpret),
+        **_compiler_params(interpret, w3),
     )(gates_x, w3, mask_arg, h0, c0)
     return out, c_seq, gates, h_t, c_t
 
@@ -327,7 +332,7 @@ def _bwd_call(residuals, cotangents, interpret, compute_dtype=None):
             pltpu.VMEM((b, h), jnp.float32),
         ],
         interpret=interpret,
-        **_compiler_params(interpret),
+        **_compiler_params(interpret, w_bwd),
     )(gates, c_seq, w_bwd, mask_arg, d_out, dh_t, dc_t)
     # dW_hh = sum_t h_{t-1}^T dz_t -- one big streaming MXU matmul,
     # where XLA is better than a VMEM-resident accumulator (which costs

@@ -52,52 +52,81 @@ class QuantizedLinear(Module):
     ordinary module.
     """
 
-    #: kernel dispatch: ``None`` = auto (fused Pallas dequant-matmul on
-    #: TPU at serving batch sizes, XLA path otherwise), ``True``/
-    #: ``False`` force, ``'interpret'`` runs the kernel on the Pallas
-    #: CPU interpreter (tests). The kernel reads the weight from HBM as int8
-    #: and dequantizes in VMEM — the actual 4x bandwidth win at decode
-    #: (see ``ops/pallas/int8_matmul.py`` and doc/serving.md). Caveat:
-    #: a forced-``True`` module baked into a multi-platform
+    #: kernel dispatch: ``None`` = auto (currently the XLA path —
+    #: measured on v5e, XLA fuses the int8->bf16 convert+scale into the
+    #: dot's operand read, so it already gets the int8 weight-bandwidth
+    #: win, and inside a many-linear decode step the Pallas per-call
+    #: launch overhead outweighs the kernel's remaining edge: whole-loop
+    #: 582 us/step XLA vs 742 kernel on the d=1024/12-layer decoder,
+    #: while ISOLATED GEMVs favor the kernel 1.1-1.5x — see
+    #: doc/serving.md "Weight-only int8").  ``True`` forces the fused
+    #: Pallas dequant-in-VMEM kernel (use for standalone bandwidth-bound
+    #: GEMV call sites), ``False`` forces XLA, ``'interpret'`` runs the
+    #: kernel on the Pallas CPU interpreter (tests).  Caveat: a
+    #: forced-``True`` module baked into a multi-platform
     #: ``serve.export_model(platforms=('tpu', 'cpu'))`` artifact will
     #: only run on TPU.
     use_kernel = None
-    # above this many flattened input rows the dot is compute-bound and
-    # XLA's path is fine; it also bounds the kernel's VMEM-resident x
+    # the kernel keeps the flattened x block VMEM-resident; cap it
     _KERNEL_MAX_ROWS = 1024
 
-    def __init__(self, weight_q, scale, bias):
-        self.weight_q = weight_q          # (in, out) int8
-        self.scale = scale                # (out,) float32
+    def __init__(self, weight_q, scale, bias, in_features=None,
+                 out_features=None):
+        self.weight_q = weight_q          # (in[_pad], out[_pad]) int8
+        self.scale = scale                # (out[_pad],) float32
         self.bias = bias                  # (out,) or None
-        self.in_features = weight_q.shape[0]
-        self.out_features = weight_q.shape[1]
+        self.in_features = (weight_q.shape[0] if in_features is None
+                            else in_features)
+        self.out_features = (weight_q.shape[1] if out_features is None
+                             else out_features)
 
     @classmethod
     def from_linear(cls, linear):
         w = jnp.asarray(linear.weight)    # (in, out)
+        k, n = w.shape
         amax = jnp.max(jnp.abs(w), axis=0)            # per out channel
         scale = jnp.maximum(amax, 1e-12) / 127.0
         w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-        return cls(w_q, scale.astype(jnp.float32), linear.bias)
+        scale = scale.astype(jnp.float32)
+        # pre-pad to the kernel's 128-lane tiles AT QUANTIZATION TIME
+        # when the waste is small: the fused kernel then emits zero pad
+        # ops per call (pads traced inside a decode loop are one HBM
+        # copy per linear per step).  Small, badly-aligned layers keep
+        # the logical layout (the wrapper pads per call) so the 4x
+        # memory win is not eaten by tile waste.
+        k_pad = -(-k // 128) * 128
+        n_pad = -(-n // 128) * 128
+        if (k_pad * n_pad) <= 1.25 * (k * n) and (k_pad, n_pad) != (k, n):
+            w_q = jnp.pad(w_q, ((0, k_pad - k), (0, n_pad - n)))
+            scale = jnp.pad(scale, (0, n_pad - n))
+        return cls(w_q, scale, linear.bias,
+                   in_features=k, out_features=n)
 
     def _dispatch_kernel(self, x):
-        if self.use_kernel is not None:
-            return self.use_kernel
+        # auto (None) = XLA: its fused dequant already reads the weight
+        # as int8 (measured — see the ``use_kernel`` doc above); the
+        # kernel is an explicit opt-in for standalone GEMV call sites
+        if self.use_kernel in (None, False):
+            return False
+        # True / 'interpret': respect the kernel's VMEM-resident x cap
         rows = 1
         for d in x.shape[:-1]:
             rows *= d
-        return (jax.default_backend() == 'tpu'
-                and rows <= self._KERNEL_MAX_ROWS)
+        return self.use_kernel if rows <= self._KERNEL_MAX_ROWS \
+            else False
 
     def forward(self, x):
         if self._dispatch_kernel(x):
             from padertorch_tpu.ops.pallas.int8_matmul import int8_matmul
-            y = int8_matmul(x, self.weight_q, self.scale,
-                            interpret=self.use_kernel == 'interpret')
-        else:
-            w = self.weight_q.astype(x.dtype) * self.scale.astype(x.dtype)
-            y = x @ w
+            # bias fused into the kernel; pre-padded weights pass
+            # through with zero per-call pad ops
+            return int8_matmul(
+                x, self.weight_q, self.scale, self.bias,
+                out_features=self.out_features,
+                interpret=self.use_kernel == 'interpret')
+        w_q = self.weight_q[:self.in_features, :self.out_features]
+        scale = self.scale[:self.out_features]
+        y = x @ (w_q.astype(x.dtype) * scale.astype(x.dtype))
         if self.bias is not None:
             y = y + self.bias
         return y

@@ -142,6 +142,72 @@ def test_pit_train_then_evaluate_improves_si_sdr(tmp_path):
 
 
 @pytest.mark.slow
+def test_pit_evaluate_multiprocess_matches_single(tmp_path):
+    """A full recipe evaluate in TRUE multi-process mode: two concurrent
+    ``pit.evaluate`` processes share the work via PT_EVAL_RANK/SIZE and
+    the file-based gather in PT_EVAL_DIR (the dlp_mpi-style launcher
+    contract, reference ``tasnet/evaluate.py`` mpiexec usage); the
+    master's means.json must equal the single-process run.  Closes the
+    round-4 gap that ``evaluation/parallel.py`` multi-worker mode was
+    proven only on toy in-process datasets."""
+    _run(f'{PKG}.source_separation.pit.train',
+         '--storage_root', str(tmp_path), '--synthetic',
+         '--epochs', '1', '--units', '64', '--layers', '1')
+    storage_dir = tmp_path / 'pit' / '1'
+    _run(f'{PKG}.source_separation.pit.evaluate',
+         '--model_path', str(storage_dir), '--synthetic')
+    means_path = storage_dir / 'eval' / 'means.json'
+    single = json.loads(means_path.read_text())
+    means_path.unlink()
+    (storage_dir / 'eval' / 'result.json').unlink()
+
+    gather_dir = tmp_path / 'gather'
+    gather_dir.mkdir()
+    procs = []
+    logs = []
+    for rank in range(2):
+        env = {
+            **os.environ,
+            'JAX_PLATFORMS': 'cpu',
+            'PYTHONPATH': str(REPO_ROOT),
+            'PT_EVAL_RANK': str(rank),
+            'PT_EVAL_SIZE': '2',
+            'PT_EVAL_DIR': str(gather_dir),
+        }
+        # file-backed output: a PIPE would fill and deadlock the
+        # rank while the test waits on the other one
+        log = open(tmp_path / f'rank{rank}.log', 'w+')
+        logs.append(log)
+        procs.append(subprocess.Popen(
+            [sys.executable, '-m',
+             f'{PKG}.source_separation.pit.evaluate',
+             '--model_path', str(storage_dir), '--synthetic'],
+            env=env, cwd=str(REPO_ROOT),
+            stdout=log, stderr=subprocess.STDOUT))
+    try:
+        for rank, proc in enumerate(procs):
+            rc = proc.wait(timeout=560)
+            logs[rank].seek(0)
+            assert rc == 0, (
+                f'rank {rank} failed\n{logs[rank].read()[-3000:]}')
+    finally:
+        for proc in procs:
+            proc.kill()
+        for log in logs:
+            log.close()
+
+    multi = json.loads(means_path.read_text())
+    assert set(multi) == set(single), (multi, single)
+    for key in single:
+        assert multi[key] == pytest.approx(single[key], rel=1e-6), (
+            key, multi[key], single[key])
+    # only the master wrote results; both shards contributed
+    results = json.loads(
+        (storage_dir / 'eval' / 'result.json').read_text())
+    assert len(results) == single.get('num_examples', len(results))
+
+
+@pytest.mark.slow
 def test_mask_estimator_train_then_evaluate(tmp_path):
     _run(f'{PKG}.speech_enhancement.mask_estimator.train',
          '--storage_root', str(tmp_path), '--synthetic',

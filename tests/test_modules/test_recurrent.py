@@ -243,3 +243,53 @@ def test_bfloat16_inputs_keep_f32_carries():
         g = jax.grad(loss)(x)
         assert g.dtype == jnp.bfloat16
         assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
+
+
+def test_pallas_time_major_stack_equals_batch_major():
+    """The Pallas bidirectional fast path keeps the inter-layer stream
+    time-major (one transpose at stack entry/exit instead of one per
+    layer).  Outputs, final states and input gradients must equal the
+    batch-major route exactly (same kernel, same math, different
+    layout)."""
+    import jax
+    import jax.numpy as jnp
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.modules.recurrent import LSTM
+
+    ptrandom.seed(5)
+    rnn = LSTM(6, 8, num_layers=3, bidirectional=True)
+    rnn.backend = 'pallas'
+    x = jnp.asarray(np.random.RandomState(2).randn(3, 11, 6), 'float32')
+    lens = jnp.asarray([11, 7, 4])
+    assert rnn._use_time_major_stack(3, 2)
+
+    def run(tm_enabled):
+        if not tm_enabled:
+            # force the batch-major per-layer route
+            orig = LSTM._use_time_major_stack
+            LSTM._use_time_major_stack = lambda self, b, d: False
+        try:
+            out, state = rnn(x, seq_lens=lens)
+
+            def loss(x):
+                return jnp.sum(rnn(x, seq_lens=lens)[0] ** 2)
+
+            grad = jax.grad(loss)(x)
+        finally:
+            if not tm_enabled:
+                LSTM._use_time_major_stack = orig
+        return out, state, grad
+
+    out_tm, state_tm, grad_tm = run(True)
+    out_bm, state_bm, grad_bm = run(False)
+    np.testing.assert_allclose(
+        np.asarray(out_tm), np.asarray(out_bm), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(grad_tm), np.asarray(grad_bm), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_tm),
+                    jax.tree_util.tree_leaves(state_bm)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6)
+    # streaming state round trip through the tm path
+    out2, _ = rnn(x, seq_lens=lens, state=state_tm)
+    assert out2.shape == out_tm.shape

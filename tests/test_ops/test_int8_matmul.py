@@ -63,7 +63,18 @@ def test_rejects_bad_inputs():
     with pytest.raises(ValueError, match='int8'):
         int8_matmul(x, w_q.astype(jnp.int32), scale, interpret=True)
     with pytest.raises(ValueError, match='contraction'):
-        int8_matmul(x[:, :16], w_q, scale, interpret=True)
+        # x wider than the weight is a real mismatch; the converse
+        # (x narrower) is legal — pre-padded weights, zero rows
+        int8_matmul(jnp.concatenate([x, x], axis=-1), w_q, scale,
+                    interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(int8_matmul(x[:, :16], w_q[:16], scale,
+                               interpret=True)),
+        np.asarray(int8_matmul(
+            x[:, :16],
+            jnp.pad(w_q[:16], ((0, 16), (0, 0))), scale,
+            interpret=True)),
+        rtol=1e-5)
 
 
 def test_quantized_linear_kernel_path():
