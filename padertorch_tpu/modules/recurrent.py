@@ -748,6 +748,23 @@ class GRU(_RNNBase):
             self._pallas_interpret(), self.compute_dtype)
         return jnp.swapaxes(out_t, 0, 1), h_t
 
+    def _pallas_two_directions_tm(self, x_pair_t, mask2_t, w_ih2, w_hh2,
+                                  b2, init, batch):
+        """Time-major variant (see ``LSTM._pallas_two_directions_tm``):
+        x_pair_t (2, T, B, D), mask2_t (T, 2B) -> (out_t (T, 2B, H),
+        carry) with no batch-major round trip."""
+        from padertorch_tpu.ops.pallas.gru import gru_cell_scan
+        bias = None if b2 is None else b2[None, :, None, :]
+        gates_x = self._pallas_gates_x(
+            x_pair_t, w_ih2, bias, einsum='dtbf,dfg->tdbg')
+        gates_x_t = gates_x.reshape(
+            gates_x.shape[0], 2 * x_pair_t.shape[2], -1)
+        out_t, h_t = gru_cell_scan(
+            gates_x_t, w_hh2.astype(jnp.float32), mask2_t,
+            init.astype(jnp.float32),
+            self._pallas_interpret(), self.compute_dtype)
+        return out_t, h_t
+
 
 class StatefulLSTM(Module):
     """LSTM that keeps hidden state across calls (streaming).

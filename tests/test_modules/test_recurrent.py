@@ -293,3 +293,40 @@ def test_pallas_time_major_stack_equals_batch_major():
     # streaming state round trip through the tm path
     out2, _ = rnn(x, seq_lens=lens, state=state_tm)
     assert out2.shape == out_tm.shape
+
+
+def test_gru_pallas_time_major_stack_equals_batch_major():
+    """Same layout-equivalence contract for the GRU fast path."""
+    import jax
+    import jax.numpy as jnp
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.modules.recurrent import GRU
+
+    ptrandom.seed(6)
+    rnn = GRU(5, 7, num_layers=2, bidirectional=True)
+    rnn.backend = 'pallas'
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 9, 5), 'float32')
+    lens = jnp.asarray([9, 5])
+    assert rnn._use_time_major_stack(2, 2)
+
+    out_tm, state_tm = rnn(x, seq_lens=lens)
+    grad_tm = jax.grad(
+        lambda x: jnp.sum(rnn(x, seq_lens=lens)[0] ** 2))(x)
+
+    orig = GRU._use_time_major_stack
+    GRU._use_time_major_stack = lambda self, b, d: False
+    try:
+        out_bm, state_bm = rnn(x, seq_lens=lens)
+        grad_bm = jax.grad(
+            lambda x: jnp.sum(rnn(x, seq_lens=lens)[0] ** 2))(x)
+    finally:
+        GRU._use_time_major_stack = orig
+
+    np.testing.assert_allclose(
+        np.asarray(out_tm), np.asarray(out_bm), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(grad_tm), np.asarray(grad_bm), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_tm),
+                    jax.tree_util.tree_leaves(state_bm)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6)
