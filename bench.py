@@ -902,8 +902,8 @@ def bench_pit(units=600, round_hidden=True, emit=True):
 
     if flagship:
         metric = 'pit_blstm_train_utterances_per_sec_per_chip'
-        desc = ('utt/s (B=16, T=500, F=257, 3x600 BLSTM, bf16 compute / '
-                'f32 master+carries'
+        desc = ('utt/s (B=16, T=500, F=257, 3x600 BLSTM, bf16 compute '
+                '+ bf16 kernel HBM streams / f32 master+carries'
                 + (f' [f32 compute: {f32_utt:.1f} utt/s]'
                    if f32_utt else '')
                 + (', round_hidden_to_mxu internal width 640 — the lane '
@@ -915,8 +915,8 @@ def bench_pit(units=600, round_hidden=True, emit=True):
         metric = f'pit_blstm_{units}_train_utterances_per_sec_per_chip'
         desc = (f'utt/s (B=16, T=500, F=257, 3x{units} BLSTM — the '
                 'MXU-tile-aligned model size recommended for new '
-                'configs, bf16 compute / f32 master+carries, '
-                'fused train step)')
+                'configs, bf16 compute + bf16 kernel HBM streams / '
+                'f32 master+carries, fused train step)')
     record = {
         'metric': metric,
         'value': round(utt_per_sec, 2),

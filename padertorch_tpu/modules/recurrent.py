@@ -175,13 +175,32 @@ class _RNNBase(Module):
         # and the virtual multi-chip dryrun execute the same code path
         return jax.default_backend() != 'tpu'
 
-    def _pallas_gates_x(self, x, w_ih, b, einsum=None):
+    def _pallas_gates_x(self, x, w_ih, b, einsum=None, stream=False):
         """Big input projection outside the kernel (bf16-able, batched
-        over T).  Returns f32 in the kernel's time-major layout."""
-        if self.compute_dtype is not None:
-            cd = jnp.dtype(self.compute_dtype)
-            x = x.astype(cd)
-            w_ih = w_ih.astype(cd)
+        over T), in the kernel's time-major layout.  Accumulation (and
+        the bias add) is f32; with ``stream=True`` the RESULT is
+        down-cast to the policy's stream dtype (bf16 under the bf16
+        policy) — XLA folds the cast into the GEMM epilogue, so the
+        (T, B, 4H) gates tensor is written to HBM at half width and the
+        kernel DMAs it at half width."""
+        if jax.default_backend() == 'tpu':
+            if self.compute_dtype is not None:
+                cd = jnp.dtype(self.compute_dtype)
+                x = x.astype(cd)
+                w_ih = w_ih.astype(cd)
+        else:
+            # XLA-CPU's DotThunk cannot execute the bf16 x bf16 -> f32
+            # dot this kernel-layout einsum ('...tbg', output
+            # transposed) lowers to when an operand is a traced value
+            # (runtime UNIMPLEMENTED; the scan path's plain-layout
+            # projection is fine).  The CPU pallas route is a
+            # functional fallback (like interpret mode itself): run
+            # the projection in f32 even when the precision policy
+            # already cast the stream/params to bf16.
+            x = x.astype(jnp.float32)
+            w_ih = w_ih.astype(jnp.float32)
+            if b is not None:
+                b = b.astype(jnp.float32)
         if einsum is None:
             gates_x = jnp.dot(
                 x, w_ih, preferred_element_type=jnp.float32)
@@ -190,7 +209,24 @@ class _RNNBase(Module):
                 einsum, x, w_ih, preferred_element_type=jnp.float32)
         if b is not None:
             gates_x = gates_x + b
+        sd = self._pallas_stream_dtype() if stream else None
+        if sd is not None:
+            gates_x = gates_x.astype(sd)
         return gates_x
+
+    def _pallas_stream_dtype(self):
+        """bf16 under the bf16 policy ON TPU, else None (f32 streams).
+
+        TPU-only because XLA-CPU's DotThunk cannot execute the fused
+        transpose+dot layouts its own autodiff emits for the dW_ih
+        contraction when BOTH operands are bf16 (UNIMPLEMENTED at
+        runtime, shape/fusion-dependent) — the kernels themselves
+        handle bf16 streams fine in interpret mode (tested)."""
+        if (self.compute_dtype is not None
+                and jnp.dtype(self.compute_dtype) == jnp.bfloat16
+                and jax.default_backend() == 'tpu'):
+            return jnp.bfloat16
+        return None
 
     # -- single direction scan ------------------------------------------------
     def _cell_init(self, batch, dtype):
@@ -634,7 +670,7 @@ class LSTM(_RNNBase):
         # produce gates directly in the kernel's (T, B, 4H) layout --
         # a post-hoc transpose costs a full HBM copy of the gates
         gates_x_t = self._pallas_gates_x(
-            x, w_ih, b, einsum='btf,fg->tbg')
+            x, w_ih, b, einsum='btf,fg->tbg', stream=True)
         mask_t = None if mask is None else jnp.swapaxes(mask, 0, 1)
         out_t, h_t, c_t = lstm_cell_scan(
             gates_x_t, w_hh.astype(jnp.float32), mask_t,
@@ -656,7 +692,7 @@ class LSTM(_RNNBase):
         # kernel's (T, 2B, 4H) is then layout-free, where transposing a
         # (2B, T, 4H) result costs a ~300 MB HBM copy per layer
         gates_x = self._pallas_gates_x(
-            x_pair, w_ih2, bias, einsum='dbtf,dfg->tdbg')
+            x_pair, w_ih2, bias, einsum='dbtf,dfg->tdbg', stream=True)
         gates_x_t = gates_x.reshape(gates_x.shape[0], b2b, -1)
         mask_t = None if mask2 is None else jnp.swapaxes(mask2, 0, 1)
         out_t, h_t, c_t = lstm_cell_scan(
@@ -677,7 +713,7 @@ class LSTM(_RNNBase):
             w_ih2, w_hh2, b2, h0, c0)
         bias = None if b2 is None else b2[None, :, None, :]
         gates_x = self._pallas_gates_x(
-            x_pair_t, w_ih2, bias, einsum='dtbf,dfg->tdbg')
+            x_pair_t, w_ih2, bias, einsum='dtbf,dfg->tdbg', stream=True)
         gates_x_t = gates_x.reshape(
             gates_x.shape[0], 2 * x_pair_t.shape[2], -1)
         out_t, h_t, c_t = lstm_cell_scan(
@@ -724,7 +760,7 @@ class GRU(_RNNBase):
     def _pallas_direction(self, x, mask, w_ih, w_hh, b, init_carry):
         from padertorch_tpu.ops.pallas.gru import gru_cell_scan
         gates_x_t = self._pallas_gates_x(
-            x, w_ih, b, einsum='btf,fg->tbg')
+            x, w_ih, b, einsum='btf,fg->tbg', stream=True)
         mask_t = None if mask is None else jnp.swapaxes(mask, 0, 1)
         out_t, h_t = gru_cell_scan(
             gates_x_t, w_hh.astype(jnp.float32), mask_t,
@@ -739,7 +775,7 @@ class GRU(_RNNBase):
         x_pair = x2.reshape(2, b2b // 2, *x2.shape[1:])
         bias = None if b2 is None else b2[None, :, None, :]
         gates_x = self._pallas_gates_x(
-            x_pair, w_ih2, bias, einsum='dbtf,dfg->tdbg')
+            x_pair, w_ih2, bias, einsum='dbtf,dfg->tdbg', stream=True)
         gates_x_t = gates_x.reshape(gates_x.shape[0], b2b, -1)
         mask_t = None if mask2 is None else jnp.swapaxes(mask2, 0, 1)
         out_t, h_t = gru_cell_scan(
@@ -756,7 +792,7 @@ class GRU(_RNNBase):
         from padertorch_tpu.ops.pallas.gru import gru_cell_scan
         bias = None if b2 is None else b2[None, :, None, :]
         gates_x = self._pallas_gates_x(
-            x_pair_t, w_ih2, bias, einsum='dtbf,dfg->tdbg')
+            x_pair_t, w_ih2, bias, einsum='dtbf,dfg->tdbg', stream=True)
         gates_x_t = gates_x.reshape(
             gates_x.shape[0], 2 * x_pair_t.shape[2], -1)
         out_t, h_t = gru_cell_scan(

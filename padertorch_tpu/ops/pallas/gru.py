@@ -51,7 +51,7 @@ def _fwd_kernel(gx_ref, w_ref, mask_ref, h0_ref,
     hdim = h.shape[-1]
     for j in range(block_t):
         gh = _dir_matmul(h, w_ref, n_dir, cast=cast)
-        gx = gx_ref[j]
+        gx = gx_ref[j].astype(jnp.float32)
         r = jax.nn.sigmoid(gx[:, :hdim] + gh[:, :hdim])
         z = jax.nn.sigmoid(
             gx[:, hdim:2 * hdim] + gh[:, hdim:2 * hdim])
@@ -64,10 +64,13 @@ def _fwd_kernel(gx_ref, w_ref, mask_ref, h0_ref,
             h_out = h_new * m
         else:
             h_out = h_new
+        # residuals in the stream dtype (bf16 under the bf16 policy —
+        # halves HBM traffic; the f32 h carry in scratch is unaffected)
         if with_residuals:
-            acts_ref[j] = jnp.concatenate([r, z, n], axis=-1)
-            ghn_ref[j] = gh_n
-        out_ref[j] = h_out
+            acts_ref[j] = jnp.concatenate(
+                [r, z, n], axis=-1).astype(acts_ref.dtype)
+            ghn_ref[j] = gh_n.astype(ghn_ref.dtype)
+        out_ref[j] = h_out.astype(out_ref.dtype)
         h = h_new
     h_scr[:] = h
     nprog = pl.num_programs(0)
@@ -93,14 +96,14 @@ def _bwd_kernel(acts_ref, ghn_ref, hprev_ref, w_ref, mask_ref,
     hdim = dh_scr.shape[-1]
     dh_carry = dh_scr[:]
     for j in reversed(range(block_t)):
-        acts = acts_ref[j]
+        acts = acts_ref[j].astype(jnp.float32)
         r = acts[:, :hdim]
         z = acts[:, hdim:2 * hdim]
         n = acts[:, 2 * hdim:]
-        gh_n = ghn_ref[j]
-        h_prev = hprev_ref[j]
+        gh_n = ghn_ref[j].astype(jnp.float32)
+        h_prev = hprev_ref[j].astype(jnp.float32)
 
-        dh = dh_carry + dout_ref[j]
+        dh = dh_carry + dout_ref[j].astype(jnp.float32)
         if use_mask:
             m = mask_ref[j]  # (B, 1)
         dz_pre = dh * (h_prev - n) * z * (1 - z)
@@ -121,8 +124,8 @@ def _bwd_kernel(acts_ref, ghn_ref, hprev_ref, w_ref, mask_ref,
                    + dh * z)
         if use_mask:
             dh_prev = jnp.where(m > 0, dh_prev, dh_carry)
-        dgx_ref[j] = dgx
-        dgh_ref[j] = dgh
+        dgx_ref[j] = dgx.astype(dgx_ref.dtype)
+        dgh_ref[j] = dgh.astype(dgh_ref.dtype)
         dh_carry = dh_prev
     dh_scr[:] = dh_carry
 
@@ -157,8 +160,14 @@ def _fwd_call(gates_x, w_hh, mask, h0, interpret, compute_dtype=None,
     mask_arg = (mask[..., None].astype(jnp.float32) if use_mask
                 else jnp.zeros((t, b, 1), jnp.float32))
     cast = None if compute_dtype is None else jnp.dtype(compute_dtype)
+    if interpret:
+        # CPU DotThunk can't run bf16 while-body dots (see lstm.py);
+        # interpret-mode recurrence compute stays f32
+        cast = None
     if cast is not None:
         w3 = w3.astype(cast)
+    # HBM streams (out + residuals) follow gates_x's dtype (see lstm.py)
+    stream = gates_x.dtype
     bt = _pick_block_t(t, b, gh3)
     kernel = functools.partial(
         _fwd_kernel, use_mask=use_mask, n_dir=n_dir, cast=cast,
@@ -186,7 +195,7 @@ def _fwd_call(gates_x, w_hh, mask, h0, interpret, compute_dtype=None,
             grid=(t // bt,),
             in_specs=[gx_spec, full, mask_spec, full],
             out_shape=[
-                jax.ShapeDtypeStruct((t, b, h), jnp.float32),
+                jax.ShapeDtypeStruct((t, b, h), stream),
                 jax.ShapeDtypeStruct((b, h), jnp.float32),
             ],
             out_specs=[h_spec, state],
@@ -202,9 +211,9 @@ def _fwd_call(gates_x, w_hh, mask, h0, interpret, compute_dtype=None,
         grid=(t // bt,),
         in_specs=[gx_spec, full, mask_spec, full],
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, h), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, gh3), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h), stream),
+            jax.ShapeDtypeStruct((t, b, gh3), stream),
+            jax.ShapeDtypeStruct((t, b, h), stream),
             jax.ShapeDtypeStruct((b, h), jnp.float32),
         ],
         out_specs=[h_spec, acts_spec, h_spec, state],
@@ -225,12 +234,17 @@ def _bwd_call(residuals, cotangents, interpret, compute_dtype=None):
     mask_arg = (mask[..., None].astype(jnp.float32) if use_mask
                 else jnp.zeros((t, b, 1), jnp.float32))
     cast = None if compute_dtype is None else jnp.dtype(compute_dtype)
+    if interpret:
+        cast = None  # see _fwd_call: CPU DotThunk bf16 limitation
     w_bwd = w3 if cast is None else w3.astype(cast)
     bt = _pick_block_t(t, b, gh3)
     nb = t // bt
     # h_prev sequence: h0 then out[:-1]; exact because dgh is zero at
-    # masked steps (see lstm.py)
-    h_prev_seq = jnp.concatenate([h0[None], out[:-1]], axis=0)
+    # masked steps (see lstm.py).  h0 is cast DOWN to the stream dtype:
+    # a mixed-dtype concatenate would silently promote the whole bf16
+    # out stream back to a full-width f32 HBM copy.
+    h_prev_seq = jnp.concatenate(
+        [h0[None].astype(out.dtype), out[:-1]], axis=0)
     kernel = functools.partial(_bwd_kernel, use_mask=use_mask,
                                n_dir=n_dir, cast=cast, block_t=bt)
     rev = lambda i: (nb - 1 - i, 0, 0)  # noqa: E731
@@ -246,8 +260,10 @@ def _bwd_call(residuals, cotangents, interpret, compute_dtype=None):
         in_specs=[g_spec, h_spec, h_spec, full, mask_spec, h_spec,
                   full],
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, gh3), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, gh3), jnp.float32),
+            # dgx matches gates_x (custom-VJP cotangent contract);
+            # dgh is internal — stream dtype feeds the dW einsum
+            jax.ShapeDtypeStruct((t, b, gh3), gates_x.dtype),
+            jax.ShapeDtypeStruct((t, b, gh3), gates_x.dtype),
             jax.ShapeDtypeStruct((b, h), jnp.float32),
         ],
         out_specs=[g_spec, g_spec, state],

@@ -74,7 +74,8 @@ def _fwd_kernel(gx_ref, w_ref, mask_ref, h0_ref, c0_ref,
     hdim = h.shape[-1]
     # unrolled sub-steps amortize grid/DMA overhead over block_t steps
     for j in range(block_t):
-        gates = gx_ref[j] + _dir_matmul(h, w_ref, n_dir, cast=cast)
+        gates = (gx_ref[j].astype(jnp.float32)
+                 + _dir_matmul(h, w_ref, n_dir, cast=cast))
         i = jax.nn.sigmoid(gates[:, :hdim])
         f = jax.nn.sigmoid(gates[:, hdim:2 * hdim])
         g = jnp.tanh(gates[:, 2 * hdim:3 * hdim])
@@ -88,11 +89,14 @@ def _fwd_kernel(gx_ref, w_ref, mask_ref, h0_ref, c0_ref,
             h_out = h_new * m
         else:
             h_out = h_new
-        # residuals for backward
+        # residuals for backward (stored in the stream dtype — bf16
+        # under the bf16 policy halves their HBM write+read traffic;
+        # the f32 h/c carries in scratch are unaffected)
         if with_residuals:
-            gates_ref[j] = jnp.concatenate([i, f, g, o], axis=-1)
-            c_seq_ref[j] = c
-        out_ref[j] = h_out
+            gates_ref[j] = jnp.concatenate(
+                [i, f, g, o], axis=-1).astype(gates_ref.dtype)
+            c_seq_ref[j] = c.astype(c_seq_ref.dtype)
+        out_ref[j] = h_out.astype(out_ref.dtype)
         h = h_new
         c = c_new
     h_scr[:] = h
@@ -123,17 +127,17 @@ def _bwd_kernel(gates_ref, c_seq_ref, w_ref,
     dh_carry = dh_scr[:]
     dc_carry = dc_scr[:]
     for j in reversed(range(block_t)):
-        gates = gates_ref[j]
+        gates = gates_ref[j].astype(jnp.float32)
         i = gates[:, :hdim]
         f = gates[:, hdim:2 * hdim]
         g = gates[:, 2 * hdim:3 * hdim]
         o = gates[:, 3 * hdim:]
-        c_prev = c_seq_ref[j]
+        c_prev = c_seq_ref[j].astype(jnp.float32)
         # c at this step: recompute from stored pieces
         c_t = f * c_prev + i * g
         tanh_c = jnp.tanh(c_t)
 
-        dh = dh_carry + dout_ref[j]
+        dh = dh_carry + dout_ref[j].astype(jnp.float32)
         dc = dc_carry
         if use_mask:
             m = mask_ref[j]  # (B, 1)
@@ -159,7 +163,7 @@ def _bwd_kernel(gates_ref, c_seq_ref, w_ref,
         if use_mask:
             dh_prev = jnp.where(m > 0, dh_prev, dh_pass)
             dc_prev = jnp.where(m > 0, dc_prev, dc_pass)
-        dgx_ref[j] = dz
+        dgx_ref[j] = dz.astype(dgx_ref.dtype)
         dh_carry = dh_prev
         dc_carry = dc_prev
     dh_scr[:] = dh_carry
@@ -173,8 +177,13 @@ def _bwd_kernel(gates_ref, c_seq_ref, w_ref,
 
 def _pick_block_t(t, b, gh4):
     """Largest divisor of T that keeps the per-grid-step gates block
-    small (<= ~2 MB) -- amortizes grid/DMA overhead without blowing
-    VMEM (double-buffered in+out blocks + weights must fit in 16 MB)."""
+    small (<= ~2 MB at f32 element count) -- amortizes grid/DMA
+    overhead without blowing VMEM (double-buffered in+out blocks +
+    weights must fit in 16 MB).  Deliberately NOT dtype-aware: letting
+    bf16 streams double the block (same bytes, 2x elements) measured
+    ~1% SLOWER on the flagship step (block 10 vs 5: 1066 vs 1076
+    utt/s mean) — the 5-step block already amortizes the grid
+    overhead, and the longer unrolled body schedules worse."""
     budget = int(2.0e6)
     for k in (10, 8, 5, 4, 2):
         if t % k == 0 and k * b * gh4 * 4 <= budget:
@@ -215,8 +224,20 @@ def _fwd_call(gates_x, w_hh, mask, h0, c0, interpret,
     mask_arg = (mask[..., None].astype(jnp.float32) if use_mask
                 else jnp.zeros((t, b, 1), jnp.float32))
     cast = None if compute_dtype is None else jnp.dtype(compute_dtype)
+    if interpret:
+        # XLA-CPU's DotThunk cannot execute the bf16 x bf16 -> f32
+        # while-body dots the interpreted kernel lowers to (runtime
+        # UNIMPLEMENTED when the weights are traced values) — keep the
+        # interpret-mode recurrence compute in f32.  Stream STORAGE
+        # below still follows gates_x's dtype, so the bf16-storage
+        # semantics stay covered on CPU.
+        cast = None
     if cast is not None:
         w3 = w3.astype(cast)
+    # the HBM streams (out + residuals) follow gates_x's dtype: the
+    # module passes bf16 gates under the bf16 policy, halving the
+    # kernel's HBM traffic; f32 carries/states are unaffected
+    stream = gates_x.dtype
     bt = _pick_block_t(t, b, gh4)
     kernel = functools.partial(
         _fwd_kernel, use_mask=use_mask, n_dir=n_dir, cast=cast,
@@ -253,7 +274,7 @@ def _fwd_call(gates_x, w_hh, mask, h0, c0, interpret,
                       step_specs['mask'], step_specs['full'],
                       step_specs['full']],
             out_shape=[
-                jax.ShapeDtypeStruct((t, b, h), jnp.float32),
+                jax.ShapeDtypeStruct((t, b, h), stream),
                 jax.ShapeDtypeStruct((b, h), jnp.float32),
                 jax.ShapeDtypeStruct((b, h), jnp.float32),
             ],
@@ -271,9 +292,9 @@ def _fwd_call(gates_x, w_hh, mask, h0, c0, interpret,
                   step_specs['mask'], step_specs['full'],
                   step_specs['full']],
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, h), jnp.float32),   # h_out
-            jax.ShapeDtypeStruct((t, b, h), jnp.float32),   # c_{t-1} seq
-            jax.ShapeDtypeStruct((t, b, 4 * h), jnp.float32),  # acts
+            jax.ShapeDtypeStruct((t, b, h), stream),        # h_out
+            jax.ShapeDtypeStruct((t, b, h), stream),        # c_{t-1} seq
+            jax.ShapeDtypeStruct((t, b, 4 * h), stream),    # acts
             jax.ShapeDtypeStruct((b, h), jnp.float32),      # h_T
             jax.ShapeDtypeStruct((b, h), jnp.float32),      # c_T
         ],
@@ -297,6 +318,8 @@ def _bwd_call(residuals, cotangents, interpret, compute_dtype=None):
     mask_arg = (mask[..., None].astype(jnp.float32) if use_mask
                 else jnp.zeros((t, b, 1), jnp.float32))
     cast = None if compute_dtype is None else jnp.dtype(compute_dtype)
+    if interpret:
+        cast = None  # see _fwd_call: CPU DotThunk bf16 limitation
     w_bwd = w3 if cast is None else w3.astype(cast)
     bt = _pick_block_t(t, b, gh4)
     nb = t // bt
@@ -316,7 +339,10 @@ def _bwd_call(residuals, cotangents, interpret, compute_dtype=None):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dc_T
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, 4 * h), jnp.float32),
+            # dgx matches gates_x's dtype (the custom-VJP cotangent
+            # contract) — bf16 under the bf16 policy, halving the dgx
+            # write + the two downstream GEMM reads
+            jax.ShapeDtypeStruct((t, b, 4 * h), gates_x.dtype),
             jax.ShapeDtypeStruct((b, h), jnp.float32),
             jax.ShapeDtypeStruct((b, h), jnp.float32),
         ],

@@ -330,3 +330,52 @@ def test_gru_pallas_time_major_stack_equals_batch_major():
                     jax.tree_util.tree_leaves(state_bm)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_pallas_bf16_policy_backends_agree():
+    """Under the bf16 compute policy the pallas and scan backends stay
+    close (on TPU the pallas path additionally stores its HBM streams
+    in bfloat16 — the kernel-level contract for that is pinned in
+    tests/test_ops/test_pallas_lstm.py; on CPU the stream decision
+    resolves to f32, see ``_pallas_stream_dtype``)."""
+    import jax
+    import jax.numpy as jnp
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.modules.recurrent import GRU, LSTM
+
+    for cls in (LSTM, GRU):
+        ptrandom.seed(7)
+        rnn = cls(6, 8, num_layers=2, bidirectional=True)
+        rnn.compute_dtype = 'bfloat16'
+        x = jnp.asarray(
+            np.random.RandomState(1).randn(2, 12, 6), 'float32')
+        lens = jnp.asarray([12, 8])
+
+        def run(backend):
+            # jit: XLA-CPU's eager DotThunk can't execute the bf16
+            # batched gates einsum op-by-op (works compiled, and the
+            # trainer always jits)
+            rnn.backend = backend
+            out, state = jax.jit(
+                lambda x: rnn(x, seq_lens=lens))(x)
+            grad = jax.jit(jax.grad(
+                lambda x: jnp.sum(rnn(x, seq_lens=lens)[0] ** 2)))(x)
+            return out, state, grad
+
+        out_p, state_p, grad_p = run('pallas')
+        out_s, state_s, grad_s = run('scan')
+        # states stay f32 under the policy (both backends)
+        for leaf in jax.tree_util.tree_leaves((state_p, state_s)):
+            assert leaf.dtype == jnp.float32, leaf.dtype
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(out_s), atol=5e-2)
+        np.testing.assert_allclose(
+            np.asarray(grad_p), np.asarray(grad_s), atol=0.35,
+            rtol=0.05)
+        # stream decision: bf16 requires BOTH the policy and a TPU
+        # backend (CPU's DotThunk can't run the bf16 dW_ih layouts)
+        want = (jnp.bfloat16 if jax.default_backend() == 'tpu'
+                else None)
+        assert rnn._pallas_stream_dtype() == want
+        rnn.compute_dtype = None
+        assert rnn._pallas_stream_dtype() is None

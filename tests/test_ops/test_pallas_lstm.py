@@ -154,3 +154,58 @@ def test_gru_backend_pallas_matches_scan(bidirectional):
     for a, b_ in zip(jax.tree_util.tree_leaves(gp),
                      jax.tree_util.tree_leaves(gs)):
         np.testing.assert_allclose(a, b_, atol=2e-4, rtol=1e-4)
+
+
+def test_kernel_bf16_streams():
+    """bf16 ``gates_x`` selects bf16 HBM streams (out/residuals/dgx) —
+    the storage mode the module enables under the bf16 policy on TPU
+    (``_RNNBase._pallas_stream_dtype``).  Final states and dW stay f32;
+    values track the f32-stream kernel within bf16 rounding."""
+    from padertorch_tpu.ops.pallas.gru import gru_cell_scan
+
+    t, b, h = 10, 4, 16
+    rng = np.random.RandomState(0)
+    lens = rng.randint(1, t + 1, b)
+    mask = jnp.asarray(np.arange(t)[:, None] < lens[None, :], 'float32')
+
+    def check(cell, gh, n_state):
+        gates_f32 = jnp.asarray(rng.randn(t, b, gh) * 0.3, 'float32')
+        inits = [jnp.asarray(rng.randn(b, h) * 0.1, 'float32')
+                 for _ in range(n_state)]
+        w_hh = jnp.asarray(rng.randn(h, gh) * 0.1, 'float32')
+
+        def run(gx):
+            outs = cell(gx, w_hh, mask, *inits, True, 'bfloat16')
+            return outs
+
+        outs16 = run(gates_f32.astype(jnp.bfloat16))
+        outs32 = run(gates_f32)
+        assert outs16[0].dtype == jnp.bfloat16      # out stream
+        assert outs32[0].dtype == jnp.float32
+        for s16, s32 in zip(outs16[1:], outs32[1:]):  # final states
+            assert s16.dtype == s32.dtype == jnp.float32
+            np.testing.assert_allclose(
+                np.asarray(s16), np.asarray(s32), atol=5e-2)
+        np.testing.assert_allclose(
+            np.asarray(outs16[0], 'float32'), np.asarray(outs32[0]),
+            atol=5e-2)
+
+        def loss(gx, w):
+            outs = cell(gx, w, mask, *inits, True, 'bfloat16')
+            return sum(jnp.sum(o.astype(jnp.float32) ** 2)
+                       for o in outs)
+
+        g16 = jax.grad(loss, argnums=(0, 1))(
+            gates_f32.astype(jnp.bfloat16), w_hh)
+        g32 = jax.grad(loss, argnums=(0, 1))(gates_f32, w_hh)
+        assert g16[0].dtype == jnp.bfloat16         # dgx cotangent
+        assert g16[1].dtype == jnp.float32          # dW stays f32
+        np.testing.assert_allclose(
+            np.asarray(g16[0], 'float32'), np.asarray(g32[0]),
+            atol=0.2, rtol=0.05)
+        np.testing.assert_allclose(
+            np.asarray(g16[1]), np.asarray(g32[1]), atol=0.5,
+            rtol=0.05)
+
+    check(lstm_cell_scan, 4 * h, 2)
+    check(gru_cell_scan, 3 * h, 1)

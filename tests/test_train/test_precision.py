@@ -230,3 +230,52 @@ def test_bf16_policy_model_zoo(tmp_path):
         'audio_data': jnp.asarray(
             rng.randn(2, 80).clip(-0.99, 0.99), jnp.float32),
     })
+
+
+def test_bf16_policy_pallas_rnn_full_trainer(tmp_path):
+    """Regression: bf16 policy + ``backend='pallas'`` RNN through the
+    FULL Trainer loop (train + validation hook) on CPU.
+
+    XLA-CPU's DotThunk cannot execute several bf16 x bf16 -> f32 dot
+    layouts (kernel-layout gates einsum, interpret-mode while-body
+    dots) at RUNTIME — compilation succeeds, execution dies with
+    UNIMPLEMENTED.  The pallas route therefore keeps its projection and
+    interpret-mode recurrence in f32 off-TPU (see
+    ``_RNNBase._pallas_gates_x`` / the kernels' ``interpret`` guard);
+    this test drives the whole loop to prove no such dot survives."""
+    from padertorch_tpu.modules.fully_connected import (
+        fully_connected_stack,
+    )
+    from padertorch_tpu.modules.recurrent import LSTM
+    from padertorch_tpu.train.trainer import Trainer
+
+    class SeqModel(pt.Model):
+        def __init__(self):
+            self.rnn = LSTM(8, 16, num_layers=2, bidirectional=True)
+            self.rnn.backend = 'pallas'
+            self.head = fully_connected_stack(
+                32, hidden_size=[16], output_size=4, dropout=0.0)
+
+        def forward(self, inputs):
+            out, _ = self.rnn(inputs['x'], seq_lens=inputs['lens'])
+            return self.head(out)
+
+        def review(self, inputs, outputs):
+            return {'loss': jnp.mean((outputs - inputs['y']) ** 2)}
+
+    rng = np.random.RandomState(0)
+    examples = [
+        {'x': rng.randn(3, 20, 8).astype('float32'),
+         'lens': np.asarray([20, 15, 9]),
+         'y': rng.randn(3, 20, 4).astype('float32')}
+        for _ in range(6)
+    ]
+    ptrandom.seed(0)
+    trainer = Trainer(
+        model=SeqModel(), storage_dir=tmp_path,
+        optimizer=pt.Adam(lr=1e-3), precision='bfloat16',
+        stop_trigger=(2, 'epoch'))
+    trainer.register_validation_hook(examples[:2])
+    trainer.train(examples)
+    ckpts = [p.name for p in (tmp_path / 'checkpoints').iterdir()]
+    assert any(n.startswith('ckpt_') for n in ckpts), ckpts
