@@ -17,6 +17,8 @@ plus the torch.nn.LSTM/GRU functionality the reference models build on.
 """
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -243,6 +245,12 @@ class _RNNBase(Module):
     pallas_max_rows_x_gates = 600_000
 
     def _pallas_shape_ok(self, rows, gates):
+        if not isinstance(rows, (int, np.integer)):
+            # shape-polymorphic tracing (serve.export_model with
+            # polymorphic_batch=True) gives symbolic batch dims, for
+            # which this VMEM guard is inconclusive — take the scan
+            # path, which is shape-polymorphic-safe
+            return False
         # account for hidden-padding: the kernel sees the padded width
         hp = getattr(self, '_pad_target', lambda: None)()
         if hp is not None:

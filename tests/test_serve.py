@@ -159,3 +159,43 @@ def test_export_generate_with_memory_lens():
     tokens, lengths = fn(
         {'memory': memory, 'memory_seq_len': np.asarray([3, 5])})
     assert tokens.shape == (2, 5)
+
+
+def test_export_polymorphic_batch_with_pallas_rnn_backend():
+    """Regression: shape-polymorphic export of a model whose RNN uses
+    ``backend='pallas'``.  The kernel's VMEM guard compares
+    ``rows * gates`` against a budget — with a symbolic batch dim that
+    comparison is inconclusive (InconclusiveDimensionOperation);
+    ``_pallas_shape_ok`` must detect the symbolic dim and fall back to
+    the scan path so the artifact stays portable."""
+    from padertorch_tpu.modules.recurrent import LSTM
+
+    class M(pt.Model):
+        def __init__(self):
+            self.rnn = LSTM(8, 16, num_layers=1, bidirectional=True)
+            self.rnn.backend = 'pallas'
+            self.head = nn.Linear(32, 4)
+
+        def forward(self, inputs):
+            out, _ = self.rnn(inputs['x'])
+            return self.head(out)
+
+        def review(self, inputs, outputs):
+            return {'loss': jnp.mean(outputs ** 2)}
+
+    ptrandom.seed(0)
+    m = M()
+    ex = {'x': jnp.asarray(
+        np.random.RandomState(0).randn(2, 10, 8), 'float32')}
+    blob = export_model(m, ex)          # polymorphic batch (default)
+    fn = load_exported(blob)
+    # runs at the traced batch size AND another one
+    assert fn({'x': ex['x']}).shape == (2, 10, 4)
+    x5 = jnp.asarray(np.random.RandomState(1).randn(5, 10, 8),
+                     'float32')
+    got = fn({'x': x5})
+    assert got.shape == (5, 10, 4)
+    # the exported graph (scan fallback) matches the eager pallas model
+    want = m({'x': x5})
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
