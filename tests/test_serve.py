@@ -199,3 +199,32 @@ def test_export_polymorphic_batch_with_pallas_rnn_backend():
     want = m({'x': x5})
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5)
+
+
+def test_export_model_with_bf16_compute_policy():
+    """A model carrying compute_dtype='bfloat16' exports and the
+    artifact reproduces the eager model at another batch size."""
+    from padertorch_tpu.modules.recurrent import LSTM
+
+    class M(pt.Model):
+        def __init__(self):
+            self.rnn = LSTM(8, 16, num_layers=1, bidirectional=True)
+            self.rnn.compute_dtype = 'bfloat16'
+            self.head = nn.Linear(32, 4)
+
+        def forward(self, inputs):
+            out, _ = self.rnn(inputs['x'])
+            return self.head(out)
+
+        def review(self, inputs, outputs):
+            return {'loss': jnp.mean(outputs ** 2)}
+
+    ptrandom.seed(0)
+    m = M()
+    ex = {'x': jnp.asarray(
+        np.random.RandomState(0).randn(2, 10, 8), 'float32')}
+    fn = load_exported(export_model(m, ex))
+    x5 = jnp.asarray(np.random.RandomState(1).randn(5, 10, 8),
+                     'float32')
+    np.testing.assert_allclose(
+        np.asarray(fn({'x': x5})), np.asarray(m({'x': x5})), atol=1e-4)

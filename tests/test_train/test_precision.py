@@ -279,3 +279,46 @@ def test_bf16_policy_pallas_rnn_full_trainer(tmp_path):
     trainer.train(examples)
     ckpts = [p.name for p in (tmp_path / 'checkpoints').iterdir()]
     assert any(n.startswith('ckpt_') for n in ckpts), ckpts
+
+
+def test_bf16_policy_pallas_resume(tmp_path):
+    """Checkpoint + resume of a bf16-policy training whose RNN uses the
+    pallas backend: optimizer state and f32 master params must round
+    trip through the .ptt format and continue training."""
+    from padertorch_tpu.modules.fully_connected import (
+        fully_connected_stack,
+    )
+    from padertorch_tpu.modules.recurrent import LSTM
+    from padertorch_tpu.train.trainer import Trainer
+
+    class M(pt.Model):
+        def __init__(self):
+            self.rnn = LSTM(8, 16, num_layers=1, bidirectional=True)
+            self.rnn.backend = 'pallas'
+            self.head = fully_connected_stack(
+                32, hidden_size=[8], output_size=4, dropout=0.0)
+
+        def forward(self, inputs):
+            out, _ = self.rnn(inputs['x'])
+            return self.head(out)
+
+        def review(self, inputs, outputs):
+            return {'loss': jnp.mean((outputs - inputs['y']) ** 2)}
+
+    rng = np.random.RandomState(0)
+    exs = [{'x': rng.randn(2, 10, 8).astype('float32'),
+            'y': rng.randn(2, 10, 4).astype('float32')}
+           for _ in range(4)]
+    ptrandom.seed(0)
+    t1 = Trainer(model=M(), storage_dir=tmp_path, optimizer=pt.Adam(),
+                 precision='bfloat16', stop_trigger=(1, 'epoch'))
+    t1.train(exs)
+    ptrandom.seed(0)
+    t2 = Trainer(model=M(), storage_dir=tmp_path, optimizer=pt.Adam(),
+                 precision='bfloat16', stop_trigger=(2, 'epoch'))
+    t2.load_checkpoint()
+    assert t2.iteration == t1.iteration
+    t2.train(exs, resume=True)
+    assert t2.iteration == 2 * t1.iteration
+    for leaf in _final_params(t2):
+        assert leaf.dtype == jnp.float32
