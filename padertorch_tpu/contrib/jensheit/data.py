@@ -7,6 +7,7 @@ simplified SNR-threshold variant of ``pb_bss.extraction.mask_module.
 biased_binary_mask`` (per-bin speech/noise power comparison in dB with
 frequency guards) since pb_bss is not a dependency here.
 """
+import functools
 from dataclasses import dataclass, field
 from random import shuffle
 from typing import Dict, List
@@ -243,11 +244,12 @@ class SequenceProvider(Parameterized):
         shuffle(out)
         return out
 
-    def segment(self, example, exclude_keys=None):
+    def segment(self, example, exclude_keys=None, seg_len=None):
         if isinstance(exclude_keys, str):
             exclude_keys = [exclude_keys]
         exclude = set(exclude_keys or ())
-        seg_len = self.opts.time_segments
+        if seg_len is None:
+            seg_len = self.opts.time_segments
         num_samples = example[NUM_SAMPLES]
         keys = [k for k in example['audio_keys'] if k not in exclude]
 
@@ -267,8 +269,13 @@ class SequenceProvider(Parameterized):
                 seg_len, shift=seg_len, axis=-1, end='cut')
             for k in keys
         }
-        if not min(v.shape[0] for v in chunked.values()):
-            raise FilterException('example too short to segment')
+        if not chunked:
+            # all audio keys excluded -> nothing to fan out; surface it
+            # as a FilterException so catch_filter_exception pipelines
+            # drop the example instead of crashing (the >=1-chunk case
+            # is guaranteed: num_samples >= seg_len and the random
+            # offset is < num_samples % seg_len)
+            raise FilterException('no audio keys left to segment')
         shared = {k: v for k, v in example.items() if k not in keys}
         shared[NUM_SAMPLES] = seg_len
         return self._fan_out(shared, {
@@ -357,7 +364,8 @@ class SequenceProvider(Parameterized):
         fan_out = (self.opts.time_segments is not None
                    or time_segment is not None)
         if fan_out:
-            iterator = iterator.map(self.segment)
+            iterator = iterator.map(functools.partial(
+                self.segment, seg_len=time_segment))
         return self.get_map_iterator(
             iterator, self.opts.batch_size, unbatch=fan_out,
             segment_channels=(

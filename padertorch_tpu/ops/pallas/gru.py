@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from padertorch_tpu.ops.pallas.lstm import (
-    _dir_matmul, _norm_w, _pick_block_t,
+    _compiler_params, _dir_matmul, _norm_w, _pick_block_t,
 )
 
 __all__ = ['gru_cell_scan']
@@ -134,22 +134,6 @@ def _bwd_kernel(acts_ref, ghn_ref, hprev_ref, w_ref, mask_ref,
         dh0_ref[:] = dh_carry
 
 
-
-def _compiler_params(interpret, w):
-    """Raise Mosaic's scoped-VMEM budget ONLY when the resident weights
-    actually need it.  The f32 weight-resident variant at H=640
-    (round_hidden_to_mxu) needs ~20 MB (weights 13.1 MB +
-    double-buffered gates blocks) and OOMs under the 16 MB default —
-    but raising the limit unconditionally changes Mosaic's scheduling
-    for kernels that FIT (measured: the bf16 DPRNN step regressed
-    ~1.8x under a blanket 128 MiB limit), so the default budget is
-    kept whenever the weights leave it headroom.  The interpreter has
-    no Mosaic backend to pass parameters to."""
-    w_bytes = w.size * w.dtype.itemsize
-    if interpret or w_bytes <= 8 * 1024 * 1024:
-        return {}
-    return dict(compiler_params=pltpu.CompilerParams(
-        vmem_limit_bytes=64 * 1024 * 1024))
 
 def _fwd_call(gates_x, w_hh, mask, h0, interpret, compute_dtype=None,
               with_residuals=True):

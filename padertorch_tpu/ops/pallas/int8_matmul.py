@@ -99,7 +99,7 @@ def _round_up(v, mult):
 
 
 def int8_matmul(x, w_q, scale, bias=None, *, out_features=None,
-                interpret=False):
+                k_logical=None, interpret=False):
     """``x @ (w_q * scale) [+ bias]`` with the weight read from HBM as
     int8 and the dequantize + scale + bias fused into the kernel.
 
@@ -109,9 +109,17 @@ def int8_matmul(x, w_q, scale, bias=None, *, out_features=None,
             multiples (e.g. pre-padded at quantization time, see
             ``QuantizedLinear``) to avoid two pad ops per call.
         scale: (N,) float32 per-output-channel symmetric scales.
-        bias: optional (N,) float32 bias, added inside the kernel.
+        bias: optional float32 bias, added inside the kernel; length
+            ``out_features`` (logical) or ``N`` — shorter biases are
+            zero-padded to the padded width.
         out_features: slice the output back to this many columns when
             the weight was pre-padded (defaults to N).
+        k_logical: declare that ``w_q``'s K rows beyond this count are
+            zero padding (``QuantizedLinear`` pre-padding); x inputs
+            with K == ``k_logical`` are then zero-padded to match.
+            Without it, any x-vs-w_q K mismatch raises — silently
+            zero-padding a genuinely mismatched x would drop the
+            weight's real rows and return garbage.
         interpret: run the Pallas interpreter (CPU tests).
 
     Returns:
@@ -127,14 +135,17 @@ def int8_matmul(x, w_q, scale, bias=None, *, out_features=None,
         raise ValueError(f'w_q must be int8, got {w_q.dtype}')
     *lead, k = x.shape
     k_w, n = w_q.shape
-    if k_w < k:
-        raise ValueError(f'contraction mismatch: x K={k}, w_q K={k_w}')
+    if k_w != k and not (k_w > k and k == k_logical):
+        raise ValueError(
+            f'contraction mismatch: x K={k}, w_q K={k_w}'
+            + ('' if k_logical is None
+               else f' (declared k_logical={k_logical})'))
     m = 1
     for d in lead:
         m *= d
     x2 = x.reshape(m, k)
     if k_w > k:
-        # pre-padded weight rows (all zeros): pad x to match
+        # declared pre-padded weight rows (all zeros): pad x to match
         x2 = jnp.pad(x2, ((0, 0), (0, k_w - k)))
         k = k_w
 
@@ -146,12 +157,17 @@ def int8_matmul(x, w_q, scale, bias=None, *, out_features=None,
     if k_pad != k or n_pad != n:
         w_q = jnp.pad(w_q, ((0, k_pad - k), (0, n_pad - n)))
     scale2 = scale.astype(jnp.float32).reshape(1, n)
-    bias2 = None if bias is None else \
-        bias.astype(jnp.float32).reshape(1, n)
     if n_pad != n:
         scale2 = jnp.pad(scale2, ((0, 0), (0, n_pad - n)))
-        if bias2 is not None:
-            bias2 = jnp.pad(bias2, ((0, 0), (0, n_pad - n)))
+    # bias may be logical-width (out_features) while w_q/scale are
+    # pre-padded — pad it independently to the kernel width
+    bias2 = None if bias is None else \
+        bias.astype(jnp.float32).reshape(1, -1)
+    if bias2 is not None and bias2.shape[1] != n_pad:
+        if bias2.shape[1] > n_pad:
+            raise ValueError(
+                f'bias length {bias2.shape[1]} exceeds padded N={n_pad}')
+        bias2 = jnp.pad(bias2, ((0, 0), (0, n_pad - bias2.shape[1])))
 
     out = _int8_matmul_2d(x2, w_q, scale2, bias2, interpret=interpret)
     n_out = n if out_features is None else out_features

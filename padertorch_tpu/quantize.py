@@ -123,6 +123,7 @@ class QuantizedLinear(Module):
             return int8_matmul(
                 x, self.weight_q, self.scale, self.bias,
                 out_features=self.out_features,
+                k_logical=self.in_features,
                 interpret=self.use_kernel == 'interpret')
         w_q = self.weight_q[:self.in_features, :self.out_features]
         scale = self.scale[:self.out_features]

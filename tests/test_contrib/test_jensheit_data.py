@@ -243,3 +243,26 @@ def test_utils():
         {'factory': 'padertorch_tpu.models.bss.'
                     'PermutationInvariantTrainingModel'})
     assert name == 'PermutationInvariantTrainingModel/baseline'
+
+
+def test_train_iterator_per_call_time_segment():
+    """Regression: ``get_train_iterator(time_segment=...)`` must
+    actually segment with the per-call length (it used to enable the
+    fan-out but drop the value, crashing on ``seg_len=None``)."""
+    rng = np.random.RandomState(0)
+    examples = [
+        {
+            'example_id': f'ex{i}',
+            'observation': rng.randn(2, 1000).astype(np.float32),
+            'num_samples': 1000,
+        }
+        for i in range(2)
+    ]
+    provider = SequenceProvider(
+        database=_FakeDatabase(examples),
+        collate=Padder(sort_by_key='num_samples', padding=True),
+        batch_size=2, shuffle=False, num_workers=1,
+    )
+    batches = list(provider.get_train_iterator(time_segment=300))
+    assert batches, 'segmented iterator yielded nothing'
+    assert batches[0]['observation'].shape[-1] == 300

@@ -63,17 +63,22 @@ def test_rejects_bad_inputs():
     with pytest.raises(ValueError, match='int8'):
         int8_matmul(x, w_q.astype(jnp.int32), scale, interpret=True)
     with pytest.raises(ValueError, match='contraction'):
-        # x wider than the weight is a real mismatch; the converse
-        # (x narrower) is legal — pre-padded weights, zero rows
+        # x wider than the weight is a real mismatch
         int8_matmul(jnp.concatenate([x, x], axis=-1), w_q, scale,
                     interpret=True)
+    with pytest.raises(ValueError, match='contraction'):
+        # x narrower is ALSO a mismatch unless the caller declares the
+        # weight rows beyond k_logical as pre-padding (zero rows) —
+        # silently padding would drop real weight rows
+        int8_matmul(x[:, :16], jnp.pad(w_q[:16], ((0, 16), (0, 0))),
+                    scale, interpret=True)
     np.testing.assert_allclose(
         np.asarray(int8_matmul(x[:, :16], w_q[:16], scale,
                                interpret=True)),
         np.asarray(int8_matmul(
             x[:, :16],
             jnp.pad(w_q[:16], ((0, 16), (0, 0))), scale,
-            interpret=True)),
+            k_logical=16, interpret=True)),
         rtol=1e-5)
 
 

@@ -131,3 +131,42 @@ def test_quantization_error_helper():
         np.random.RandomState(1).randn(4, 64).astype('float32'))
     err = quantization_error(m, q, x)
     assert 0 <= err < 0.02
+
+
+def test_prepadded_biased_linear_kernel_path():
+    """Regression: ``from_linear`` pre-pads weight_q/scale to 128-lane
+    tiles but keeps the bias logical-width; the fused kernel path must
+    pad the bias independently instead of crashing on the reshape
+    (Linear(128, 120) -> weight padded to (128, 128), bias (120,))."""
+    ptrandom.seed(3)
+    lin = nn.Linear(128, 120).eval()
+    q = QuantizedLinear.from_linear(lin)
+    assert q.weight_q.shape == (128, 128)     # pre-padded
+    assert q.bias is not None and q.bias.shape == (120,)
+    x = jnp.asarray(
+        np.random.RandomState(1).randn(4, 128).astype('float32'))
+    want = np.asarray(lin(x))
+    q.use_kernel = 'interpret'
+    got = np.asarray(q(x))
+    assert got.shape == (4, 120)
+    assert np.abs(got - want).max() < 0.02 * np.abs(want).max()
+
+
+def test_int8_matmul_rejects_undeclared_k_mismatch():
+    """A genuinely mismatched x-vs-w_q K must raise (silently
+    zero-padding would drop the weight's real rows), while a declared
+    pre-pad (``k_logical``) is accepted."""
+    import pytest
+    from padertorch_tpu.ops.pallas.int8_matmul import int8_matmul
+
+    w_q = jnp.zeros((256, 128), jnp.int8)
+    scale = jnp.ones((128,), jnp.float32)
+    x = jnp.zeros((2, 200), jnp.float32)
+    with pytest.raises(ValueError, match='contraction mismatch'):
+        int8_matmul(x, w_q, scale, interpret=True)
+    # declared: x K must equal k_logical exactly
+    out = int8_matmul(x, w_q, scale, k_logical=200, interpret=True)
+    assert out.shape == (2, 128)
+    with pytest.raises(ValueError, match='contraction mismatch'):
+        int8_matmul(jnp.zeros((2, 190), jnp.float32), w_q, scale,
+                    k_logical=200, interpret=True)
