@@ -233,6 +233,11 @@ class SequenceProvider(Parameterized):
         """``shared`` dict + ``{key: [piece_0, piece_1, ...]}`` -> a
         shuffled list of sub-example dicts, one per piece index."""
         counts = {k: len(v) for k, v in per_piece.items()}
+        if not counts:
+            # all keys excluded: a bare next() would raise
+            # StopIteration, which a generator-based pipeline turns
+            # into PEP-479 RuntimeError or silent truncation
+            raise FilterException('no keys left to fan out')
         n = next(iter(counts.values()))
         if any(c != n for c in counts.values()):
             raise ValueError(

@@ -290,13 +290,11 @@ class STFT:
                 'jnp', or 'interpret' (kernel on the CPU interpreter,
                 for tests).
         """
-        supported = (
-            self.window_length % self.shift == 0
-            and self.window_length > self.shift)
         if backend == 'auto':
             import jax
             backend = 'pallas' if (
-                supported and jax.default_backend() == 'tpu'
+                self._masked_kernel_supported()
+                and jax.default_backend() == 'tpu'
                 and not isinstance(self, HostSTFT)) else 'jnp'
         if backend in ('pallas', 'interpret'):
             from padertorch_tpu.ops.pallas.masked_istft import (
@@ -307,14 +305,26 @@ class STFT:
         assert backend == 'jnp', backend
         if mask is None:
             return self.inverse(stft_signal)
+        return self.inverse(self._apply_mask(stft_signal, mask))
+
+    def _masked_kernel_supported(self):
+        """Geometry the fused masked-iSTFT kernel handles (overlap-add
+        groups need window_length a multiple of shift)."""
+        return (self.window_length % self.shift == 0
+                and self.window_length > self.shift)
+
+    def _apply_mask(self, stft_signal, mask):
+        """``stft_signal * mask`` under the object's
+        ``complex_representation`` layout (mask is real, per-bin) —
+        the one place this composition lives; both the device and the
+        host ``masked_inverse`` jnp fallbacks delegate here."""
         xp = np if isinstance(stft_signal, np.ndarray) else jnp
+        mask = xp.asarray(mask)
         if self.complex_representation == 'stacked':
-            masked = stft_signal * mask[..., None]
-        elif self.complex_representation == 'concat':
-            masked = stft_signal * xp.concatenate([mask, mask], axis=-1)
-        else:
-            masked = stft_signal * mask
-        return self.inverse(masked)
+            return stft_signal * mask[..., None]
+        if self.complex_representation == 'concat':
+            return stft_signal * xp.concatenate([mask, mask], axis=-1)
+        return stft_signal * mask
 
     def samples_to_frames(self, samples):
         """Number of STFT frames for a number of time samples."""
@@ -430,13 +440,11 @@ class HostSTFT(STFT):
         handle real arrays fine), synthesized on the chip, and returned
         as host numpy.  Everywhere else it is the numpy composition.
         """
-        supported = (
-            self.window_length % self.shift == 0
-            and self.window_length > self.shift)
         if backend == 'auto':
             import jax
             backend = 'pallas' if (
-                supported and jax.default_backend() == 'tpu') else 'jnp'
+                self._masked_kernel_supported()
+                and jax.default_backend() == 'tpu') else 'jnp'
         if backend in ('pallas', 'interpret'):
             spec = np.asarray(stft_signal)
             if self.complex_representation == 'stacked':
@@ -465,12 +473,5 @@ class HostSTFT(STFT):
         assert backend == 'jnp', backend
         if mask is None:
             return self.inverse(stft_signal)
-        mask = np.asarray(mask)
-        spec = np.asarray(stft_signal)
-        if self.complex_representation == 'stacked':
-            masked = spec * mask[..., None]
-        elif self.complex_representation == 'concat':
-            masked = spec * np.concatenate([mask, mask], axis=-1)
-        else:
-            masked = spec * mask
-        return self.inverse(masked)
+        return self.inverse(
+            self._apply_mask(np.asarray(stft_signal), mask))

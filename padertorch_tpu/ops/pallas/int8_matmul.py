@@ -160,13 +160,19 @@ def int8_matmul(x, w_q, scale, bias=None, *, out_features=None,
     if n_pad != n:
         scale2 = jnp.pad(scale2, ((0, 0), (0, n_pad - n)))
     # bias may be logical-width (out_features) while w_q/scale are
-    # pre-padded — pad it independently to the kernel width
+    # pre-padded — pad it to the kernel width, but ONLY from the two
+    # declared widths; any other length is a caller bug (silently
+    # zero-padding a mismatched bias would return garbage, same
+    # argument as k_logical above)
     bias2 = None if bias is None else \
         bias.astype(jnp.float32).reshape(1, -1)
     if bias2 is not None and bias2.shape[1] != n_pad:
-        if bias2.shape[1] > n_pad:
+        legal = {n} | ({out_features} if out_features is not None
+                       else set())
+        if bias2.shape[1] not in legal:
             raise ValueError(
-                f'bias length {bias2.shape[1]} exceeds padded N={n_pad}')
+                f'bias length {bias2.shape[1]} matches neither N={n} '
+                f'nor out_features={out_features}')
         bias2 = jnp.pad(bias2, ((0, 0), (0, n_pad - bias2.shape[1])))
 
     out = _int8_matmul_2d(x2, w_q, scale2, bias2, interpret=interpret)

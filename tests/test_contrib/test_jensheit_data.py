@@ -266,3 +266,26 @@ def test_train_iterator_per_call_time_segment():
     batches = list(provider.get_train_iterator(time_segment=300))
     assert batches, 'segmented iterator yielded nothing'
     assert batches[0]['observation'].shape[-1] == 300
+
+
+def test_fan_out_all_keys_excluded_is_filter_exception():
+    """Regression: excluding every array key from segment_channels (or
+    every audio key from segment) must raise a catchable
+    FilterException, not leak a bare StopIteration out of _fan_out
+    (PEP 479 turns that into RuntimeError inside generator pipelines,
+    or silently truncates iteration)."""
+    import pytest
+    from padertorch_tpu.data.dataset import FilterException
+
+    provider = _provider(time_segments=300, shuffle=False)
+    ex = {
+        'example_id': 'e0',
+        'observation': np.zeros((2, 900), np.float32),
+        'num_samples': 900,
+        'audio_keys': ['observation'],
+    }
+    with pytest.raises(FilterException):
+        provider.segment(dict(ex), exclude_keys=['observation'])
+    with pytest.raises(FilterException):
+        provider.segment_channels(
+            dict(ex), exclude_keys=['observation'])
