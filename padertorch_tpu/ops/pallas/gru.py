@@ -17,9 +17,11 @@ GRU specifics (torch semantics — ``modules/recurrent.py:GRU``):
 
 Residuals for backward: (r, z, n) per step plus ``gh_n`` (the reset
 gate needs it: dr = da_n * gh_n) and ``h_prev`` (reconstructed from the
-shifted output sequence — dz is zero at masked steps, so that is
-exact).  ``dW_hh`` columns for the n block use ``da_n * r`` as the
-pre-activation gradient; r/z blocks use their own.
+shifted output sequence plus a segment-start h0 term — exact for
+contiguous-valid masks, the packed-sequence contract; see the
+reconstruction comment in ``_bwd_call``).  ``dW_hh`` columns for the
+n block use ``da_n * r`` as the pre-activation gradient; r/z blocks
+use their own.
 
 Used by ``modules.recurrent.GRU`` when ``backend='pallas'``.
 """
@@ -141,8 +143,6 @@ def _fwd_call(gates_x, w_hh, mask, h0, interpret, compute_dtype=None,
     w3, n_dir, _ = _norm_w(w_hh)
     h = gh3 // 3
     use_mask = mask is not None
-    mask_arg = (mask[..., None].astype(jnp.float32) if use_mask
-                else jnp.zeros((t, b, 1), jnp.float32))
     cast = None if compute_dtype is None else jnp.dtype(compute_dtype)
     if interpret:
         # CPU DotThunk can't run bf16 while-body dots (see lstm.py);
@@ -153,13 +153,18 @@ def _fwd_call(gates_x, w_hh, mask, h0, interpret, compute_dtype=None,
     # HBM streams (out + residuals) follow gates_x's dtype (see lstm.py)
     stream = gates_x.dtype
     bt = _pick_block_t(t, b, gh3)
+    # unused mask: one constant block, not a streamed (T, b, 1) tensor
+    mask_arg = (mask[..., None].astype(jnp.float32) if use_mask
+                else jnp.zeros((bt, b, 1), jnp.float32))
     kernel = functools.partial(
         _fwd_kernel, use_mask=use_mask, n_dir=n_dir, cast=cast,
         block_t=bt, with_residuals=with_residuals)
     gx_spec = pl.BlockSpec((bt, b, gh3), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec((bt, b, 1), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec(
+        (bt, b, 1),
+        (lambda i: (i, 0, 0)) if use_mask else (lambda i: (0, 0, 0)),
+        memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     h_spec = pl.BlockSpec((bt, b, h), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -209,32 +214,45 @@ def _fwd_call(gates_x, w_hh, mask, h0, interpret, compute_dtype=None,
 
 
 def _bwd_call(residuals, cotangents, interpret, compute_dtype=None):
-    (gates_x, w_hh, mask, h0, out, acts, ghn) = residuals
+    # gates_x is not a residual (only its shape/dtype are needed,
+    # which `acts` shares) — see lstm.py's note on residual liveness
+    (w_hh, mask, h0, out, acts, ghn) = residuals
     d_out, dh_t = cotangents
-    t, b, gh3 = gates_x.shape
+    t, b, gh3 = acts.shape
     w3, n_dir, squeeze = _norm_w(w_hh)
     h = gh3 // 3
     use_mask = mask is not None
-    mask_arg = (mask[..., None].astype(jnp.float32) if use_mask
-                else jnp.zeros((t, b, 1), jnp.float32))
     cast = None if compute_dtype is None else jnp.dtype(compute_dtype)
     if interpret:
         cast = None  # see _fwd_call: CPU DotThunk bf16 limitation
     w_bwd = w3 if cast is None else w3.astype(cast)
     bt = _pick_block_t(t, b, gh3)
     nb = t // bt
-    # h_prev sequence: h0 then out[:-1]; exact because dgh is zero at
-    # masked steps (see lstm.py).  h0 is cast DOWN to the stream dtype:
-    # a mixed-dtype concatenate would silently promote the whole bf16
-    # out stream back to a full-width f32 HBM copy.
-    h_prev_seq = jnp.concatenate(
-        [h0[None].astype(out.dtype), out[:-1]], axis=0)
+    mask_arg = (mask[..., None].astype(jnp.float32) if use_mask
+                else jnp.zeros((bt, b, 1), jnp.float32))
+    # h_prev sequence: h0 then out[:-1].  out is masked (zeros in
+    # padding), so a VALID step following a masked one would read 0
+    # instead of its true frozen carry; for contiguous-valid masks
+    # (the packed-sequence contract — see lstm.py's dW note) that
+    # happens only at the segment start, where the true carry is h0 —
+    # added below as an elementwise `starts` term at zero cost.  h0 is
+    # cast DOWN to the stream dtype: a mixed-dtype concatenate would
+    # silently promote the whole bf16 out stream back to a full-width
+    # f32 HBM copy.
+    h0s = h0.astype(out.dtype)
+    h_prev_seq = jnp.concatenate([h0s[None], out[:-1]], axis=0)
+    if use_mask:
+        starts = (mask[1:] * (1.0 - mask[:-1]))[..., None]
+        h_prev_seq = h_prev_seq.at[1:].add(
+            (starts * h0s[None]).astype(out.dtype))
     kernel = functools.partial(_bwd_kernel, use_mask=use_mask,
                                n_dir=n_dir, cast=cast, block_t=bt)
     rev = lambda i: (nb - 1 - i, 0, 0)  # noqa: E731
     g_spec = pl.BlockSpec((bt, b, gh3), rev, memory_space=pltpu.VMEM)
     h_spec = pl.BlockSpec((bt, b, h), rev, memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec((bt, b, 1), rev, memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec(
+        (bt, b, 1), rev if use_mask else (lambda i: (0, 0, 0)),
+        memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     state = pl.BlockSpec((b, h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
@@ -246,8 +264,8 @@ def _bwd_call(residuals, cotangents, interpret, compute_dtype=None):
         out_shape=[
             # dgx matches gates_x (custom-VJP cotangent contract);
             # dgh is internal — stream dtype feeds the dW einsum
-            jax.ShapeDtypeStruct((t, b, gh3), gates_x.dtype),
-            jax.ShapeDtypeStruct((t, b, gh3), gates_x.dtype),
+            jax.ShapeDtypeStruct((t, b, gh3), acts.dtype),
+            jax.ShapeDtypeStruct((t, b, gh3), acts.dtype),
             jax.ShapeDtypeStruct((b, h), jnp.float32),
         ],
         out_specs=[g_spec, g_spec, state],
@@ -307,7 +325,7 @@ def gru_cell_scan(gates_x, w_hh, mask, h0, interpret=False,
 def _vjp_fwd(gates_x, w_hh, mask, h0, interpret, compute_dtype=None):
     out, acts, ghn, h_t = _fwd_call(
         gates_x, w_hh, mask, h0, interpret, compute_dtype)
-    residuals = (gates_x, w_hh, mask, h0, out, acts, ghn)
+    residuals = (w_hh, mask, h0, out, acts, ghn)
     return (out, h_t), residuals
 
 

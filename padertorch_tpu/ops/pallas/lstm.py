@@ -221,8 +221,6 @@ def _fwd_call(gates_x, w_hh, mask, h0, c0, interpret,
     w3, n_dir, _ = _norm_w(w_hh)
     h = gh4 // 4
     use_mask = mask is not None
-    mask_arg = (mask[..., None].astype(jnp.float32) if use_mask
-                else jnp.zeros((t, b, 1), jnp.float32))
     cast = None if compute_dtype is None else jnp.dtype(compute_dtype)
     if interpret:
         # XLA-CPU's DotThunk cannot execute the bf16 x bf16 -> f32
@@ -239,14 +237,21 @@ def _fwd_call(gates_x, w_hh, mask, h0, c0, interpret,
     # kernel's HBM traffic; f32 carries/states are unaffected
     stream = gates_x.dtype
     bt = _pick_block_t(t, b, gh4)
+    # unused mask operand: ONE (bt, b, 1) zeros block with a constant
+    # index map instead of materializing + streaming a (T, b, 1)
+    # tensor the kernel never reads
+    mask_arg = (mask[..., None].astype(jnp.float32) if use_mask
+                else jnp.zeros((bt, b, 1), jnp.float32))
     kernel = functools.partial(
         _fwd_kernel, use_mask=use_mask, n_dir=n_dir, cast=cast,
         block_t=bt, with_residuals=with_residuals)
     step_specs = {
         'gx': pl.BlockSpec((bt, b, gh4), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM),
-        'mask': pl.BlockSpec((bt, b, 1), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
+        'mask': pl.BlockSpec(
+            (bt, b, 1),
+            (lambda i: (i, 0, 0)) if use_mask else (lambda i: (0, 0, 0)),
+            memory_space=pltpu.VMEM),
         'full': pl.BlockSpec(memory_space=pltpu.VMEM),
         'h_step': pl.BlockSpec((bt, b, h), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -309,23 +314,28 @@ def _fwd_call(gates_x, w_hh, mask, h0, c0, interpret,
 
 
 def _bwd_call(residuals, cotangents, interpret, compute_dtype=None):
-    (gates_x, w_hh, mask, h0, out, c_seq, gates) = residuals
+    # NOTE: gates_x itself is NOT a residual — the backward needs only
+    # its shape/dtype, which the `gates` residual shares; keeping the
+    # (T, B, 4H) gates_x alive through the backward would pin ~77 MB
+    # of HBM per layer at the flagship shapes for nothing.
+    (w_hh, mask, h0, out, c_seq, gates) = residuals
     d_out, dh_t, dc_t = cotangents
-    t, b, gh4 = gates_x.shape
+    t, b, gh4 = gates.shape
     w3, n_dir, squeeze = _norm_w(w_hh)
     h = gh4 // 4
     use_mask = mask is not None
-    mask_arg = (mask[..., None].astype(jnp.float32) if use_mask
-                else jnp.zeros((t, b, 1), jnp.float32))
     cast = None if compute_dtype is None else jnp.dtype(compute_dtype)
     if interpret:
         cast = None  # see _fwd_call: CPU DotThunk bf16 limitation
     w_bwd = w3 if cast is None else w3.astype(cast)
     bt = _pick_block_t(t, b, gh4)
     nb = t // bt
+    mask_arg = (mask[..., None].astype(jnp.float32) if use_mask
+                else jnp.zeros((bt, b, 1), jnp.float32))
     kernel = functools.partial(_bwd_kernel, use_mask=use_mask,
                                n_dir=n_dir, cast=cast, block_t=bt)
     rev = lambda i: (nb - 1 - i, 0, 0)  # noqa: E731
+    mask_map = rev if use_mask else (lambda i: (0, 0, 0))
     dgx, dh0, dc0 = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -333,16 +343,17 @@ def _bwd_call(residuals, cotangents, interpret, compute_dtype=None):
             pl.BlockSpec((bt, b, 4 * h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, b, h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w
-            pl.BlockSpec((bt, b, 1), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, b, 1), mask_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, b, h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dh_T
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dc_T
         ],
         out_shape=[
-            # dgx matches gates_x's dtype (the custom-VJP cotangent
-            # contract) — bf16 under the bf16 policy, halving the dgx
-            # write + the two downstream GEMM reads
-            jax.ShapeDtypeStruct((t, b, 4 * h), gates_x.dtype),
+            # dgx matches gates_x's dtype == the stream (gates
+            # residual) dtype — the custom-VJP cotangent contract;
+            # bf16 under the bf16 policy, halving the dgx write + the
+            # two downstream GEMM reads
+            jax.ShapeDtypeStruct((t, b, 4 * h), gates.dtype),
             jax.ShapeDtypeStruct((b, h), jnp.float32),
             jax.ShapeDtypeStruct((b, h), jnp.float32),
         ],
@@ -366,14 +377,30 @@ def _bwd_call(residuals, cotangents, interpret, compute_dtype=None):
     # h_{t-1} = out shifted by one step; slices instead of a
     # concatenate keep XLA from materializing a full (T,B,H) copy
     # (~0.8 ms of dynamic-update-slice per layer at the bench shapes).
-    # out is masked (zeros in padding) but dz is 0 at masked steps,
-    # so the product is exact.
+    # out is masked (zeros in padding) and dz is 0 at masked steps —
+    # but a VALID step whose predecessor is masked reads out[t-1] = 0
+    # while its true carry is the FROZEN initial state (leading-padded
+    # masks, i.e. the flipped backward direction of a bidirectional
+    # layer).  For contiguous-valid masks (what seq_lens produces:
+    # suffix padding, or prefix padding after the flip) the only such
+    # step is the segment start, where the true carry is exactly h0 —
+    # the `starts`-weighted dz sum below adds that h0 term at ~zero
+    # cost.  Non-contiguous (gap) masks are outside the packed-
+    # sequence contract (the scan backend handles them exactly).
     hp = out[:-1]
     dz = dgx
     if cast is not None:
         hp = hp.astype(cast)
         dz = dz.astype(cast)
         h0 = h0.astype(cast)
+    # dz rows whose h_prev is h0: t=0 always (dz[0]=0 if masked), plus
+    # every t>=1 segment start (mask goes 0 -> 1)
+    dz0_eff = dz[0]
+    if mask is not None:
+        starts = (mask[1:] * (1.0 - mask[:-1])).astype(dz.dtype)
+        dz0_eff = dz0_eff + jnp.einsum(
+            'tb,tbg->bg', starts, dz[1:],
+            preferred_element_type=dz0_eff.dtype).astype(dz.dtype)
 
     def _dw(hp_d, dz_d, h0_d, dz0_d):
         dw_d = jnp.einsum('tbh,tbg->hg', hp_d, dz_d,
@@ -382,7 +409,7 @@ def _bwd_call(residuals, cotangents, interpret, compute_dtype=None):
                               preferred_element_type=jnp.float32)
 
     if n_dir == 1:
-        dw = _dw(hp, dz[1:], h0, dz[0])
+        dw = _dw(hp, dz[1:], h0, dz0_eff)
         if not squeeze:
             dw = dw[None]
     else:
@@ -391,7 +418,7 @@ def _bwd_call(residuals, cotangents, interpret, compute_dtype=None):
             _dw(hp[:, d * bd:(d + 1) * bd],
                 dz[1:, d * bd:(d + 1) * bd],
                 h0[d * bd:(d + 1) * bd],
-                dz[0, d * bd:(d + 1) * bd])
+                dz0_eff[d * bd:(d + 1) * bd])
             for d in range(n_dir)
         ])
     return dgx, dw, dh0, dc0
@@ -423,7 +450,7 @@ def _vjp_fwd(gates_x, w_hh, mask, h0, c0, interpret,
              compute_dtype=None):
     out, c_seq, gates, h_t, c_t = _fwd_call(
         gates_x, w_hh, mask, h0, c0, interpret, compute_dtype)
-    residuals = (gates_x, w_hh, mask, h0, out, c_seq, gates)
+    residuals = (w_hh, mask, h0, out, c_seq, gates)
     return (out, h_t, c_t), residuals
 
 

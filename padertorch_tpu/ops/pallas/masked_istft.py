@@ -42,6 +42,21 @@ from padertorch_tpu.ops._stft import get_istft_kernel
 __all__ = ['masked_istft', 'get_synthesis_matrices']
 
 
+def _fold_onesided(k_real, k_imag, size):
+    """Fold the full-spectrum iSTFT kernels to onesided synthesis
+    matrices: bins 1..size/2-1 also appear (conjugated) at channel
+    size-f, so their rows fold in with the imag part negated.  The ONE
+    copy of this subtle reflection math — both the public
+    ``get_synthesis_matrices`` and ``masked_istft``'s cached-kernel
+    path call it."""
+    f = size // 2 + 1
+    sr = np.asarray(k_real, np.float64)[:f].copy()
+    si = np.asarray(k_imag, np.float64)[:f].copy()
+    sr[1:size // 2] += np.asarray(k_real)[size - 1:size // 2:-1]
+    si[1:size // 2] -= np.asarray(k_imag)[size - 1:size // 2:-1]
+    return sr.astype(np.float32), si.astype(np.float32)
+
+
 def get_synthesis_matrices(size, shift, window):
     """Onesided synthesis matrices ``(Sr, Si)``, each ``(F, L)``.
 
@@ -53,13 +68,7 @@ def get_synthesis_matrices(size, shift, window):
     normalization (see ``get_istft_kernel``).
     """
     k_real, k_imag = get_istft_kernel(size, shift, window)  # (size, L)
-    f = size // 2 + 1
-    sr = k_real[:f].copy()
-    si = k_imag[:f].copy()
-    # bins 1..size/2-1 also appear (conjugated) at channel size-f
-    sr[1:size // 2] += k_real[size - 1:size // 2:-1]
-    si[1:size // 2] -= k_imag[size - 1:size // 2:-1]
-    return sr.astype(np.float32), si.astype(np.float32)
+    return _fold_onesided(k_real, k_imag, size)
 
 
 def _kernel(re_ref, im_ref, m_ref, sr_ref, si_ref,
@@ -207,20 +216,14 @@ def masked_istft(stft_signal, mask=None, *, stft, n_block=128,
 
     if not hasattr(stft, '_synthesis_matrices'):
         # STFT does not keep the raw window, so fold the reflection
-        # into its (numpy) conv istft kernels — same math as
-        # get_synthesis_matrices, which starts from the window.  The
-        # numpy copies matter: this may run under an outer jit, where
-        # any op on the stft's jnp attributes would return a tracer.
+        # into its (numpy) conv istft kernels via the shared
+        # _fold_onesided helper (get_synthesis_matrices starts from
+        # the window instead).  The numpy copies matter: this may run
+        # under an outer jit, where any op on the stft's jnp
+        # attributes would return a tracer.
         k_real, k_imag = stft._istft_kernel_np
-        k_real = np.asarray(k_real, np.float64)
-        k_imag = np.asarray(k_imag, np.float64)
-        size = stft.size
-        sr = k_real[:f].copy()
-        si = k_imag[:f].copy()
-        sr[1:size // 2] += k_real[size - 1:size // 2:-1]
-        si[1:size // 2] -= k_imag[size - 1:size // 2:-1]
-        stft._synthesis_matrices = (
-            sr.astype(np.float32), si.astype(np.float32))
+        stft._synthesis_matrices = _fold_onesided(
+            k_real, k_imag, stft.size)
     sr, si = stft._synthesis_matrices
 
     main, tail = _masked_istft_rows(

@@ -30,6 +30,19 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ['wavenet_sample']
 
 
+def _uniform_from_bits(bits):
+    """int32 PRNG bits -> uniform float32 in [0, 1).
+
+    ``pltpu.prng_random_bits`` returns SIGNED int32; a bare
+    ``bits >> 8`` is an ARITHMETIC shift whose sign extension makes
+    the result negative for half the draws — fed into
+    ``log(u + eps)`` that is NaN, and the Gumbel argmax returned
+    garbage.  Masking to the low 24 bits of the shifted value keeps a
+    uniform [0, 2^24) integer regardless of sign
+    (tested: ``tests/test_ops/test_pallas_wavenet.py``)."""
+    return ((bits >> 8) & 0xFFFFFF).astype(jnp.float32) / (1 << 24)
+
+
 def _dot(a, b):
     # f32 MXU matmuls default to a single bf16 pass inside Mosaic;
     # the AR feedback loop amplifies that loss, so force the
@@ -94,7 +107,7 @@ def _kernel(cond_ref, forced_ref, wprev_ref, wcurr_ref, bdil_ref,
         logits = _dot(out, wend_ref[:])  # (B, C)
         if do_sample:
             bits = pltpu.prng_random_bits((b, n_classes))
-            u = (bits >> 8).astype(jnp.float32) / (1 << 24)
+            u = _uniform_from_bits(bits)
             gumbel = -jnp.log(-jnp.log(u + 1e-20) + 1e-20)
             choice = logits + gumbel
         else:

@@ -209,3 +209,70 @@ def test_kernel_bf16_streams():
 
     check(lstm_cell_scan, 4 * h, 2)
     check(gru_cell_scan, 3 * h, 1)
+
+
+def test_kernel_gradients_with_leading_masked_steps_and_state():
+    """Regression: a VALID step following masked steps (leading-padded
+    masks — the flipped backward direction of a bidirectional layer)
+    reads ``out[t-1] = 0`` for h_{t-1}, but the true carry is the
+    FROZEN initial state.  dW_hh (and the GRU's dgx, whose kernel
+    consumes h_prev) were silently wrong whenever h0 was nonzero.
+    The segment-start h0 correction makes them exact for contiguous
+    masks; pinned here against lax.scan references."""
+    import functools
+
+    t, b, h = 8, 4, 16
+    rng = np.random.RandomState(0)
+    mask_np = np.ones((t, b), np.float32)
+    mask_np[:3] = 0.0                       # leading-masked prefix
+    mask = jnp.asarray(mask_np)
+    h0 = jnp.asarray(rng.randn(b, h) * 0.5, 'float32')
+    c0 = jnp.asarray(rng.randn(b, h) * 0.5, 'float32')
+
+    # LSTM
+    gx = jnp.asarray(rng.randn(t, b, 4 * h) * 0.3, 'float32')
+    w = jnp.asarray(rng.randn(h, 4 * h) * 0.1, 'float32')
+
+    def loss_l(fn, gx, w):
+        o, hT, cT = fn(gx, w, mask, h0, c0)
+        return jnp.sum(o ** 2) + jnp.sum(hT) + jnp.sum(cT)
+
+    pal = functools.partial(lstm_cell_scan, interpret=True)
+    for arg, name in ((0, 'dgx'), (1, 'dW_hh')):
+        gp = jax.grad(lambda gx, w: loss_l(pal, gx, w), arg)(gx, w)
+        gr = jax.grad(
+            lambda gx, w: loss_l(_ref_cell_scan, gx, w), arg)(gx, w)
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gr), atol=2e-5, err_msg=name)
+
+    # GRU
+    from padertorch_tpu.ops.pallas.gru import gru_cell_scan
+    gxg = jnp.asarray(rng.randn(t, b, 3 * h) * 0.3, 'float32')
+    wg = jnp.asarray(rng.randn(h, 3 * h) * 0.1, 'float32')
+
+    def ref_gru(gx, w, mask, h0):
+        def step(hh, inp):
+            g, m = inp
+            gh = hh @ w
+            r = jax.nn.sigmoid(g[:, :h] + gh[:, :h])
+            z = jax.nn.sigmoid(g[:, h:2 * h] + gh[:, h:2 * h])
+            n = jnp.tanh(g[:, 2 * h:] + r * gh[:, 2 * h:])
+            h_new = (1 - z) * n + z * hh
+            mm = m[:, None]
+            h_new = jnp.where(mm > 0, h_new, hh)
+            return h_new, h_new * mm
+        hT, out = jax.lax.scan(step, h0, (gx, mask))
+        return out, hT
+
+    def loss_g(fn, gx, w):
+        o, hT = fn(gx, w, mask, h0)
+        return jnp.sum(o ** 2) + jnp.sum(hT)
+
+    palg = lambda gx, w, m, a: gru_cell_scan(  # noqa: E731
+        gx, w, m, a, True)
+    for arg, name in ((0, 'dgx'), (1, 'dW_hh')):
+        gp = jax.grad(lambda gx, w: loss_g(palg, gx, w), arg)(gxg, wg)
+        gr = jax.grad(
+            lambda gx, w: loss_g(ref_gru, gx, w), arg)(gxg, wg)
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gr), atol=2e-5, err_msg=name)

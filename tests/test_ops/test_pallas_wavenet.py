@@ -65,3 +65,28 @@ def test_infer_uses_pallas_only_on_tpu(wavenet):
     feats = jnp.asarray(rng.randn(1, 20, 12).astype('float32'))
     audio = wavenet.infer(feats, key=jax.random.PRNGKey(0))
     assert audio.ndim == 2 and np.isfinite(np.asarray(audio)).all()
+
+
+def test_uniform_from_bits_handles_signed_int32():
+    """Regression: the sampler's PRNG bits are SIGNED int32; the old
+    `bits >> 8` arithmetic shift produced NEGATIVE uniforms for half
+    the draws (log -> NaN -> Gumbel argmax garbage).  The helper must
+    map any int32 pattern to [0, 1) and stay uniform."""
+    import numpy as np
+    import jax.numpy as jnp
+    from padertorch_tpu.ops.pallas.wavenet import _uniform_from_bits
+
+    rng = np.random.RandomState(0)
+    bits = jnp.asarray(
+        rng.randint(-2**31, 2**31, size=100_000, dtype=np.int64)
+        .astype(np.int32))
+    u = np.asarray(_uniform_from_bits(bits))
+    assert u.min() >= 0.0 and u.max() < 1.0, (u.min(), u.max())
+    # uniformity: mean ~0.5, each decile populated
+    assert abs(u.mean() - 0.5) < 0.01, u.mean()
+    hist, _ = np.histogram(u, bins=10, range=(0, 1))
+    assert hist.min() > 8000, hist
+    # extreme patterns
+    for pattern in (-2**31, -1, 0, 2**31 - 1):
+        v = float(_uniform_from_bits(jnp.asarray([pattern], jnp.int32))[0])
+        assert 0.0 <= v < 1.0, (pattern, v)
