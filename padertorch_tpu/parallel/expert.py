@@ -31,23 +31,31 @@ def switch_router(x, router_w, num_experts, capacity):
 
     Returns:
         dispatch: (N, E, C) 0/1 dispatch tensor,
-        combine: (N, E, C) dispatch scaled by the router probability.
+        combine: (N, E, C) dispatch scaled by the router probability,
+        probs: (N, E) router probabilities (f32) — the load-balancing
+            aux loss consumes these; returning them keeps the loss on
+            the SAME routing decision instead of recomputing it.
     """
-    logits = x @ router_w                                # (N, E)
+    # routing math in f32 regardless of the activation dtype: under
+    # the bf16 policy a bf16 queue-position cumsum is unrepresentable
+    # past 256 tokens per expert (8 mantissa bits) and tokens would
+    # silently collide in capacity slots
+    logits = jnp.dot(x.astype(jnp.float32),
+                     router_w.astype(jnp.float32))       # (N, E)
     probs = jax.nn.softmax(logits, axis=-1)
     expert_idx = jnp.argmax(probs, axis=-1)              # (N,)
-    expert_prob = jnp.max(probs, axis=-1)                # (N,)
-    onehot = jax.nn.one_hot(expert_idx, num_experts,
-                            dtype=x.dtype)               # (N, E)
-    # position of each token within its expert's queue
-    position = jnp.cumsum(onehot, axis=0) * onehot - 1.0  # (N, E)
+    expert_prob = jnp.max(probs, axis=-1).astype(x.dtype)
+    onehot_i = jax.nn.one_hot(expert_idx, num_experts,
+                              dtype=jnp.int32)           # (N, E)
+    # position of each token within its expert's queue (exact int32)
+    position = jnp.cumsum(onehot_i, axis=0) * onehot_i - 1  # (N, E)
     keep = (position >= 0) & (position < capacity)
     pos_onehot = jax.nn.one_hot(
-        jnp.clip(position, 0, capacity - 1).astype(jnp.int32),
+        jnp.clip(position, 0, capacity - 1),
         capacity, dtype=x.dtype)                         # (N, E, C)
     dispatch = pos_onehot * keep.astype(x.dtype)[..., None]
     combine = dispatch * expert_prob[:, None, None]
-    return dispatch, combine
+    return dispatch, combine, probs
 
 
 def expert_parallel_ffn(params, x, *, mesh: Mesh = None,
@@ -73,7 +81,7 @@ def expert_parallel_ffn(params, x, *, mesh: Mesh = None,
     capacity = max(1, int(capacity_factor * n / e))
 
     tokens = x.reshape(n, d)
-    dispatch, combine = switch_router(
+    dispatch, combine, probs = switch_router(
         tokens, params['router_w'], e, capacity)
 
     def constrain(arr, spec):
@@ -97,8 +105,8 @@ def expert_parallel_ffn(params, x, *, mesh: Mesh = None,
     expert_out = constrain(expert_out, P(axis))
     y = jnp.einsum('nec,ecd->nd', combine, expert_out)
 
-    # Switch load-balancing loss: E * sum_e f_e * p_e
-    probs = jax.nn.softmax(tokens @ params['router_w'], axis=-1)
+    # Switch load-balancing loss: E * sum_e f_e * p_e — on the SAME
+    # router probs the dispatch used (switch_router returns them)
     frac_tokens = jnp.mean(
         jax.nn.one_hot(jnp.argmax(probs, -1), e), axis=0)
     frac_probs = jnp.mean(probs, axis=0)

@@ -28,6 +28,7 @@ __all__ = [
     'replicated_sharding',
     'replicate',
     'shard_batch',
+    'shard_host_local_batch',
     'DataParallel',
 ]
 
@@ -103,6 +104,23 @@ def shard_host_local_batch(example, mesh: Mesh, axis='data'):
             if x.ndim >= 1 and (x.shape[0] * num_processes) % n == 0:
                 return jax.make_array_from_process_local_data(
                     batch_sharding, np.asarray(x))
+            if num_processes > 1 and x.ndim >= 1:
+                # replicating PER-HOST data as a "replicated" global
+                # array would violate the replicated-sharding contract
+                # (all processes must hold identical values — JAX
+                # assumes it, never checks it) and silently run SPMD
+                # on divergent inputs.  Refuse loudly; the pipeline
+                # must pad/bucket batch leaves to a divisible size.
+                raise ValueError(
+                    f'multi-host batch leaf with shape {x.shape}: '
+                    f'global dim 0 = {x.shape[0]} x {num_processes} '
+                    f'processes is not divisible by mesh axis '
+                    f'{axis}={n}; pad or bucket the batch (replicating '
+                    f'per-host data would silently diverge)')
+            # 0-d scalars (and the single-process fallback) replicate;
+            # multi-process callers must feed process-consistent
+            # scalars (loss weights, triggers — identical by
+            # construction in the Trainer)
             return jax.device_put(x, replicated)
         return x
 
@@ -155,9 +173,16 @@ class DataParallel:
     # -- ZeRO-1 optimizer-state sharding --------------------------------
     def opt_state_sharding(self, leaf):
         """Sharding for one optimizer-state leaf: dim 0 over the data
-        axis when divisible, replicated otherwise (scalars, counts)."""
+        axis when divisible, replicated otherwise (scalars, counts).
+
+        Under FSDP, 1-D leaves follow ``param_sharding``'s replicated
+        choice — params, grads and moments must share one layout or
+        GSPMD inserts a per-step reshard of every 1-D moment (the
+        "purely local update" invariant below)."""
         n = self.mesh.shape[self.axis]
         if getattr(leaf, 'ndim', 0) >= 1 and leaf.shape[0] % n == 0:
+            if self.fsdp and leaf.ndim < 2:
+                return replicated_sharding(self.mesh)
             spec = P(self.axis, *([None] * (leaf.ndim - 1)))
             return NamedSharding(self.mesh, spec)
         return replicated_sharding(self.mesh)

@@ -184,9 +184,36 @@ class PipelinedBlocks:
         params_list = [p for p, _ in parts]
         self._static = parts[0][1]
         treedef = jax.tree_util.tree_structure(params_list[0])
-        for p, _ in parts[1:]:
+        # every stage runs with block 0's STATIC partition (buffers,
+        # config scalars) — a block whose static values differ would
+        # silently compute with block 0's, so refuse it loudly
+        s_leaves, s_def = jax.tree_util.tree_flatten(self._static)
+        for i, (p, s) in enumerate(parts[1:], 1):
             assert jax.tree_util.tree_structure(p) == treedef, \
                 'pipelined blocks must share one architecture'
+            leaves, sdef = jax.tree_util.tree_flatten(s)
+            if sdef != s_def:
+                raise ValueError(
+                    f'pipelined block {i} has a different static '
+                    f'structure than block 0')
+            for a, b in zip(s_leaves, leaves):
+                if hasattr(a, 'shape') or hasattr(b, 'shape'):
+                    same = (
+                        getattr(a, 'shape', None) == getattr(
+                            b, 'shape', None)
+                        and getattr(a, 'dtype', None) == getattr(
+                            b, 'dtype', None)
+                        and bool(jnp.all(
+                            jnp.asarray(a) == jnp.asarray(b))))
+                else:
+                    same = a == b
+                if not same:
+                    raise ValueError(
+                        f'pipelined block {i} differs from block 0 '
+                        f'in a STATIC (non-parameter) value '
+                        f'({a!r} vs {b!r}); all stages run with '
+                        f'block 0 statics — make the differing value '
+                        f'a parameter or use identical blocks')
         self.stacked_params = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *params_list)
         self.num_stages = len(blocks)

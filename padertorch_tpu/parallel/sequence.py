@@ -41,9 +41,11 @@ def ring_self_attention(q, k, v, *, axis, num_shards, causal=False,
         num_shards: static number of sequence shards.
         causal: apply causal masking with *global* positions.
         key_padding_lens: (B,) valid key lengths (global); padded keys
-            are excluded.  Queries past their sequence length output
-            zeros (the dense path gives uniform garbage there — both
-            are don't-care rows).
+            are excluded from every softmax.  Query rows past the
+            sequence length are NOT masked: they attend the valid keys
+            like any other row, so their outputs are well-defined but
+            meaningless don't-care values (same as the dense path) —
+            mask them downstream before any reduction over T.
         window: optional ``(left, right)`` sliding window with *global*
             positions (either side ``None`` = unbounded).  Beyond
             masking, the band PRUNES the ring: every shard needs only
@@ -114,17 +116,23 @@ def ring_self_attention(q, k, v, *, axis, num_shards, causal=False,
             num_shards - 1, (right + t_local - 1) // t_local))
 
     if hops_l + hops_r >= num_shards - 1:
-        # band covers the whole ring — classic single full ring
+        # band covers the whole ring — classic single full ring.
+        # Accumulate the LOCAL block first, then permute-before-
+        # accumulate for the remaining n-1 hops: an accumulate-then-
+        # permute body would pay one final ppermute of K AND V whose
+        # result is discarded (XLA cannot DCE a collective inside a
+        # uniform scan body).
         def step(carry, i):
             k_blk, v_blk, mla = carry
-            # the block held at ring step i originated on shard s - i
+            k_blk = jax.lax.ppermute(k_blk, axis, _ring(num_shards))
+            v_blk = jax.lax.ppermute(v_blk, axis, _ring(num_shards))
+            # the block held after i hops originated on shard s - i
             mla = accumulate(mla, k_blk, v_blk, (s - i) % num_shards)
-            k_next = jax.lax.ppermute(k_blk, axis, _ring(num_shards))
-            v_next = jax.lax.ppermute(v_blk, axis, _ring(num_shards))
-            return (k_next, v_next, mla), None
+            return (k_blk, v_blk, mla), None
 
+        mla = accumulate((m0, l0, acc0), k, v, s)
         (_, _, (_, l, acc)), _ = jax.lax.scan(
-            step, (k, v, (m0, l0, acc0)), jnp.arange(num_shards))
+            step, (k, v, mla), jnp.arange(1, num_shards))
         return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
 
     # banded: local block + two short rings.  Blocks that wrap past the

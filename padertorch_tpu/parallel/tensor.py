@@ -29,7 +29,9 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from padertorch_tpu.parallel.mesh import shard_batch
+from padertorch_tpu.parallel.mesh import (
+    replicate, shard_batch, shard_host_local_batch,
+)
 
 __all__ = ['make_mesh_2d', 'shard_module', 'ModelParallel']
 
@@ -92,6 +94,13 @@ class ModelParallel:
         self.min_size = min_size
 
     def shard(self, example):
+        if jax.process_count() > 1:
+            # multi-controller: each process's pipeline holds only the
+            # LOCAL slice of the global batch — same contract as
+            # DataParallel.shard (treating the local batch as global
+            # would both shrink the batch dim and feed divergent
+            # values into one SPMD program)
+            return shard_host_local_batch(example, self.mesh, self.axis)
         return shard_batch(example, self.mesh, self.axis)
 
     def shard_module(self, module):
@@ -99,9 +108,4 @@ class ModelParallel:
                             self.min_size)
 
     def replicate(self, tree):
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(
-                x, NamedSharding(self.mesh, P()))
-            if isinstance(x, (jax.Array, np.ndarray)) else x,
-            tree,
-        )
+        return replicate(tree, self.mesh)

@@ -69,7 +69,7 @@ def test_capacity_drops_tokens():
     params = init_moe_params(jax.random.PRNGKey(2), 4, 8, E)
     params['router_w'] = jnp.zeros((4, E)).at[:, 0].set(10.0)
     x = jnp.ones((1, 6, 4), jnp.float32)
-    dispatch, combine = switch_router(
+    dispatch, combine, _ = switch_router(
         x.reshape(-1, 4), params['router_w'], E, capacity=1)
     assert float(dispatch.sum()) == 1.0  # 1 token kept of 6
     y, _ = expert_parallel_ffn(
@@ -84,7 +84,7 @@ def test_router_positions_are_unique_per_expert():
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.normal(size=(32, 8)).astype('float32'))
     w = jnp.asarray(rng.normal(size=(8, E)).astype('float32'))
-    dispatch, _ = switch_router(x, w, E, capacity=16)
+    dispatch, _, _ = switch_router(x, w, E, capacity=16)
     # every (expert, slot) pair holds at most one token
     slot_occupancy = np.asarray(dispatch).sum(axis=0)  # (E, C)
     assert slot_occupancy.max() <= 1.0
@@ -104,3 +104,29 @@ def test_moe_gradients_flow():
         assert np.isfinite(np.asarray(g)).all(), k
     # router receives gradient through the combine weights + aux loss
     assert float(jnp.abs(grads['router_w']).max()) > 0
+
+
+def test_switch_router_bf16_tokens_exact_positions():
+    """Regression: routing math must be f32/int32 even for bf16 tokens
+    — a bf16 queue-position cumsum is unrepresentable past 256 tokens
+    per expert (8 mantissa bits) and tokens silently collided in
+    capacity slots under the bf16 policy."""
+    rng = np.random.RandomState(0)
+    n, d, e = 2048, 8, 2            # ~1024 tokens per expert queue
+    x32 = jnp.asarray(rng.randn(n, d).astype('float32'))
+    w = jnp.asarray(rng.randn(d, e).astype('float32') * 0.1)
+    cap = 2048
+    d32, c32, p32 = switch_router(x32, w, e, capacity=cap)
+    d16, c16, p16 = switch_router(
+        x32.astype(jnp.bfloat16), w.astype(jnp.bfloat16), e,
+        capacity=cap)
+    # every kept token occupies EXACTLY one slot, and no slot is
+    # occupied twice (the bf16 collision signature)
+    slot_occupancy = np.asarray(d16, 'float32').sum(axis=0)  # (E, C)
+    assert slot_occupancy.max() <= 1.0 + 1e-6, slot_occupancy.max()
+    per_token = np.asarray(d16, 'float32').sum(axis=(1, 2))
+    np.testing.assert_allclose(per_token, 1.0, atol=1e-6)
+    # routing decisions themselves match the f32 run except where the
+    # bf16 INPUT rounding legitimately flips a near-tie logit
+    agree = (np.asarray(p16).argmax(-1) == np.asarray(p32).argmax(-1))
+    assert agree.mean() > 0.9, agree.mean()

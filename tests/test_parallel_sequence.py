@@ -190,8 +190,10 @@ def test_ring_attention_window_prunes_ring():
                             length * eqn.params.get('length', 1))
         count(jaxpr.jaxpr)
         return total
-    # full ring: N scan steps x 2 ppermutes; (3,3) band: 1 hop per side
-    assert hops(None) == 2 * N
+    # full ring: local block first, then N-1 permute-accumulate hops
+    # (x2 for K and V — the old accumulate-then-permute body paid one
+    # extra discarded ppermute pair); (3,3) band: 1 hop per side
+    assert hops(None) == 2 * (N - 1)
     assert hops((3, 3)) == 4
     assert hops((4, 0)) == 2
 
