@@ -414,7 +414,10 @@ class CheckpointHook(TriggeredHook):
         self._save_latest_checkpoint(trainer)
 
     def set_last(self, iteration, epoch):
-        if self.trigger.last[0] > iteration:
+        # composite triggers (Any/All/Not) have no single ``last``;
+        # their sub-triggers handle the rewind via plain set_last
+        last = getattr(self.trigger, 'last', None)
+        if last is not None and last[0] > iteration:
             # has to be re-triggered after backoff rewound the iteration
             super().set_last(-1, -1)
         else:
@@ -492,6 +495,12 @@ class ValidationHook(SummaryHook):
         that very checkpoint.
         """
         score = self._validation_score(trainer)
+        # async checkpointing: pruning below must not race an
+        # in-flight writer thread — an uncommitted checkpoint would be
+        # dropped from the ranking (stale.exists() False) yet land on
+        # disk after the rename, leaked forever; and latest.resolve()
+        # could observe the unlink/symlink window mid-repoint
+        getattr(trainer, 'wait_for_checkpoint_writes', lambda: None)()
         self._rank_checkpoint(
             trainer.checkpoint_dir,
             trainer.default_checkpoint_path().name,
@@ -626,7 +635,12 @@ class ValidationHook(SummaryHook):
             ) from None
 
     def close(self, trainer):
-        if _is_primary() and trainer.checkpoint_dir.exists():
+        # ckpt_ranking may be empty when training stops before the
+        # first validation fired (composite trigger, early crash) even
+        # though the CheckpointHook created the directory — there is
+        # no best checkpoint to link then
+        if _is_primary() and trainer.checkpoint_dir.exists() \
+                and self.ckpt_ranking:
             self.set_best_symlink(trainer.checkpoint_dir)
         ckpt_name = trainer.default_checkpoint_path().name
         if ckpt_name not in [c[0] for c in self.ckpt_ranking]:
@@ -752,6 +766,14 @@ class LRSchedulerHook(TriggeredHook):
         return opt
 
     def pre_step(self, trainer):
+        if getattr(self, '_apply_pending', False):
+            # resume: re-apply the scheduled lr for the RESTORED count
+            # immediately — the checkpointed opt-state lr may predate a
+            # changed schedule fn, and the next trigger fire could be a
+            # whole period away
+            self._apply_pending = False
+            self._optimizer(trainer).lr = float(
+                self.lr_scheduler(self._count))
         if self.trigger(iteration=trainer.iteration, epoch=trainer.epoch):
             if trainer.iteration > 0:
                 self._count += 1
@@ -760,10 +782,13 @@ class LRSchedulerHook(TriggeredHook):
 
     def set_last(self, iteration, epoch):
         super().set_last(iteration, epoch)
-        if self.trigger.unit == 'epoch':
-            self._count = epoch // self.trigger.period
-        else:
-            self._count = iteration // self.trigger.period
+        if hasattr(self.trigger, 'unit'):
+            if self.trigger.unit == 'epoch':
+                self._count = epoch // self.trigger.period
+            else:
+                self._count = iteration // self.trigger.period
+        # composite triggers: keep the checkpointed/initial count —
+        # there is no single period to derive it from
 
 
 class ProgressBarHook(TriggeredHook):

@@ -148,8 +148,12 @@ class Optimizer(Configurable):
     @property
     def lr(self):
         self.check_if_set()
-        return float(np.asarray(
-            self.opt_state.hyperparams['learning_rate']))
+        hp = self.opt_state.hyperparams
+        if 'learning_rate' not in hp:
+            # Adafactor(lr=None): internal relative step size, no
+            # injected hyperparam to read
+            return None
+        return float(np.asarray(hp['learning_rate']))
 
     @lr.setter
     def lr(self, value):

@@ -519,10 +519,21 @@ class Trainer(Configurable):
             self.optimizer.opt_state = states
 
     def _loss_weight_arrays(self):
+        """Device arrays for ``self.loss_weights``, memoized on the
+        VALUES — the train loop calls this every iteration so runtime
+        mutation (``LossWeightAnnealingHook.set_value``) reaches the
+        jitted step, while the steady state pays one dict compare."""
         if self.loss_weights is None:
             return None
-        return {k: jnp.asarray(v, dtype=jnp.float32)
-                for k, v in self.loss_weights.items()}
+        key = tuple(sorted(
+            (k, float(v)) for k, v in self.loss_weights.items()))
+        cached = getattr(self, '_lw_cache', None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        arrays = {k: jnp.asarray(v, dtype=jnp.float32)
+                  for k, v in self.loss_weights.items()}
+        self._lw_cache = (key, arrays)
+        return arrays
 
     def _example_to_device(self, example):
         if hasattr(self.sharding, 'shard'):  # parallel.DataParallel
@@ -593,6 +604,21 @@ class Trainer(Configurable):
         """
         del device
         from padertorch_tpu.parallel import multihost
+        if track_emissions:
+            # reference: EmissionsTrackerHook (codecarbon); here the
+            # dependency-free wall-clock x TDP estimate.  Registered in
+            # self.hooks (not just this call's list) so its consumed-
+            # energy state checkpoints and restores with the trainer —
+            # which is also why it must be registered BEFORE
+            # load_checkpoint below: a checkpoint written with
+            # track_emissions carries this hook's state, and
+            # load_state_dict asserts every saved hook state found a
+            # registered hook.
+            from padertorch_tpu.train.hooks import EnergyEstimateHook
+            if not any(isinstance(h, EnergyEstimateHook)
+                       for h in self.hooks):
+                self.hooks.append(
+                    EnergyEstimateHook(self._summary_trigger))
         if resume:
             assert resume is True, resume
             self.load_checkpoint()
@@ -630,22 +656,17 @@ class Trainer(Configurable):
             pbh.set_last(self.iteration, self.epoch)
             hooks.append(pbh)
         if track_emissions:
-            # reference: EmissionsTrackerHook (codecarbon); here the
-            # dependency-free wall-clock x TDP estimate.  Registered in
-            # self.hooks (not just this call's list) so its consumed-
-            # energy state checkpoints and restores with the trainer.
+            # registered pre-resume (top of train()); it entered
+            # ``hooks`` via [*self.hooks] — just sync its trigger to
+            # the (possibly restored) position
             from padertorch_tpu.train.hooks import EnergyEstimateHook
-            if not any(isinstance(h, EnergyEstimateHook)
-                       for h in self.hooks):
-                energy_hook = EnergyEstimateHook(self._summary_trigger)
-                energy_hook.set_last(self.iteration, self.epoch)
-                self.hooks.append(energy_hook)
-                hooks.append(energy_hook)
+            for h in hooks:
+                if isinstance(h, EnergyEstimateHook):
+                    h.set_last(self.iteration, self.epoch)
         hooks = sorted(hooks, key=lambda h: h.priority, reverse=True)
 
         assert self.virtual_minibatch_size >= 1, self.virtual_minibatch_size
         vbs = self.virtual_minibatch_size
-        loss_weights = self._loss_weight_arrays()
 
         try:
             train_iterable = None
@@ -689,6 +710,9 @@ class Trainer(Configurable):
                         with self.train_timer['time_per_to_device']:
                             example = self._example_to_device(example)
                         device_example = self._strip_host_fields(example)
+                        # per-step (memoized on values): hooks may have
+                        # annealed trainer.loss_weights in pre_step
+                        loss_weights = self._loss_weight_arrays()
 
                         if vbs == 1:
                             step = self._get_fn(
@@ -722,6 +746,15 @@ class Trainer(Configurable):
                                 hook.post_step(
                                     self, example, model_out, review)
                         del example, model_out, review
+                        # NOTE: with vbs > 1, STATIC model flags hooks
+                        # flip mid-window (SummaryHook clears
+                        # create_snapshot after the first microbatch)
+                        # only take effect at the NEXT window: the
+                        # accumulated grads pytree embeds this window's
+                        # static aux, so re-partitioning mid-window
+                        # would break the accumulation tree.  Cost: a
+                        # summary-firing window computes snapshots for
+                        # all vbs microbatches and keeps the last.
 
                     if optimize:
                         with self.train_timer['time_per_optimize']:
@@ -743,7 +776,20 @@ class Trainer(Configurable):
         except StopTraining:
             pass
         finally:
-            self._check_prev_loss_finite()
+            # the deferred finite check must neither REPLACE an
+            # exception already propagating (that would mask the real
+            # error) nor skip hook.close/wait_for_checkpoint_writes/
+            # writer.close (leaked tqdm/tfevents, lost async
+            # checkpoint errors) — collect it, close everything, then
+            # raise it only on an otherwise-clean exit
+            finite_exc = None
+            try:
+                self._check_prev_loss_finite()
+            except Exception as e:
+                if sys.exc_info()[0] is not None:
+                    print(f'Note: also detected while unwinding: {e!r}')
+                else:
+                    finite_exc = e
             try:
                 for hook in hooks:
                     hook.close(self)
@@ -756,6 +802,8 @@ class Trainer(Configurable):
                 raise
             self.writer.close()
             self.writer = None
+            if finite_exc is not None:
+                raise finite_exc
 
     _optimizer_summary = None
 
@@ -768,19 +816,28 @@ class Trainer(Configurable):
         # jnp.copy because the opt state is donated to the next step —
         # the hyperparams buffer itself would dangle.
         summary = {'scalars': {}, 'histograms': {}}
+        def lr_scalar(opt):
+            # Adafactor(lr=None) runs on its internal relative step
+            # size: inject_hyperparams then has NO 'learning_rate'
+            # entry — skip the lr report instead of KeyError
+            return opt.opt_state.hyperparams.get('learning_rate')
+
         if isinstance(self.optimizer, dict):
             for key, opt in self.optimizer.items():
                 summary['scalars'][f'{key}_grad_norm'] = norms[key]
                 summary['histograms'][f'{key}_grad_norm_'] = \
                     jnp.reshape(norms[key], (1,))
-                summary['scalars'][f'lr/{key}/param_group_0'] = jnp.copy(
-                    opt.opt_state.hyperparams['learning_rate'])
+                lr = lr_scalar(opt)
+                if lr is not None:
+                    summary['scalars'][f'lr/{key}/param_group_0'] = \
+                        jnp.copy(lr)
         else:
             norm = norms['']
             summary['scalars']['grad_norm'] = norm
             summary['histograms']['grad_norm_'] = jnp.reshape(norm, (1,))
-            summary['scalars']['lr/param_group_0'] = jnp.copy(
-                self.optimizer.opt_state.hyperparams['learning_rate'])
+            lr = lr_scalar(self.optimizer)
+            if lr is not None:
+                summary['scalars']['lr/param_group_0'] = jnp.copy(lr)
         self._optimizer_summary = summary
 
     # ------------------------------------------------------------------ #

@@ -358,3 +358,101 @@ def test_ranking_protects_latest_for_orbax_ext(tmp_path):
     hook.ckpt_ranking = [('ckpt_10.orbax', 0.1), ('ckpt_20.orbax', 0.9)]
     hook._rank_checkpoint(ckpt_dir, 'ckpt_30.orbax', 0.5)
     assert (ckpt_dir / 'ckpt_20.orbax').exists()
+
+
+def test_loss_weight_annealing_reaches_training(tmp_path):
+    """Regression: loss weights were converted to device arrays ONCE
+    before the train loop, so LossWeightAnnealingHook silently never
+    affected training.  The per-step memoized _loss_weight_arrays must
+    pick up runtime mutation."""
+    import numpy as np
+    import jax.numpy as jnp
+    import padertorch_tpu as pt
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.train.trainer import Trainer
+    from padertorch_tpu.train.hooks import Hook
+
+    seen = []
+
+    class TwoLoss(pt.Model):
+        def __init__(self):
+            self.net = pt.nn.Linear(4, 1)
+
+        def forward(self, inputs):
+            return self.net(inputs['x'])
+
+        def review(self, inputs, outputs):
+            return {'losses': {
+                'a': jnp.mean(outputs ** 2),
+                'b': jnp.mean(jnp.abs(outputs)),
+            }}
+
+    class Bump(Hook):
+        """Mutate trainer.loss_weights mid-training (what
+        LossWeightAnnealingHook.set_value does)."""
+
+        def pre_step(self, trainer):
+            trainer.loss_weights['b'] = float(trainer.iteration)
+
+        def post_step(self, trainer, example, model_out, review):
+            # the step's total weighted loss must reflect THIS step's
+            # weights — capture what the jitted step actually used
+            seen.append((trainer.iteration,
+                         float(np.asarray(trainer._prev_loss))))
+
+    rng = np.random.RandomState(0)
+    exs = [{'x': rng.randn(2, 4).astype('float32')} for _ in range(3)]
+    ptrandom.seed(0)
+    tr = Trainer(model=TwoLoss(), storage_dir=tmp_path,
+                 optimizer=pt.Adam(lr=0.0),   # freeze params
+                 loss_weights={'a': 1.0, 'b': 0.0},
+                 stop_trigger=(1, 'epoch'))
+    tr.register_hook(Bump())
+    tr.train(exs)
+    # lr=0 -> outputs identical each step; loss must still GROW with
+    # the annealed weight b = iteration
+    losses = dict(seen)
+    assert losses[2] > losses[1] > losses[0], losses
+
+
+def test_resume_with_track_emissions(tmp_path):
+    """Regression: resuming a run that used track_emissions=True
+    crashed — load_checkpoint ran before the EnergyEstimateHook was
+    registered, so its checkpointed state tripped the unconsumed-
+    hook-state assert."""
+    import padertorch_tpu as pt
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.train.trainer import Trainer
+    from .test_trainer import MnistModel, get_datasets
+
+    tr_ds, _ = get_datasets()
+
+    def trainer(epochs):
+        ptrandom.seed(0)
+        return Trainer(model=MnistModel(), storage_dir=tmp_path,
+                       optimizer=pt.Adam(lr=1e-2),
+                       stop_trigger=(epochs, 'epoch'))
+
+    trainer(1).train(tr_ds, track_emissions=True)
+    t2 = trainer(2)
+    t2.train(tr_ds, resume=True, track_emissions=True)
+    assert t2.epoch == 2
+
+
+def test_adafactor_lr_none_trains(tmp_path):
+    """Regression: Adafactor(lr=None) (the relative-step-size mode its
+    docstring advertises) crashed with KeyError('learning_rate') in
+    the optimizer summary — inject_hyperparams injects nothing for
+    None."""
+    import padertorch_tpu as pt
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.train.trainer import Trainer
+    from .test_trainer import MnistModel, get_datasets
+
+    tr_ds, _ = get_datasets()
+    ptrandom.seed(0)
+    t = Trainer(model=MnistModel(), storage_dir=tmp_path,
+                optimizer=pt.Adafactor(lr=None),
+                stop_trigger=(1, 'epoch'))
+    t.train(tr_ds)
+    assert t.optimizer.lr is None
