@@ -141,6 +141,7 @@ class Dataset:
         return DynamicBucketDataset(
             self, batch_size=batch_size, get_len=get_len,
             max_padding_rate=max_padding_rate,
+            max_total_size=max_total_size,
             expiration=expiration, drop_incomplete=drop_incomplete,
             sort_key=sort_key, reverse_sort=reverse_sort,
         )
@@ -269,6 +270,12 @@ class MapDataset(_Wrapper):
 
 
 class FilterDataset(_Wrapper):
+    def keys(self):
+        raise TypeError(
+            'FilterDataset restructures its source; keys() would not '
+            'correspond to iteration order — call keys() on the '
+            'source instead')
+
     def __init__(self, source, filter_fn):
         super().__init__(source)
         self.filter_fn = filter_fn
@@ -289,6 +296,12 @@ class FilterDataset(_Wrapper):
 
 
 class CatchDataset(_Wrapper):
+    def keys(self):
+        raise TypeError(
+            'CatchDataset restructures its source; keys() would not '
+            'correspond to iteration order — call keys() on the '
+            'source instead')
+
     def __init__(self, source, exceptions):
         super().__init__(source)
         self.exceptions = exceptions
@@ -301,28 +314,44 @@ class CatchDataset(_Wrapper):
         return False
 
     def __iter__(self):
-        source = self.source
-        if isinstance(source, MapDataset):
-            # Apply the map per example so one FilterException drops only
-            # that example (a generator would die on the first raise).
-            for ex in source.source:
+        # Unwrap the WHOLE chain of maps and run each example's full
+        # map stack inside one try: a generator that raised is closed
+        # and cannot resume, so catching around a chained-map
+        # iterator's next() would silently truncate at the first drop
+        # instead of dropping one example.
+        fns = []
+        base = self.source
+        while isinstance(base, MapDataset):
+            fns.append(base.map_fn)
+            base = base.source
+        fns.reverse()
+
+        def apply(ex):
+            for fn in fns:
+                ex = fn(ex)
+            return ex
+
+        if base.indexable:
+            for i in range(len(base)):
                 try:
-                    yield source.map_fn(ex)
-                except self.exceptions:
-                    continue
-        elif source.indexable:
-            for i in range(len(source)):
-                try:
-                    yield source[i]
+                    yield apply(base[i])
                 except self.exceptions:
                     continue
         else:
-            it = iter(source)
+            it = iter(base)
             while True:
                 try:
-                    yield next(it)
+                    ex = next(it)
                 except StopIteration:
                     return
+                except self.exceptions:
+                    # the BASE itself raised from inside its generator
+                    # frame — it is closed now; nothing more can be
+                    # drawn (raising FilterException belongs in map
+                    # fns, which the branch above makes resumable)
+                    return
+                try:
+                    yield apply(ex)
                 except self.exceptions:
                     continue
 
@@ -337,6 +366,14 @@ class ShuffleDataset(_Wrapper):
             idx = list(range(len(source)))
             self.rng.shuffle(idx)
             self._fixed_permutation = idx
+
+    def keys(self):
+        if self._fixed_permutation is not None:
+            src = self.source.keys()
+            return [src[i] for i in self._fixed_permutation]
+        raise TypeError(
+            'ShuffleDataset(reshuffle=True) has no stable key order; '
+            'call keys() on the source instead')
 
     def __iter__(self):
         if self._fixed_permutation is not None:
@@ -360,6 +397,12 @@ class ShuffleDataset(_Wrapper):
 
 class LocalShuffleDataset(_Wrapper):
     """Streaming shuffle with a bounded reservoir buffer."""
+
+    def keys(self):
+        raise TypeError(
+            'LocalShuffleDataset restructures its source; keys() would not '
+            'correspond to iteration order — call keys() on the '
+            'source instead')
 
     def __init__(self, source, buffer_size, rng=None):
         super().__init__(source)
@@ -389,6 +432,12 @@ class SliceDataset(_Wrapper):
 
     def __len__(self):
         return len(self.indices)
+
+    def keys(self):
+        # the inherited keys() would return the FULL source key list,
+        # silently misaligned with this subset's iteration order
+        src = self.source.keys()
+        return [src[i] for i in self.indices]
 
     def __iter__(self):
         for i in self.indices:
@@ -435,6 +484,12 @@ class ConcatDataset(Dataset):
 
 
 class CycleDataset(_Wrapper):
+    def keys(self):
+        raise TypeError(
+            'CycleDataset restructures its source; keys() would not '
+            'correspond to iteration order — call keys() on the '
+            'source instead')
+
     def __len__(self):
         raise TypeError('CycleDataset has no len().')
 
@@ -448,6 +503,12 @@ class CycleDataset(_Wrapper):
 
 
 class UnbatchDataset(_Wrapper):
+    def keys(self):
+        raise TypeError(
+            'UnbatchDataset restructures its source; keys() would not '
+            'correspond to iteration order — call keys() on the '
+            'source instead')
+
     def __len__(self):
         raise TypeError('UnbatchDataset has no len().')
 
@@ -461,6 +522,12 @@ class UnbatchDataset(_Wrapper):
 
 
 class BatchDataset(_Wrapper):
+    def keys(self):
+        raise TypeError(
+            'BatchDataset restructures its source; keys() would not '
+            'correspond to iteration order — call keys() on the '
+            'source instead')
+
     def __init__(self, source, batch_size, drop_last=False):
         super().__init__(source)
         self.batch_size = batch_size
@@ -490,13 +557,24 @@ class BatchDataset(_Wrapper):
 class DynamicBucketDataset(_Wrapper):
     """Length-bucketed batching; see Dataset.batch_dynamic_time_series_bucket."""
 
+    def keys(self):
+        raise TypeError(
+            'DynamicBucketDataset restructures its source; keys() would not '
+            'correspond to iteration order — call keys() on the '
+            'source instead')
+
     def __init__(self, source, batch_size, get_len, max_padding_rate,
-                 expiration=None, drop_incomplete=False, sort_key=None,
+                 max_total_size=None, expiration=None,
+                 drop_incomplete=False, sort_key=None,
                  reverse_sort=False):
         super().__init__(source)
         self.batch_size = batch_size
         self.get_len = get_len
         self.max_padding_rate = max_padding_rate
+        # cap on the PADDED batch size (max_len x n_examples): a bucket
+        # refuses examples that would push it past the cap and emits as
+        # soon as it can no longer grow within it
+        self.max_total_size = max_total_size
         self.expiration = expiration
         self.drop_incomplete = drop_incomplete
         self.sort_key = sort_key
@@ -526,10 +604,19 @@ class DynamicBucketDataset(_Wrapper):
                 lo, hi, examples, _ = bucket
                 new_lo = min(lo, length)
                 new_hi = max(hi, length)
-                if new_lo >= new_hi * (1 - self.max_padding_rate):
+                fits_size = (
+                    self.max_total_size is None
+                    or new_hi * (len(examples) + 1)
+                    <= self.max_total_size)
+                if new_lo >= new_hi * (1 - self.max_padding_rate) \
+                        and fits_size:
                     examples.append(ex)
                     bucket[0], bucket[1] = new_lo, new_hi
-                    if len(examples) == self.batch_size:
+                    full = len(examples) == self.batch_size or (
+                        self.max_total_size is not None
+                        and new_hi * (len(examples) + 1)
+                        > self.max_total_size)
+                    if full:
                         yield self._sorted(examples)
                         buckets.remove(bucket)
                     placed = True
@@ -603,22 +690,58 @@ class PrefetchDataset(_Wrapper):
             import threading
             q = queue.Queue(maxsize=self.buffer_size)
             DONE = object()
+            stop = threading.Event()
+
+            def put(item):
+                # bounded put that gives up when the consumer left —
+                # a plain q.put would block forever if the iterator is
+                # abandoned mid-epoch (early stop), leaking the thread
+                # and its buffered examples
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
 
             def reader():
+                # honor catch_filter_exception like the indexable path:
+                # delegate the per-example dropping to CatchDataset —
+                # catching around next() of a raw generator would NOT
+                # work (a generator that raised is closed; iteration
+                # would silently truncate at the first drop)
+                src = source
+                if self.catch_filter_exception:
+                    src = CatchDataset(source, FilterException)
+                it = iter(src)
                 try:
-                    for ex in source:
-                        q.put(('ok', ex))
+                    while not stop.is_set():
+                        try:
+                            ex = next(it)
+                        except StopIteration:
+                            break
+                        if not put(('ok', ex)):
+                            return
                 except BaseException as e:  # propagate to consumer
-                    q.put(('error', e))
+                    put(('error', e))
                 finally:
-                    q.put((DONE, None))
+                    put((DONE, None))
 
             t = threading.Thread(target=reader, daemon=True)
             t.start()
-            while True:
-                kind, value = q.get()
-                if kind is DONE:
-                    break
-                if kind == 'error':
-                    raise value
-                yield value
+            try:
+                while True:
+                    kind, value = q.get()
+                    if kind is DONE:
+                        break
+                    if kind == 'error':
+                        raise value
+                    yield value
+            finally:
+                stop.set()
+                # unblock a reader stuck in a full-queue put
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    pass

@@ -114,7 +114,9 @@ def get_anchor(num_samples, length, shift=None, mode='left', rng=np.random):
     if mode == 'random_max_segments':
         start = _get_rand_int(rng, (num_samples - length) % shift + 1)
         anchors = np.arange(start, num_samples - length + 1, shift)
-        return int(np.random.choice(anchors))
+        # draw from the PASSED rng — np.random.choice would read (and
+        # mutate) global RNG state, breaking seeded reproducibility
+        return int(anchors[_get_rand_int(rng, len(anchors))])
     raise ValueError('Unknown mode', mode, 'choose one of',
                      possible_anchor_modes)
 
@@ -172,16 +174,24 @@ def get_segment_boundaries(num_samples, length, shift=None, anchor='left',
     array([[ 2,  5,  8, 11, 14],
            [12, 15, 18, 21, 24]])
     """
-    assert num_samples >= length, (num_samples, length)
     if shift is None:
         shift = length
     assert shift > 0, shift
     assert mode in possible_segment_modes, mode
     if isinstance(anchor, str):
+        # mode='max' legally SHRINKS length for utterances shorter
+        # than the nominal segment (down to one segment covering
+        # everything) — the too-short check must therefore run AFTER
+        # the mode adaptation, not before (a leading assert here used
+        # to crash 'max' mode with a bare AssertionError on exactly
+        # the inputs the Segmenter's FilterException check exempts)
         length, shift, num_samples = _get_segment_length_for_mode(
             num_samples, length, shift, mode)
+        assert num_samples >= length, (num_samples, length)
         anchor = get_anchor(num_samples, length, shift, mode=anchor,
                             rng=rng)
+    else:
+        assert num_samples >= length, (num_samples, length)
     assert isinstance(anchor, int), (anchor, type(anchor))
     start = anchor % shift
     start = np.arange(start, num_samples - length + 1, shift)
@@ -346,8 +356,17 @@ class Segmenter:
         assert len(to_segment) > 0, (self.include, self.exclude)
         to_segment_length = lengths[0]
 
-        if not self.mode == 'max' and to_segment_length < self.length:
-            raise FilterException()
+        if to_segment_length < self.length:
+            if self.mode != 'max':
+                raise FilterException()
+            # 'max' shrinks the segment instead — but only while the
+            # utterance still exceeds the fixed overlap (shorter and
+            # no valid segmentation exists; the adaptation would
+            # divide by a non-positive segment count)
+            shift = self.length if self.shift in (None, -1) \
+                else self.shift
+            if to_segment_length <= self.length - shift:
+                raise FilterException()
 
         if self.length == -1:
             to_copy.update(to_segment)

@@ -70,13 +70,25 @@ def _pairwise(metric_fn, estimate, reference):
 
 
 def output_si_sdr(estimate, reference, return_permutation=False):
-    """Permutation-aligned SI-SDR for (K, T) estimates vs references."""
+    """Permutation-aligned SI-SDR for (K, T) estimates vs references.
+
+    Values are ordered BY REFERENCE (matching :func:`input_si_sdr`,
+    so input/output element-wise improvements pair correctly), and the
+    returned permutation maps reference index -> assigned estimate
+    index (``estimate[perm]`` is reference-aligned).  NOTE:
+    ``linear_sum_assignment``'s raw ``col`` maps estimate -> reference;
+    indexing predictions with it directly silently mispairs any
+    non-involution assignment (first possible at K >= 3 — every K=2
+    permutation is its own inverse, which is why tests at K=2 never
+    caught it).
+    """
     matrix = _pairwise(si_sdr, np.asarray(estimate),
                        np.asarray(reference))
     row, col = _permutation_align(matrix)
-    values = matrix[row, col]
+    inv = np.argsort(col)                  # reference -> estimate
+    values = matrix[inv, np.arange(len(col))]
     if return_permutation:
-        return values, col
+        return values, inv
     return values
 
 

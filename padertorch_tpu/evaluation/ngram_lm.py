@@ -51,6 +51,10 @@ class NGramLM:
         self.vocab = tuple(sorted(vocab))
         self._counts = counts
         self._totals = totals
+        # drop the memoized vocab set: a same-SIZE refit with a
+        # different vocabulary would otherwise keep scoring against
+        # the stale set (length-based invalidation can't see it)
+        self.__dict__.pop('_vocab_set_cache', None)
         return self
 
     def _context(self, prefix):

@@ -71,7 +71,7 @@ def map_unordered(fn, dataset, num_workers=4, progress_bar=False):
             yield future.result()
 
 
-def gather(results, root=0, tag='0', timeout=3600.0):
+def gather(results, root=0, tag=None, timeout=3600.0):
     """Gather per-rank results onto the master.
 
     Single-process: returns ``[results]``.  Multi-process (launcher sets
@@ -94,6 +94,16 @@ def gather(results, root=0, tag='0', timeout=3600.0):
     # ranks share) to namespace them; the master also deletes its
     # shards after a successful merge.
     run_id = os.environ.get('PT_EVAL_RUN_ID', 'run')
+    if tag is None:
+        # auto-unique per call: two gathers sharing one tag RACE — a
+        # fast worker's second shard can be consumed (and deleted) by
+        # the master's FIRST gather (wrong results) while the second
+        # gather then times out waiting for the deleted file.  All
+        # ranks call gather the same number of times in the same order
+        # (a collective), so a per-process counter agrees across ranks.
+        n = getattr(gather, '_auto_tag', 0)
+        gather._auto_tag = n + 1
+        tag = f'auto{n}'
     name = f'gather_{run_id}_{tag}'
     shard = os.path.join(gather_dir, f'{name}.rank{RANK}.json')
     tmp = shard + f'.tmp{os.getpid()}'

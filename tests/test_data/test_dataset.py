@@ -114,3 +114,86 @@ def test_concat_and_tile():
     assert d[15]['value'] == 5
     t = ds().tile(3)
     assert len(t) == 30
+
+
+def test_dynamic_bucket_max_total_size():
+    """Regression: max_total_size was accepted and silently dropped —
+    batches must respect the padded-size cap max_len * n."""
+    from padertorch_tpu.data.dataset import from_list
+
+    exs = [{'n': 100} for _ in range(16)]
+    ds = from_list(exs).batch_dynamic_time_series_bucket(
+        batch_size=8, len_key='n', max_padding_rate=0.5,
+        max_total_size=400)
+    batches = list(ds)
+    assert batches, 'no batches emitted'
+    for b in batches:
+        assert len(b) * max(ex['n'] for ex in b) <= 400, len(b)
+    assert sum(len(b) for b in batches) == 16
+
+
+def test_catch_drops_inner_chained_map_filter_exception():
+    """Regression: .map(raises).map(ok).catch() — the OUTER map's fast
+    path iterated the inner chain outside the try, so an inner
+    FilterException killed the whole iteration instead of dropping the
+    one example."""
+    from padertorch_tpu.data.dataset import FilterException, from_list
+
+    def maybe_drop(x):
+        if x % 2:
+            raise FilterException()
+        return x
+
+    ds = from_list(list(range(6))).map(maybe_drop).map(
+        lambda x: x * 10).catch()
+    assert list(ds) == [0, 20, 40]
+
+
+def test_prefetch_sequential_honors_catch_filter_exception():
+    """Regression: the sequential (non-indexable) prefetch path
+    forwarded FilterException as a fatal error."""
+    from padertorch_tpu.data.dataset import FilterException, from_list
+
+    def maybe_drop(x):
+        if x == 2:
+            raise FilterException()
+        return x
+
+    # .filter() makes the source non-indexable -> sequential path
+    ds = from_list(list(range(5))).filter(lambda x: x != 4) \
+        .map(maybe_drop).prefetch(2, 3, catch_filter_exception=True)
+    assert sorted(list(ds)) == [0, 1, 3]
+
+
+def test_abandoned_prefetch_iterator_does_not_leak_reader():
+    """Regression: breaking out of a sequential prefetch left the
+    reader thread blocked forever on a full queue."""
+    import threading
+    import time
+    from padertorch_tpu.data.dataset import from_list
+
+    before = threading.active_count()
+    ds = from_list(list(range(100))).filter(lambda x: True) \
+        .prefetch(1, 2)
+    it = iter(ds)
+    next(it)
+    it.close()                       # abandon mid-iteration
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, 'reader thread leaked'
+
+
+def test_sliced_and_shuffled_keys_follow_iteration():
+    """Regression: wrappers inherited the SOURCE's full key list, so
+    zip(ds.keys(), ds) silently mislabeled examples after slicing."""
+    import pytest
+    from padertorch_tpu.data.dataset import from_dict
+
+    ds = from_dict({f'k{i}': {'v': i} for i in range(10)})
+    sliced = ds[2:5]
+    assert sliced.keys() == ['k2', 'k3', 'k4']
+    with pytest.raises(TypeError):
+        ds.shuffle(reshuffle=True).keys()
+    with pytest.raises(TypeError):
+        ds.batch(2).keys()

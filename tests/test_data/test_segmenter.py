@@ -85,3 +85,38 @@ def test_random_anchor_with_rng():
     rng = np.random.RandomState(0)
     out = segmenter({'x': np.arange(35)}, rng=rng)
     assert all(e['x'].shape == (10,) for e in out)
+
+
+def test_max_mode_shrinks_for_short_utterances():
+    """Regression: mode='max' deliberately skips the too-short
+    FilterException (the mode SHRINKS the segment length instead), but
+    a leading assert in get_segment_boundaries crashed with a bare
+    AssertionError before the adaptation could run."""
+    import pytest
+    from padertorch_tpu.data.dataset import FilterException
+    from padertorch_tpu.data.segment import Segmenter
+
+    seg = Segmenter(length=32000, shift=16000, mode='max',
+                    include_keys=('x',))
+    out = seg({'x': np.arange(20000, dtype=np.float32),
+               'num_samples': 20000})
+    # one segment covering (most of) the utterance, length <= 20000
+    assert len(out) >= 1
+    assert out[0]['x'].shape[-1] <= 20000
+    # shorter than the overlap: no valid segmentation -> FilterException
+    with pytest.raises(FilterException):
+        seg({'x': np.arange(10000, dtype=np.float32),
+             'num_samples': 10000})
+
+
+def test_random_max_segments_uses_passed_rng():
+    """Regression: the final anchor draw used global np.random instead
+    of the passed rng — seeded segmentation was not reproducible."""
+    from padertorch_tpu.data.segment import get_anchor
+
+    a = get_anchor(10000, 1000, 500, mode='random_max_segments',
+                   rng=np.random.RandomState(3))
+    np.random.seed(0)          # must NOT influence the draw
+    b = get_anchor(10000, 1000, 500, mode='random_max_segments',
+                   rng=np.random.RandomState(3))
+    assert a == b

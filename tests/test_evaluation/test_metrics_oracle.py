@@ -84,8 +84,12 @@ def test_output_si_sdr_recovers_permutation():
     perm = [1, 2, 0]
     ests = refs[perm] + 0.01 * rng.randn(3, 2000)
     values, found = output_si_sdr(ests, refs, return_permutation=True)
-    # found[i] = reference index matched by estimate i
-    assert list(found) == perm, found
+    # found[j] = estimate index assigned to REFERENCE j (so
+    # ests[found] is reference-aligned — the indexing OutputMetrics
+    # uses; the raw assignment col would be estimate->reference and
+    # silently mispair non-involutions like this 3-cycle)
+    assert list(found) == list(np.argsort(perm)), found
+    np.testing.assert_allclose(ests[found], refs, atol=0.05)
     assert np.all(values > 30), values
 
 
