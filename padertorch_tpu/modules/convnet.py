@@ -109,8 +109,18 @@ class Conv1d(Module):
 
 
 class _Conv1DBlock(Module):
-    """Conv1D - PReLU - Norm - depthwise Conv1D - PReLU - Norm - Conv1D
-    with a residual connection (reference convnet.py:114)."""
+    """TCN block with a residual connection (reference convnet.py:114).
+
+    ACTUAL op order (matching the reference's Conv1d wrapper, which
+    applies its norm BEFORE its conv — reference convnet.py:82-85):
+    Norm(in) - Conv1D - PReLU - depthwise Conv1D - PReLU - Norm -
+    Conv1D.  The reference's own docstring describes the canonical
+    Conv-TasNet order (Conv-PReLU-Norm-...), but its implementation —
+    and therefore this parity reimplementation, so imported reference
+    weights compute identically — norms first.  Likewise ``forward``
+    drops ``sequence_lengths`` before gLN, exactly as the reference's
+    ``ConvNet.forward`` does (reference convnet.py:225-241): global
+    statistics include padding, a reference quirk kept for parity."""
 
     def __init__(self, in_channels=256, hidden_channels=512, kernel_size=3,
                  dilation=1, norm='cLN'):

@@ -133,6 +133,13 @@ class Normalization(Module):
 
     @property
     def running_var(self):
+        # REFERENCE PARITY, quirks included
+        # (padertorch/modules/normalization.py:154-162): the Bessel
+        # correction multiplies only the power term (not
+        # power - mean**2), and eps is added HERE as well as again by
+        # the consumers (_running_norm/inverse) — both faithfully
+        # reproduce the reference so imported running stats normalize
+        # identically.
         n = jnp.clip(self.num_tracked_values, min=2)
         running_var = self.running_power
         if self.shift:

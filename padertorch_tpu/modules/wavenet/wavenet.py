@@ -164,12 +164,16 @@ class WaveNet(Module):
         if self.fading is not None:
             assert self.fading in ['half', 'full'], self.fading
             pad_width = self.upsamp_window - self.upsamp_stride
-            if self.fading == 'half':
-                front = pad_width // 2
-                back = math.ceil(pad_width / 2)
-                cond_input = cond_input[..., front:-back]
-            else:
-                cond_input = cond_input[..., pad_width:-pad_width]
+            # non-overlapping upsamplers (window == stride) have no
+            # fading region; a [0:-0] slice would be EMPTY, not a no-op
+            if pad_width > 0:
+                if self.fading == 'half':
+                    front = pad_width // 2
+                    back = math.ceil(pad_width / 2)
+                    cond_input = cond_input[..., front:-back]
+                else:
+                    cond_input = cond_input[
+                        ..., pad_width:-pad_width]
         return self.cond_layers(cond_input)
 
     def export_weights(self):

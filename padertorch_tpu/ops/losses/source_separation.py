@@ -102,8 +102,12 @@ def pit_loss(
     assert sources < 30, (
         f'Are you sure? sources={sources}, estimate.shape={estimate.shape}')
 
-    if loss_fn == 'cross_entropy' or getattr(
-            loss_fn, '__name__', '') == 'cross_entropy':
+    if loss_fn == 'cross_entropy' or loss_fn is _cross_entropy:
+        # identity check, NOT __name__: a USER callable that happens
+        # to be named 'cross_entropy' must not be silently replaced by
+        # the module's CE (and passing _cross_entropy itself must take
+        # this branch — compute_pairwise_losses agrees on the same
+        # rule)
         loss_fn = _cross_entropy
         assert axis % estimate.ndim == 1, axis
         estimate_shape = list(estimate.shape)
@@ -154,8 +158,9 @@ def compute_pairwise_losses(
     """
     sources = estimate.shape[axis]
     assert sources < 30, f'Are you sure? sources={sources}'
-    if loss_fn == 'cross_entropy' or getattr(
-            loss_fn, '__name__', '') == '_cross_entropy':
+    if loss_fn == 'cross_entropy' or loss_fn is _cross_entropy:
+        # same identity rule as pit_loss (a __name__ check would
+        # misclassify user callables)
         assert axis % estimate.ndim == 1, axis
         logp = -jax.nn.log_softmax(estimate, axis=1)
         one_hot = jax.nn.one_hot(target, sources, dtype=estimate.dtype)

@@ -140,3 +140,22 @@ def test_infer_parallel_greedy_matches_sequential():
                     parallel=True)
     np.testing.assert_allclose(np.asarray(seq), np.asarray(par),
                                atol=1e-6)
+
+
+def test_non_overlapping_upsampler_keeps_frames():
+    """Regression: upsamp_window == upsamp_stride has NO fading region;
+    the crop used to slice [0:-0] — an EMPTY tensor — and crash the
+    conditioning convs for this common non-overlapping vocoder
+    config."""
+    from padertorch_tpu import random as ptrandom
+    from padertorch_tpu.modules.wavenet.wavenet import WaveNet
+
+    ptrandom.seed(0)
+    wn = WaveNet(n_cond_channels=8, upsamp_window=128, upsamp_stride=128,
+                 n_in_channels=32, n_layers=2, max_dilation=2,
+                 n_residual_channels=8, n_skip_channels=16,
+                 n_out_channels=32)
+    feats = jnp.asarray(
+        np.random.RandomState(0).randn(2, 8, 10), 'float32')
+    cond = wn.get_cond_input(feats)
+    assert cond.shape[-1] == 10 * 128, cond.shape
